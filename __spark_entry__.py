@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin wrapper over the engine package: the declared query surface
+lives in ``distributed_graph_database_spark.registry`` (Spark side)
+and ``distributed_graph_database_spark.oracles`` (DuckDB side).
 """
 
 from __future__ import annotations
@@ -13,26 +11,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from distributed_graph_database_spark import oracles, registry
+from distributed_graph_database_spark.graph import derive, traversal
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: BFS levels over the customer–order graph derived
+    from sf0.001 orders (SURVEY.md §7.1 P1). Driver checks rows > 0.
+    """
+    edges = derive.derived_edges_sym(spark, SMOKE_SF_DIR)
+    start = derive.default_start(spark, SMOKE_SF_DIR)
+    return traversal.bfs_levels(spark, edges, start)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB twin for each hash-checkable key; keys omitted here get
+    the driver's weaker rows-only check (approximate/streaming ops).
     """
-    return {}
+    return dict(oracles.ORACLE_SQL)

@@ -1,0 +1,107 @@
+"""Fixture graphs and ops-log, shared between Spark and oracle SQL.
+
+G1–G6 are the reference's six golden input graphs (adjacency-matrix
+text files /root/reference/G1.txt–G6.txt, decoded to edge lists in
+FIXTURES.md). The ops-log fixture exercises the reference's router /
+validation / seq-ordered-write semantics (load_balancer.c:78-99,
+client.c:36-49, primary_server.c:62-107).
+
+One Python literal is the single source of truth; both the Spark
+DataFrame and the DuckDB `VALUES` SQL are generated from it, so the
+driver's differential check compares identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# graph_id -> (n_vertices, undirected edges stored once with src < dst)
+FIXTURE_GRAPHS: dict[str, tuple[int, list[tuple[int, int]]]] = {
+    "G1": (4, [(1, 2), (1, 4), (2, 3)]),          # 4-node tree, depth 2
+    "G2": (2, [(1, 2)]),                           # minimal K2
+    "G3": (3, [(1, 2), (1, 3)]),                   # star / fan-out
+    "G4": (0, []),                                 # empty graph (n=0)
+    "G5": (5, [(1, 2), (1, 3), (1, 4), (3, 5)]),   # tree, mixed leaf depths
+    "G6": (2, []),                                 # two isolated vertices
+}
+
+# (seq, op, graph_id) — op: 1 add, 2 modify, 3 dfs, 4 bfs.
+# Routing contract: ops 1,2 -> primary; ops 3,4 -> secondary by seq
+# parity (odd->secondary_1, even->secondary_2). Validation: op must be
+# 1..4; op 1 requires the graph NOT exist yet; ops 2-4 require it to
+# exist. "Exists" = in FIXTURE_GRAPHS or created by an earlier
+# (lower-seq) op-1 in this log.
+OPS_LOG: list[tuple[int, int, str]] = [
+    (1, 1, "G7"),
+    (2, 3, "G1"),
+    (3, 4, "G1"),
+    (4, 2, "G7"),
+    (5, 3, "G7"),
+    (6, 5, "G1"),   # rejected: op out of range
+    (7, 1, "G1"),   # rejected: already exists
+    (8, 3, "G9"),   # rejected: does not exist
+]
+
+
+def fixture_vertices_rows() -> list[tuple[str, int]]:
+    return [
+        (gid, vid)
+        for gid, (n, _) in sorted(FIXTURE_GRAPHS.items())
+        for vid in range(1, n + 1)
+    ]
+
+
+def fixture_edges_rows() -> list[tuple[str, int, int]]:
+    return [
+        (gid, s, d)
+        for gid, (_, edges) in sorted(FIXTURE_GRAPHS.items())
+        for (s, d) in edges
+    ]
+
+
+def fixture_vertices_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        fixture_vertices_rows(), "graph_id string, vid bigint"
+    )
+
+
+def fixture_edges_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        fixture_edges_rows(), "graph_id string, src bigint, dst bigint"
+    )
+
+
+def ops_log_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(OPS_LOG, "seq bigint, op int, graph_id string")
+
+
+def existing_graph_ids() -> list[str]:
+    return sorted(FIXTURE_GRAPHS)
+
+
+# --- SQL literal generation (DuckDB side of the differential check) ---
+
+def _values(rows: list[tuple]) -> str:
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    return ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+
+
+def fixture_vertices_values_sql() -> str:
+    """`(VALUES ...) AS fixture_vertices(graph_id, vid)` body."""
+    return _values(fixture_vertices_rows())
+
+
+def fixture_edges_values_sql() -> str:
+    return _values(fixture_edges_rows())
+
+
+def ops_log_values_sql() -> str:
+    return _values(OPS_LOG)
+
+
+def existing_graphs_values_sql() -> str:
+    return _values([(g,) for g in existing_graph_ids()])

@@ -1,0 +1,84 @@
+"""DuckDB oracle SQL for every hash-checkable declared query.
+
+The driver runs each ``registry.QUERIES[key]`` on Spark and the SQL
+here on DuckDB over the same parquet views, then compares row count +
+schema + order-insensitive value hash. Keys absent here get a weaker
+rows-only check (reserved for genuinely approximate / non-SQL ops).
+
+The graph oracles rebuild the pinned derivation (graph/derive.py) and
+re-express the driver-side BFS loop as a bounded recursive CTE with
+min-level semantics; the bound (level < 16) only has to exceed the
+derived graph's diameter (2) and the fixture diameters (≤ 4).
+"""
+
+from __future__ import annotations
+
+from . import fixtures
+from .graph.derive import DERIVED_EDGES_SQL
+
+_GRAPH_CTE = f"""
+e AS ({DERIVED_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+start AS (SELECT 100000 + MIN(o_orderkey) AS vid FROM orders),
+walk(vid, level) AS (
+    SELECT vid, 0 FROM start
+    UNION
+    SELECT s.dst, w.level + 1
+    FROM walk w JOIN sym s ON s.src = w.vid
+    WHERE w.level < 16
+),
+lvl AS (SELECT vid, MIN(level) AS level FROM walk GROUP BY vid)
+"""
+
+_TREE_CTE = f"""{_GRAPH_CTE},
+tree_parents AS (
+    SELECT c.vid AS vid, MIN(s.src) AS parent
+    FROM lvl c
+    JOIN sym s ON s.dst = c.vid
+    JOIN lvl p ON p.vid = s.src AND p.level = c.level - 1
+    GROUP BY c.vid
+)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "bfs_levels": f"""
+WITH RECURSIVE {_GRAPH_CTE}
+SELECT CAST(vid AS BIGINT) AS vid, CAST(level AS INT) AS level FROM lvl
+""",
+    "bfs_order": f"""
+WITH RECURSIVE {_GRAPH_CTE}
+SELECT string_agg(CAST(vid AS VARCHAR), ' ' ORDER BY level, vid) AS bfs_order FROM lvl
+""",
+    "dfs_leaves": f"""
+WITH RECURSIVE {_TREE_CTE}
+SELECT CAST(l.vid AS BIGINT) AS vid
+FROM lvl l
+WHERE l.vid NOT IN (SELECT parent FROM tree_parents WHERE parent IS NOT NULL)
+""",
+    "reachable_vertices": f"""
+WITH RECURSIVE {_GRAPH_CTE}
+SELECT CAST(vid AS BIGINT) AS vid FROM lvl
+""",
+    "neighbors_1hop": f"""
+WITH e AS ({DERIVED_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+start AS (SELECT 100000 + MIN(o_orderkey) AS vid FROM orders)
+SELECT DISTINCT CAST(s.dst AS BIGINT) AS vid FROM sym s, start WHERE s.src = start.vid
+""",
+    "vertex_degree": f"""
+WITH e AS ({DERIVED_EDGES_SQL}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+SELECT CAST(src AS BIGINT) AS vid, COUNT(*) AS degree FROM sym GROUP BY src
+""",
+    "graph_stats": f"""
+WITH fixture_vertices(graph_id, vid) AS (VALUES {fixtures.fixture_vertices_values_sql()}),
+fixture_edges(graph_id, src, dst) AS (VALUES {fixtures.fixture_edges_values_sql()}),
+gids(graph_id) AS (VALUES {fixtures.existing_graphs_values_sql()}),
+v AS (SELECT graph_id, COUNT(DISTINCT vid) AS n_vertices FROM fixture_vertices GROUP BY graph_id),
+ec AS (SELECT graph_id, COUNT(*) AS n_edges FROM fixture_edges GROUP BY graph_id)
+SELECT g.graph_id,
+       CAST(COALESCE(v.n_vertices, 0) AS BIGINT) AS n_vertices,
+       CAST(COALESCE(ec.n_edges, 0) AS BIGINT) AS n_edges
+FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
+""",
+}

@@ -1,0 +1,74 @@
+"""Declared query surface (SURVEY.md §2.2) — the driver contract.
+
+Each entry maps a query key to a callable ``(spark, sf_dir) -> DataFrame``;
+``oracles.ORACLE_SQL`` holds the DuckDB twin of every hash-checkable
+key. Column names/types are aligned between the two on purpose — the
+driver sorts columns by name and hashes values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import fixtures
+from .graph import derive, traversal
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _graph_ctx(spark: SparkSession, sf_dir: str):
+    edges = derive.derived_edges_sym(spark, sf_dir)
+    start = derive.default_start(spark, sf_dir)
+    return edges, start
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, start = _graph_ctx(spark, sf_dir)
+    return traversal.bfs_levels(spark, edges, start)
+
+
+def q_bfs_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, start = _graph_ctx(spark, sf_dir)
+    return traversal.bfs_order(spark, edges, start)
+
+
+def q_dfs_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, start = _graph_ctx(spark, sf_dir)
+    return traversal.dfs_leaves(spark, edges, start)
+
+
+def q_reachable_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, start = _graph_ctx(spark, sf_dir)
+    return traversal.reachable_vertices(spark, edges, start)
+
+
+def q_neighbors_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, start = _graph_ctx(spark, sf_dir)
+    return traversal.neighbors_1hop(edges, start)
+
+
+def q_vertex_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _ = _graph_ctx(spark, sf_dir)
+    return traversal.vertex_degree(edges)
+
+
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    graph_ids = spark.createDataFrame(
+        [(g,) for g in fixtures.existing_graph_ids()], "graph_id string"
+    )
+    return traversal.graph_stats(
+        graph_ids, fixtures.fixture_vertices_df(spark), fixtures.fixture_edges_df(spark)
+    )
+
+
+QUERIES: dict[str, QueryFn] = {
+    "bfs_levels": q_bfs_levels,
+    "bfs_order": q_bfs_order,
+    "dfs_leaves": q_dfs_leaves,
+    "reachable_vertices": q_reachable_vertices,
+    "neighbors_1hop": q_neighbors_1hop,
+    "vertex_degree": q_vertex_degree,
+    "graph_stats": q_graph_stats,
+}

@@ -1,0 +1,41 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the test harness (local[32], 128 GiB
+host); the same settings are what we'd ship as cluster defaults:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+Arrow on (fast Pandas UDF / toPandas paths), and a shuffle-partition
+count that matches local parallelism (on a real cluster this is
+overridden per-job or left to AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "distributed-graph-database-spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Honors SPARK_GRAFT_CPUS for local core count (driver contract).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime shuffle-partition coalescing, skew-join handling,
+        # broadcast-join conversion from runtime stats. Essential at scale.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        # Arrow batches for any Pandas-UDF path and driver collection.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Quiet progress bars in test output.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
