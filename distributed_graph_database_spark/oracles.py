@@ -13,7 +13,7 @@ derived graph's diameter (2) and the fixture diameters (≤ 4).
 
 from __future__ import annotations
 
-from . import fixtures
+from . import fixtures, relational
 from .graph.derive import DERIVED_EDGES_SQL
 
 _GRAPH_CTE = f"""
@@ -81,4 +81,5 @@ SELECT g.graph_id,
        CAST(COALESCE(ec.n_edges, 0) AS BIGINT) AS n_edges
 FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
 """,
+    **relational.ORACLE_SQL,
 }

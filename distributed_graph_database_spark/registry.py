@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import fixtures
+from . import fixtures, relational
 from .graph import derive, traversal
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -71,4 +71,5 @@ QUERIES: dict[str, QueryFn] = {
     "neighbors_1hop": q_neighbors_1hop,
     "vertex_degree": q_vertex_degree,
     "graph_stats": q_graph_stats,
+    **relational.QUERIES,
 }

@@ -1,0 +1,434 @@
+"""Relational backbone — the Spark built-ins every analytics user hits
+(SURVEY.md §2.2 "relational backbone", 13 `ql_*` keys + `ql_json`).
+
+The reference has no relational layer at all (SURVEY.md §2.1 "what the
+reference does NOT have"); these keys exist so the judge can hash-check
+each Spark primitive — scan/project, filter, joins, aggregation,
+distinct, rollup, windows, top-k, set ops, scalar functions,
+approx-distinct — against a direct ANSI oracle on the TPC-H-ish tables.
+
+Determinism-across-engines rules used throughout (Spark and DuckDB must
+produce bit-identical values for the driver's value hash):
+
+- **Never hash a SUM/AVG of raw doubles.** Summation order differs
+  between engines, so the last ulp differs. Instead convert to integer
+  cents *before* aggregating (``CAST(ROUND(x * 100) AS BIGINT)``) —
+  integer sums are exact and identical everywhere. Ratios are then a
+  single double division of identical integers → identical doubles.
+- **Raw column passthrough is safe** (both engines read the same
+  parquet bytes), as are MIN/MAX of doubles.
+- **Order-by on doubles is safe** (exact comparisons), but every
+  window/top-k ordering carries a unique tiebreaker key.
+
+Every query is a narrow projection so Catalyst pushes filters and
+prunes columns at the parquet scan (verify with .explain: PushedFilters
+/ ReadSchema), and every join side that is small is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import table
+
+
+def _cents(col: str) -> F.Column:
+    """Exact integer cents — the cross-engine-stable aggregation input."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+_CENTS_SQL = "CAST(ROUND({c} * 100) AS BIGINT)"
+
+
+# --- scans / projection / filter -------------------------------------------
+
+def ql_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection-only scan: Catalyst prunes the parquet read to the
+    three selected columns (ReadSchema shows only these)."""
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+ORACLE_SCAN_PROJECT = """
+SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+FROM lineitem
+"""
+
+
+def ql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown: both conjuncts reach the parquet scan as
+    PushedFilters; only matching row groups are decoded."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_quantity") < 25.0)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+ORACLE_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_quantity < 25.0 AND l_returnflag = 'R'
+"""
+
+
+# --- joins ------------------------------------------------------------------
+
+def ql_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi hash join orders ⋈ customer on the natural key, aggregated
+    by market segment. At 100 TB both sides are large → shuffle hash /
+    sort-merge on the join key; AQE picks at runtime."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+    )
+
+
+ORACLE_HASH_JOIN = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_CENTS_SQL.format(c='o_totalprice')}) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def ql_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension joins with explicit broadcast of the tiny sides
+    (nation ~25 rows, region ~5): no shuffle of the customer side."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_cents("c_acctbal")).alias("acctbal_cents"),
+        )
+    )
+
+
+ORACLE_BROADCAST_JOIN = f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM({_CENTS_SQL.format(c='c_acctbal')}) AS BIGINT) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def ql_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti: customers with vs without an open ('O')
+    order. The two branches share one scan each; semi/anti avoid
+    materializing the join payload (no columns from orders move)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    open_orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    semi = cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).withColumn("kind", F.lit("has_open"))
+    anti = cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti"
+    ).withColumn("kind", F.lit("no_open"))
+    return semi.unionByName(anti)
+
+
+ORACLE_SEMI_ANTI_JOIN = """
+SELECT c_custkey, 'has_open' AS kind FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, 'no_open' AS kind FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+# --- aggregation ------------------------------------------------------------
+
+def ql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate (partial map-side combine +
+    final): per (returnflag, linestatus) sums/avg/count. Integer-cents
+    sums; the avg is one division of exact integers."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(_cents("l_extendedprice")).alias("sum_price_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.col("sum_qty_cents") / (F.col("n_rows") * F.lit(100.0)),
+        )
+    )
+
+
+ORACLE_AGG = f"""
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM({_CENTS_SQL.format(c='l_quantity')}) AS BIGINT) AS sum_qty_cents,
+         CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')}) AS BIGINT) AS sum_price_cents,
+         COUNT(*) AS n_rows
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT *, sum_qty_cents / (n_rows * 100.0) AS avg_qty FROM a
+"""
+
+
+def ql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates → partial+final hash-distinct (map-side combine
+    keeps shuffle input tiny)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus")
+        .dropDuplicates()
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+"""
+
+
+def ql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup region → nation → grand total; NULL
+    grouping slots are normalized to 'ALL' so the hash is stable."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            "n_customers",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --- windows / ordering -----------------------------------------------------
+
+def ql_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by account balance via row_number
+    over a partitioned window; custkey tiebreak keeps it deterministic.
+    Partition-parallel — no global sort."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT * FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation
+  FROM customer
+) WHERE rank_in_nation <= 3
+"""
+
+
+def ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price: orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    rows — no global sort shuffle)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- set ops ----------------------------------------------------------------
+
+def ql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets (urgent-order
+    customers vs high-balance customers), tagged per branch."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    rich = (
+        cust.filter(F.col("c_acctbal") > 5000.0)
+        .select(F.col("c_custkey").alias("custkey"))
+        .distinct()
+    )
+    return (
+        urgent.union(rich).distinct().withColumn("op", F.lit("union"))
+        .unionByName(urgent.intersect(rich).withColumn("op", F.lit("intersect")))
+        .unionByName(urgent.exceptAll(rich).withColumn("op", F.lit("except")))
+    )
+
+
+ORACLE_SETOPS = """
+WITH urgent AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+     rich AS (SELECT DISTINCT c_custkey AS custkey FROM customer
+              WHERE c_acctbal > 5000.0)
+SELECT custkey, 'union' AS op FROM (SELECT * FROM urgent UNION SELECT * FROM rich)
+UNION ALL
+SELECT custkey, 'intersect' AS op FROM (SELECT * FROM urgent INTERSECT SELECT * FROM rich)
+UNION ALL
+SELECT custkey, 'except' AS op FROM (SELECT * FROM urgent EXCEPT SELECT * FROM rich)
+"""
+
+
+# --- scalar functions -------------------------------------------------------
+
+def ql_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/date/math expressions (all whole-stage-codegen'd
+    JVM built-ins, zero UDFs): split/substring/upper, date_trunc/year,
+    pmod, round-to-bigint, concat_ws."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 20)).alias("priority_word"),
+        F.split(F.col("o_orderpriority"), "-").getItem(0).cast("int").alias("priority_rank"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        F.year(F.col("o_orderdate")).alias("order_year"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).alias("shard"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("price_rounded"),
+        F.concat_ws(":", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_tag"),
+    )
+
+
+ORACLE_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       UPPER(SUBSTRING(o_orderpriority, 3, 20)) AS priority_word,
+       CAST(STRING_SPLIT(o_orderpriority, '-')[1] AS INT) AS priority_rank,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+       CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       o_orderkey % 7 AS shard,
+       CAST(ROUND(o_totalprice) AS BIGINT) AS price_rounded,
+       CONCAT_WS(':', o_orderstatus, o_orderpriority) AS status_tag
+FROM orders
+"""
+
+
+def ql_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column (semi-
+    structured payloads are routine in event pipelines); aggregated by
+    event_type so the output is small and hash-stable."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- approximate ------------------------------------------------------------
+
+def ql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count of order customers. Sketch values
+    differ across engines by design → no value oracle (rows-only
+    check); tests assert within 5% of the exact count."""
+    return (
+        table(spark, sf_dir, "orders")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"))
+    )
+
+
+QUERIES = {
+    "ql_scan_project": ql_scan_project,
+    "ql_filter": ql_filter,
+    "ql_hash_join": ql_hash_join,
+    "ql_broadcast_join": ql_broadcast_join,
+    "ql_semi_anti_join": ql_semi_anti_join,
+    "ql_agg": ql_agg,
+    "ql_distinct": ql_distinct,
+    "ql_rollup": ql_rollup,
+    "ql_window_rank": ql_window_rank,
+    "ql_topk": ql_topk,
+    "ql_setops": ql_setops,
+    "ql_scalar_funcs": ql_scalar_funcs,
+    "ql_json": ql_json,
+    "ql_approx_distinct": ql_approx_distinct,
+}
+
+# ql_approx_distinct intentionally absent: approximate sketch → rows-only.
+ORACLE_SQL = {
+    "ql_scan_project": ORACLE_SCAN_PROJECT,
+    "ql_filter": ORACLE_FILTER,
+    "ql_hash_join": ORACLE_HASH_JOIN,
+    "ql_broadcast_join": ORACLE_BROADCAST_JOIN,
+    "ql_semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
+    "ql_agg": ORACLE_AGG,
+    "ql_distinct": ORACLE_DISTINCT,
+    "ql_rollup": ORACLE_ROLLUP,
+    "ql_window_rank": ORACLE_WINDOW_RANK,
+    "ql_topk": ORACLE_TOPK,
+    "ql_setops": ORACLE_SETOPS,
+    "ql_scalar_funcs": ORACLE_SCALAR_FUNCS,
+    "ql_json": ORACLE_JSON,
+}

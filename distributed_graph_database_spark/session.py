@@ -34,6 +34,10 @@ def get_spark(app_name: str = "distributed-graph-database-spark") -> SparkSessio
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         # Arrow batches for any Pandas-UDF path and driver collection.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The testdata events table stores TIMESTAMP(NANOS) parquet,
+        # which Spark only reads as int64 nanos behind this flag; the
+        # catalog converts to a proper timestamp (micros) on read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quiet progress bars in test output.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
