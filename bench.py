@@ -1,0 +1,71 @@
+"""Benchmark harness — times every registered query and prints ONE
+JSON line the round driver parses into BENCH_r{N}.json.
+
+Env contract:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local core count (default *)
+
+Each query is materialized with a `noop` sink write (full execution of
+every column, nothing collected to the driver), after a one-action JVM
+warm-up so the first timed query doesn't pay session start-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from distributed_graph_database_spark.session import get_spark
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _materialize(df) -> None:
+    # noop sink: full pipeline runs (all columns computed), zero
+    # driver-side collection — the fairest "execute this query" action.
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("dgdb-bench")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # Warm up the JVM / parquet footer caches outside any timing.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for key in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            _materialize(queries[key](spark, sf_dir))
+            timings[key] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a broken query must not sink the run
+            failures[key] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"bench: {key} FAILED: {failures[key]}", file=sys.stderr)
+
+    result = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+        "failures": failures,
+    }
+    print(json.dumps(result))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

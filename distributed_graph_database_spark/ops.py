@@ -1,0 +1,173 @@
+"""Ops/consistency layer — the reference's distinctive request
+semantics re-expressed as declarative queries over an ops log.
+
+Reference lineage (SURVEY.md §2.1 R8/R10/R11):
+- routing: ops 1,2 → primary; ops 3,4 → secondary by sequence parity,
+  odd→secondary_1, even→secondary_2 (load_balancer.c:78-99).
+- validation: op must be 1..4 (client.c:36-39); op 1 requires the
+  graph NOT exist, ops 2-4 require it to exist (client.c:43-49,
+  access(2) on the file).
+- seq-ordered write application: the readers-writers protocol's
+  semantic residue is that writes land in increasing sequence order,
+  so the final state of a graph is its last valid write
+  (primary_server.c:62-107; Assignment 2.pdf p.6).
+
+"Exists at seq s" has a closed form because the op set has no delete:
+a graph exists if it is a pre-existing fixture, or if the *first*
+valid op-1 on it (which is simply the earliest op-1, for non-fixture
+graphs) happened at a lower seq. That keeps all three queries pure
+window/join algebra — no iteration, shuffle count O(1), and the same
+logic is expressible verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import fixtures
+
+_REJECT_BAD_OP = "bad_op"
+_REJECT_EXISTS = "exists"
+_REJECT_MISSING = "missing"
+
+
+def _annotated_log(spark: SparkSession) -> DataFrame:
+    """Ops log + per-row validity verdict (the R10 predicate set)."""
+    log = fixtures.ops_log_df(spark)
+    pre = spark.createDataFrame(
+        [(g,) for g in fixtures.existing_graph_ids()], "graph_id string"
+    ).withColumn("pre_existing", F.lit(True))
+
+    # Earliest op-1 per non-fixture graph = its creation seq.
+    created = (
+        log.filter(F.col("op") == 1)
+        .join(pre, "graph_id", "left_anti")
+        .groupBy("graph_id")
+        .agg(F.min("seq").alias("created_seq"))
+    )
+
+    annotated = (
+        log.join(F.broadcast(pre.select("graph_id", "pre_existing")), "graph_id", "left")
+        .join(F.broadcast(created), "graph_id", "left")
+        .withColumn(
+            "exists_before",
+            F.coalesce(F.col("pre_existing"), F.lit(False))
+            # coalesce: NULL created_seq (never created) must read as
+            # "does not exist", not SQL-null (three-valued logic trap).
+            | F.coalesce(F.col("created_seq") < F.col("seq"), F.lit(False)),
+        )
+    )
+    return annotated.withColumn(
+        "reason",
+        F.when(~F.col("op").between(1, 4), F.lit(_REJECT_BAD_OP))
+        .when((F.col("op") == 1) & F.col("exists_before"), F.lit(_REJECT_EXISTS))
+        .when((F.col("op") > 1) & ~F.col("exists_before"), F.lit(_REJECT_MISSING))
+        .otherwise(F.lit(None).cast("string")),
+    ).withColumn("status", F.when(F.col("reason").isNull(), "valid").otherwise("rejected"))
+
+
+def validate_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: per-request verdict → (seq, op, graph_id, status, reason)."""
+    return _annotated_log(spark).select(
+        "seq", "op", "graph_id", "status",
+        F.coalesce(F.col("reason"), F.lit("ok")).alias("reason"),
+    )
+
+
+def route_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 parity router over *valid* requests; rejected ones never
+    reach a server (the client gates them) → (seq, op, graph_id, server)."""
+    return _annotated_log(spark).select(
+        "seq", "op", "graph_id",
+        F.when(F.col("status") == "rejected", F.lit("rejected"))
+        .when(F.col("op") <= 2, F.lit("primary"))
+        .when(F.pmod(F.col("seq"), F.lit(2)) == 1, F.lit("secondary_1"))
+        .otherwise(F.lit("secondary_2"))
+        .alias("server"),
+    )
+
+
+def ops_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: apply valid writes in seq order; last-write-wins state per
+    graph → (graph_id, last_seq, last_op, n_writes)."""
+    writes = _annotated_log(spark).filter(
+        (F.col("status") == "valid") & (F.col("op") <= 2)
+    )
+    w = Window.partitionBy("graph_id").orderBy(F.col("seq").desc())
+    return (
+        writes.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_writes", F.count(F.lit(1)).over(Window.partitionBy("graph_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "graph_id",
+            F.col("seq").alias("last_seq"),
+            F.col("op").alias("last_op"),
+            "n_writes",
+        )
+    )
+
+
+QUERIES = {
+    "route_requests": route_requests,
+    "validate_requests": validate_requests,
+    "ops_log_replay": ops_log_replay,
+}
+
+
+def _oracle_cte() -> str:
+    """Shared DuckDB CTE rebuilding the same annotated log from the
+    single-source-of-truth fixture literals."""
+    return f"""
+log(seq, op, graph_id) AS (VALUES {fixtures.ops_log_values_sql()}),
+pre(graph_id) AS (VALUES {fixtures.existing_graphs_values_sql()}),
+created AS (
+    SELECT graph_id, MIN(seq) AS created_seq FROM log
+    WHERE op = 1 AND graph_id NOT IN (SELECT graph_id FROM pre)
+    GROUP BY graph_id
+),
+ann AS (
+    SELECT l.seq, l.op, l.graph_id,
+           (l.graph_id IN (SELECT graph_id FROM pre)
+            OR COALESCE(c.created_seq < l.seq, FALSE)) AS exists_before,
+           CASE
+             WHEN l.op NOT BETWEEN 1 AND 4 THEN '{_REJECT_BAD_OP}'
+             WHEN l.op = 1 AND (l.graph_id IN (SELECT graph_id FROM pre)
+                                OR COALESCE(c.created_seq < l.seq, FALSE))
+               THEN '{_REJECT_EXISTS}'
+             WHEN l.op > 1 AND NOT (l.graph_id IN (SELECT graph_id FROM pre)
+                                    OR COALESCE(c.created_seq < l.seq, FALSE))
+               THEN '{_REJECT_MISSING}'
+           END AS reason
+    FROM log l LEFT JOIN created c USING (graph_id)
+)
+"""
+
+
+ORACLE_SQL = {
+    "validate_requests": f"""
+WITH {_oracle_cte()}
+SELECT seq, op, graph_id,
+       CASE WHEN reason IS NULL THEN 'valid' ELSE 'rejected' END AS status,
+       COALESCE(reason, 'ok') AS reason
+FROM ann
+""",
+    "route_requests": f"""
+WITH {_oracle_cte()}
+SELECT seq, op, graph_id,
+       CASE WHEN reason IS NOT NULL THEN 'rejected'
+            WHEN op <= 2 THEN 'primary'
+            WHEN seq % 2 = 1 THEN 'secondary_1'
+            ELSE 'secondary_2' END AS server
+FROM ann
+""",
+    "ops_log_replay": f"""
+WITH {_oracle_cte()},
+writes AS (SELECT * FROM ann WHERE reason IS NULL AND op <= 2)
+SELECT graph_id,
+       CAST(MAX(seq) AS BIGINT) AS last_seq,
+       CAST(ARG_MAX(op, seq) AS INT) AS last_op,
+       COUNT(*) AS n_writes
+FROM writes GROUP BY graph_id
+""",
+}

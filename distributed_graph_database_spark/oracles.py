@@ -13,7 +13,7 @@ derived graph's diameter (2) and the fixture diameters (≤ 4).
 
 from __future__ import annotations
 
-from . import fixtures, relational
+from . import fixtures, ops, relational
 from .graph.derive import DERIVED_EDGES_SQL
 
 _GRAPH_CTE = f"""
@@ -82,4 +82,5 @@ SELECT g.graph_id,
 FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
 """,
     **relational.ORACLE_SQL,
+    **ops.ORACLE_SQL,
 }

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import fixtures, relational
+from . import fixtures, ops, relational
 from .graph import derive, traversal
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -72,4 +72,5 @@ QUERIES: dict[str, QueryFn] = {
     "vertex_degree": q_vertex_degree,
     "graph_stats": q_graph_stats,
     **relational.QUERIES,
+    **ops.QUERIES,
 }
