@@ -14,6 +14,7 @@ derived graph's diameter (2) and the fixture diameters (≤ 4).
 from __future__ import annotations
 
 from . import fixtures, ops, relational
+from .sources import matrix
 from .graph.derive import DERIVED_EDGES_SQL
 
 _GRAPH_CTE = f"""
@@ -83,4 +84,5 @@ FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
 """,
     **relational.ORACLE_SQL,
     **ops.ORACLE_SQL,
+    **matrix.ORACLE_SQL,
 }

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import fixtures, ops, relational
+from .sources import matrix
 from .graph import derive, traversal
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -73,4 +74,5 @@ QUERIES: dict[str, QueryFn] = {
     "graph_stats": q_graph_stats,
     **relational.QUERIES,
     **ops.QUERIES,
+    **matrix.QUERIES,
 }
