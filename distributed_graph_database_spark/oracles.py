@@ -14,6 +14,8 @@ derived graph's diameter (2) and the fixture diameters (≤ 4).
 from __future__ import annotations
 
 from . import fixtures, ops, relational
+from .pipeline import dedup as pl_dedup
+from .pipeline import text as pl_text
 from .sources import matrix
 from .graph.derive import DERIVED_EDGES_SQL
 
@@ -85,4 +87,6 @@ FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
     **relational.ORACLE_SQL,
     **ops.ORACLE_SQL,
     **matrix.ORACLE_SQL,
+    **pl_text.ORACLE_SQL,
+    **pl_dedup.ORACLE_SQL,
 }

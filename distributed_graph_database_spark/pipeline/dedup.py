@@ -1,0 +1,263 @@
+"""Deduplication operators over `documents` — exact, MinHash-LSH,
+SimHash, and blocked n-gram Jaccard (BASELINE.json north star).
+
+100 TB design notes (the whole point of each shape):
+- `dedup_exact`: one hash-groupBy. Map-side partial agg means the
+  shuffle carries (hash, min_id, count) partials, never text. The md5
+  key shards uniformly — no skew regardless of document skew.
+- `dedup_near` (MinHash+LSH banding): shingle → H seeded min-hashes →
+  B band keys → explode(B) → groupBy(band). Candidate pairs only form
+  inside a band bucket, so the join is |bucket|²-bounded, never all-
+  pairs; a cartesian product never appears in the plan (tested). The
+  exact-Jaccard verification filter runs only on candidates.
+- `dedup_simhash`: 32-bit simhash from md5 token hashes (md5 so the
+  oracle can recompute it bit-for-bit in DuckDB). Hamming-ball lookups
+  at scale would bucket on simhash prefixes; here we emit the sketch.
+- `dedup_ngram`: the exact baseline, *blocked* by `source` so the
+  quadratic term is per-block (the classic blocking-key trade: at
+  100 TB you block on a cheap partition key, never the full corpus).
+
+All thresholds/seeds are module constants — single source of truth
+interpolated into both the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+# MinHash configuration: H hashes in B bands of R rows (H = B*R).
+MINHASH_BANDS = 8
+MINHASH_ROWS = 2
+MINHASH_H = MINHASH_BANDS * MINHASH_ROWS
+SHINGLE_K = 3          # word 3-grams
+NEAR_JACCARD_T = 0.5   # exact verification threshold on candidates
+NGRAM_JACCARD_T = 0.5  # blocked-exact variant threshold
+
+
+def _norm_tokens() -> F.Column:
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def _shingles(tokens: F.Column) -> F.Column:
+    """Word K-grams as strings; docs shorter than K shingle to their
+    whole token string (so tiny docs still participate)."""
+    n = F.size(tokens)
+    return F.when(
+        n >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_K - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + j) for j in range(SHINGLE_K)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: keep-first (min doc_id) per
+    content hash → (doc_id, n_copies). GroupBy-min instead of the
+    window-keep-first in SURVEY.md:202: same result, one shuffle of
+    tiny partials, no per-group sort."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), F.md5(norm).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')))
+"""
+
+
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): B band keys from H seeded min-hashes.
+    Seeding = xxhash64(shingle, seed_i) — one array traversal per seed,
+    all JVM-side."""
+    tokens = _norm_tokens()
+    sh = _shingles(tokens)
+    with_mh = docs.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
+                )
+                for i in range(MINHASH_H)
+            ]
+        ).alias("mh"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at(F.col("mh"), b * MINHASH_ROWS + r + 1)
+                      for r in range(MINHASH_ROWS)],
+                    F.lit(b),
+                ).alias("band_key"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return with_mh.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified:
+    candidates = pairs sharing any band bucket; output = candidates
+    whose true shingle-Jaccard ≥ NEAR_JACCARD_T →
+    (doc_a, doc_b, jaccard). Precision 1.0 by construction (every
+    emitted pair passed the exact filter); recall < 1 is the LSH
+    trade, hence rows-only oracle + property tests."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = _minhash_bands(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(_shingles(_norm_tokens())).alias("sh")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= NEAR_JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from md5 token hashes: bit b of the
+    sketch = sign of Σ_tokens (±1 by bit b of md5_32(token)). md5 keeps
+    it bit-identical in DuckDB → exact oracle (rare for simhash).
+    Output: (doc_id, simhash)."""
+    tokens = _norm_tokens()
+    h32 = F.transform(
+        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+    votes = [
+        F.aggregate(
+            h32,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(32)
+    ]
+    sim = None
+    for b, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim + bit
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", sim.alias("simhash")
+    )
+
+
+def _oracle_simhash() -> str:
+    votes = ",\n    ".join(
+        "LIST_SUM(LIST_TRANSFORM(h32, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        "THEN 1 ELSE -1 END)) AS v{b}".format(b=b)
+        for b in range(32)
+    )
+    sim = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(regexp_split_to_array(LOWER(TRIM(text)), '\s+'),
+                        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS h32
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+    {votes}
+  FROM tok
+)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM v
+"""
+
+
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: pairs within the same `source`
+    block with distinct-word-set Jaccard ≥ NGRAM_JACCARD_T →
+    (doc_a, doc_b, jaccard). The block key bounds the quadratic term;
+    exact oracle (DuckDB computes the same blocked pairs)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(_norm_tokens()).alias("w")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.w", "b.w"))
+            / F.size(F.array_union("a.w", "b.w")),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_T)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_DEDUP_NGRAM = rf"""
+WITH w AS (
+  SELECT doc_id, source,
+         LIST_DISTINCT(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS w
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(LEN(LIST_INTERSECT(a.w, b.w))
+             / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.w, b.w))) AS DOUBLE), 6) AS jaccard
+FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE LEN(LIST_INTERSECT(a.w, b.w))
+      / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.w, b.w))) AS DOUBLE) >= {NGRAM_JACCARD_T}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_near": dedup_near,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram": dedup_ngram,
+}
+
+# dedup_near: LSH recall < 1 by design → rows-only check.
+ORACLE_SQL = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_simhash": _oracle_simhash(),
+    "dedup_ngram": ORACLE_DEDUP_NGRAM,
+}

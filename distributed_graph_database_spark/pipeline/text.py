@@ -1,0 +1,267 @@
+"""Text-analysis operators over the `documents` table — the
+LLM-training-pipeline surface (BASELINE.json north star; SURVEY.md
+§2.2 extensions). Not present in the reference (its only strings are
+file names); everything here is Spark built-ins — zero UDFs, fully
+whole-stage-codegen'd, and every key has an exact DuckDB oracle.
+
+Cross-engine determinism notes:
+- token split is `\\s+` on trimmed text — same semantics in Java regex
+  (Spark) and RE2 (DuckDB) for ASCII input;
+- ratios are divisions of exact integers → identical doubles;
+- fingerprints use md5 (identical across engines), with the first 8
+  hex chars convertible to an int in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Marker stopwords per language for the n-gram-free lang-ID heuristic.
+# Deterministic and tiny by design — the declared semantic is "argmax
+# of marker-set hits with fixed precedence", not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "zh": ["de", "le", "shi", "zai", "he"],
+}
+LANG_ORDER = list(LANG_MARKERS)  # tie-break precedence
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics → one row per doc.
+
+    All counts are exact ints; avg_token_chars is int/int division.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = _tokens()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))).alias("n_nonspace_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias("n_digits"),
+    ).withColumn(
+        "avg_token_chars",
+        F.col("n_nonspace_chars") / F.col("n_tokens"),
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+       LEN(LIST_DISTINCT(regexp_split_to_array(TRIM(text), '\s+'))) AS n_distinct_tokens,
+       LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS n_nonspace_chars,
+       LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS n_digits,
+       LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g'))
+         / LEN(regexp_split_to_array(TRIM(text), '\s+')) AS avg_token_chars
+FROM documents
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / punct singletons) —
+    the standard cheap token-budget estimator for LLM corpora."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+ORACLE_TEXT_TOKENS = rf"""
+SELECT doc_id,
+       LEN(regexp_split_to_array(TRIM(text), '\s+')) AS ws_tokens,
+       LEN(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens
+FROM documents
+"""
+
+
+def _marker_score(tokens: F.Column, lang: str) -> F.Column:
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(tokens, markers))
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID: score = |distinct marker hits| per
+    language; prediction = argmax with fixed precedence order on ties.
+    Returns the label column too so accuracy is a downstream GROUP BY.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.array_distinct(_tokens())
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_marker_score(t, lg).alias(f"s_{lg}") for lg in LANG_ORDER],
+    )
+    pred = None
+    # precedence chain: first language whose score >= all later ones
+    for i, lg in enumerate(LANG_ORDER):
+        later = LANG_ORDER[i + 1:]
+        cond = None
+        for other in later:
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lg)
+        if pred is None:
+            pred = F.when(cond, branch) if cond is not None else branch
+        else:
+            pred = pred.when(cond, branch) if cond is not None else pred.otherwise(branch)
+    return scored.withColumn("lang_pred", pred).select(
+        "doc_id", "lang", "lang_pred",
+        *[f"s_{lg}" for lg in LANG_ORDER],
+    )
+
+
+def _oracle_lang_id() -> str:
+    score_cols = ",\n       ".join(
+        "LEN(LIST_INTERSECT(toks, ["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        + f"])) AS s_{lg}"
+        for lg in LANG_ORDER
+    )
+    branches = []
+    for i, lg in enumerate(LANG_ORDER):
+        later = LANG_ORDER[i + 1:]
+        if later:
+            cond = " AND ".join(f"s_{lg} >= s_{o}" for o in later)
+            branches.append(f"WHEN {cond} THEN '{lg}'")
+        else:
+            branches.append(f"ELSE '{lg}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         LIST_DISTINCT(regexp_split_to_array(TRIM(text), '\s+')) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM tok
+)
+SELECT doc_id, lang, {case} AS lang_pred,
+       {", ".join(f"s_{lg}" for lg in LANG_ORDER)}
+FROM scored
+"""
+
+
+# Quality thresholds (deterministic ints/ratios; weights sum to 4).
+QUALITY_MIN_CHARS = 100
+QUALITY_MAX_CHARS = 2000
+QUALITY_MIN_AVG_TOKEN = 3.0
+QUALITY_MAX_AVG_TOKEN = 10.0
+QUALITY_MIN_DIVERSITY = 0.3
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score for corpus filtering: length window,
+    token-length window, type-token diversity, stopword presence.
+    score ∈ 0..4 (sum of boolean gates); keep = score >= 3."""
+    t = _tokens()
+    en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_nonspace"),
+        F.size(F.array_intersect(F.array_distinct(t), en)).alias("n_stop"),
+    )
+    g_len = F.col("n_chars").between(QUALITY_MIN_CHARS, QUALITY_MAX_CHARS)
+    avg_tok = F.col("n_nonspace") / F.col("n_tokens")
+    g_tok = (avg_tok >= QUALITY_MIN_AVG_TOKEN) & (avg_tok <= QUALITY_MAX_AVG_TOKEN)
+    g_div = (F.col("n_distinct") / F.col("n_tokens")) >= QUALITY_MIN_DIVERSITY
+    g_stop = F.col("n_stop") >= 1
+    score = (
+        g_len.cast("int") + g_tok.cast("int") + g_div.cast("int") + g_stop.cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 3).alias("keep"),
+    )
+
+
+def _oracle_quality() -> str:
+    en = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    return rf"""
+WITH b AS (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+         LEN(LIST_DISTINCT(regexp_split_to_array(TRIM(text), '\s+'))) AS n_distinct,
+         LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS n_nonspace,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(regexp_split_to_array(TRIM(text), '\s+')),
+                            [{en}])) AS n_stop
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(n_chars BETWEEN {QUALITY_MIN_CHARS} AND {QUALITY_MAX_CHARS} AS INT)
+       + CAST(n_nonspace / n_tokens >= {QUALITY_MIN_AVG_TOKEN}
+              AND n_nonspace / n_tokens <= {QUALITY_MAX_AVG_TOKEN} AS INT)
+       + CAST(n_distinct / CAST(n_tokens AS DOUBLE) >= {QUALITY_MIN_DIVERSITY} AS INT)
+       + CAST(n_stop >= 1 AS INT) AS quality_score
+  FROM b
+)
+SELECT doc_id, quality_score, quality_score >= 3 AS keep FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowered
+    text (the exact-dedup key), plus a 32-bit int fingerprint from the
+    first 8 hex chars (the cheap shard/bucket key). md5 is identical
+    across engines, so this is fully oracle-checkable."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = F.md5(norm)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint").alias("fingerprint32"),
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = r"""
+WITH n AS (
+  SELECT doc_id,
+         md5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       CAST(('0x' || substr(fingerprint, 1, 8)) AS UBIGINT) AS fingerprint32
+FROM n
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_tokens": text_tokens,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE_SQL = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_tokens": ORACLE_TEXT_TOKENS,
+    "text_lang_id": _oracle_lang_id(),
+    "text_quality": _oracle_quality(),
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+}

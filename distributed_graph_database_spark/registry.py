@@ -13,6 +13,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import fixtures, ops, relational
+from .pipeline import dedup as pl_dedup
+from .pipeline import text as pl_text
 from .sources import matrix
 from .graph import derive, traversal
 
@@ -75,4 +77,6 @@ QUERIES: dict[str, QueryFn] = {
     **relational.QUERIES,
     **ops.QUERIES,
     **matrix.QUERIES,
+    **pl_text.QUERIES,
+    **pl_dedup.QUERIES,
 }
