@@ -15,6 +15,9 @@ from __future__ import annotations
 
 from . import fixtures, ops, relational
 from .pipeline import dedup as pl_dedup
+from .pipeline import events as pl_events
+from .pipeline import multimodal as pl_mm
+from .pipeline import similarity as pl_sim
 from .pipeline import text as pl_text
 from .sources import matrix
 from .graph.derive import DERIVED_EDGES_SQL
@@ -89,4 +92,7 @@ FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
     **matrix.ORACLE_SQL,
     **pl_text.ORACLE_SQL,
     **pl_dedup.ORACLE_SQL,
+    **pl_sim.ORACLE_SQL,
+    **pl_events.ORACLE_SQL,
+    **pl_mm.ORACLE_SQL,
 }

@@ -1,0 +1,129 @@
+"""Event-stream analytics over `events` — batch contract versions.
+
+- `events_tumbling`: 1-hour tumbling-window counts/sums per event
+  type. Batch uses `window(ts, '1 hour')` (identical bucketing to
+  `date_trunc('hour')` for aligned windows, which is what the oracle
+  uses); the streaming twin in streaming/events_stream.py adds
+  `withWatermark` and is smoke-checked against this batch output.
+- `events_sessionize`: 30-minute-gap sessionization per user: a lag
+  diff marks session starts, a running sum numbers sessions, then one
+  aggregate per session. Pure window algebra — the classic batch
+  sessionize; the streaming twin uses `session_window`.
+
+Value columns use the integer-cents encoding (see relational.py) so
+sums hash identically across engines.
+
+Scale: both queries shuffle once by their natural key (window/user) —
+at 100 TB the sessionize window partitions by user_id, which is
+high-cardinality and unskewed; AQE handles any hot user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+SESSION_GAP_MIN = 30
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling rollup → (hour, event_type, n_events,
+    sum_value_cents, n_users)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+            "n_users",
+        )
+    )
+
+
+ORACLE_EVENTS_TUMBLING = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (gap > SESSION_GAP_MIN minutes ⇒
+    new session) → (user_id, session_start, session_end, n_events,
+    sum_value_cents)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order)
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    numbered = with_flag.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").cast("string").alias("session_start"),
+            F.max("ts").cast("string").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+        .select(
+            "user_id", "session_no", "session_start", "session_end",
+            "n_events", "sum_value_cents",
+        )
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = f"""
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER w IS NULL
+                OR EPOCH(ts) - LAG(EPOCH(ts)) OVER w > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+n AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(MIN(ts) AS VARCHAR) AS session_start,
+       CAST(MAX(ts) AS VARCHAR) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM n GROUP BY user_id, session_no
+"""
+
+
+QUERIES = {
+    "events_tumbling": events_tumbling,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLE_SQL = {
+    "events_tumbling": ORACLE_EVENTS_TUMBLING,
+    "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+}

@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import fixtures, ops, relational
 from .pipeline import dedup as pl_dedup
+from .pipeline import events as pl_events
+from .pipeline import multimodal as pl_mm
+from .pipeline import similarity as pl_sim
 from .pipeline import text as pl_text
 from .sources import matrix
 from .graph import derive, traversal
@@ -79,4 +82,7 @@ QUERIES: dict[str, QueryFn] = {
     **matrix.QUERIES,
     **pl_text.QUERIES,
     **pl_dedup.QUERIES,
+    **pl_sim.QUERIES,
+    **pl_events.QUERIES,
+    **pl_mm.QUERIES,
 }

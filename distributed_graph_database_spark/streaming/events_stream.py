@@ -1,0 +1,93 @@
+"""Structured-Streaming twins of the batch events queries
+(SURVEY.md §7.1 P6: batch versions carry the correctness contract —
+oracle-checked in pipeline/events.py — streaming twins are smoke-
+checked against the batch output with an availableNow file source).
+
+Late-data semantics: `withWatermark(ts, WATERMARK)` bounds state;
+with availableNow over a static directory no row is later than the
+watermark at end-of-stream, so final counts equal the batch rollup —
+which is exactly what the smoke test asserts.
+
+Scale: the tumbling agg keeps one state row per (window, event_type);
+session_window state is per (user, open session) and is evicted once
+the watermark passes session end + gap. Both are the canonical
+bounded-state shapes for 100 TB/day streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.events import SESSION_GAP_MIN
+
+WATERMARK = "2 hours"
+
+
+def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet. The
+    static read supplies the schema (file sources require one); the
+    nanos→timestamp normalization mirrors catalog.table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def tumbling_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming twin of events_tumbling (no countDistinct — not
+    supported in streaming aggs; the batch contract keeps it)."""
+    ev = _events_stream(spark, src_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def sessionize_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming twin of events_sessionize via the native
+    session_window (gap-merged windows; batch's lag+cumsum is the
+    same partition semantics expressed without streaming state)."""
+    ev = _events_stream(spark, src_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, name: str) -> DataFrame:
+    """Drain the stream with trigger=availableNow into a memory sink
+    and return the materialized result table (complete output mode:
+    every window's final row)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

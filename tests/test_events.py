@@ -1,0 +1,73 @@
+"""Events: batch↔streaming equivalence smoke (the batch versions are
+the oracle-checked contract; the streaming twins must converge to the
+same final state when the source is drained with availableNow)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_graph_database_spark.pipeline import events
+from distributed_graph_database_spark.streaming import events_stream
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-source streams need a directory; stage the events parquet
+    into one (read-only testdata stays untouched)."""
+    d = tmp_path_factory.mktemp("events_src")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_smoke, events_dir):
+    batch = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in events.events_tumbling(spark, sf_smoke).collect()
+    }
+    streamed = events_stream.run_available_now(
+        events_stream.tumbling_stream(spark, events_dir), "tumbling_smoke"
+    )
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in streamed.collect()
+    }
+    assert got == batch
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, sf_smoke, events_dir):
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value_cents)
+        for r in events.events_sessionize(spark, sf_smoke).collect()
+    }
+    streamed = events_stream.run_available_now(
+        events_stream.sessionize_stream(spark, events_dir), "sessionize_smoke"
+    )
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value_cents)
+        for r in streamed.collect()
+    }
+    assert got == batch
+
+
+def test_sessionize_gap_semantics(spark, sf_oracle):
+    """No intra-session gap exceeds the threshold; consecutive sessions
+    of one user are separated by more than the gap."""
+    sess = events.events_sessionize(spark, sf_oracle)
+    w = sess.select(
+        "user_id",
+        F.col("session_start").cast("timestamp").cast("long").alias("s"),
+        F.col("session_end").cast("timestamp").cast("long").alias("e"),
+    )
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy("s")
+    gaps = (
+        w.withColumn("prev_end", F.lag("e").over(order))
+        .filter(F.col("prev_end").isNotNull())
+        .withColumn("gap", F.col("s") - F.col("prev_end"))
+    )
+    bad = gaps.filter(F.col("gap") <= events.SESSION_GAP_MIN * 60).count()
+    assert bad == 0

@@ -1,0 +1,62 @@
+"""Similarity search: IVF recall/containment properties and plan
+shape. sim_topk's exact values are oracle-checked in
+test_oracle_parity.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_graph_database_spark.pipeline import similarity
+
+
+def test_sim_topk_shape(spark, sf_oracle):
+    rows = similarity.sim_topk(spark, sf_oracle).collect()
+    assert len(rows) == similarity.N_QUERIES * similarity.TOP_K
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for q, rs in per_q.items():
+        rs.sort()
+        cosines = [c for _, c in rs]
+        assert cosines == sorted(cosines, reverse=True), (q, cosines)
+        assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_ivf_results_are_true_cosines_with_fair_recall(spark, sf_oracle):
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.sim_topk(spark, sf_oracle).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.sim_topk_ivf(spark, sf_oracle).collect()
+    }
+    # every IVF hit that the exact top-k also contains reports the
+    # identical cosine (IVF approximates the candidate set, never the
+    # metric)
+    for pair, c in approx.items():
+        if pair in exact:
+            assert abs(c - exact[pair]) < 1e-9
+    # recall floor: uniform random embeddings are IVF's worst case
+    # (no cluster structure); probing NPROBE/CELLS = 1/4 of the corpus
+    # must still beat blind 1/4 sampling.
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, recall
+
+
+def test_ivf_scans_fraction_of_corpus(spark, sf_oracle):
+    """The probed candidate set is a strict subset of the corpus —
+    the join is on cell_id, never a full cross product."""
+    plan = (
+        similarity.sim_topk_ivf(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
+
+
+def test_sim_topk_broadcasts_queries(spark, sf_oracle):
+    plan = (
+        similarity.sim_topk(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
