@@ -15,7 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-# graph_id -> (n_vertices, undirected edges stored once with src < dst)
+# graph_id -> (n_vertices, undirected edges stored once with src <= dst;
+# src == dst is a self-loop, stored once)
 FIXTURE_GRAPHS: dict[str, tuple[int, list[tuple[int, int]]]] = {
     "G1": (4, [(1, 2), (1, 4), (2, 3)]),          # 4-node tree, depth 2
     "G2": (2, [(1, 2)]),                           # minimal K2
@@ -23,7 +24,14 @@ FIXTURE_GRAPHS: dict[str, tuple[int, list[tuple[int, int]]]] = {
     "G4": (0, []),                                 # empty graph (n=0)
     "G5": (5, [(1, 2), (1, 3), (1, 4), (3, 5)]),   # tree, mixed leaf depths
     "G6": (2, []),                                 # two isolated vertices
+    # Ours (not in the reference set): self-loop at 1 + pendant edge +
+    # isolated vertex 3 — spec allows loops (Assignment 2.pdf p.2);
+    # pins the single-count loop semantics of symmetrize/vertex_degree.
+    "G8": (3, [(1, 1), (1, 2)]),
 }
+
+# The subset shipped by the reference as G*.txt files.
+REFERENCE_GRAPH_IDS = ("G1", "G2", "G3", "G4", "G5", "G6")
 
 # (seq, op, graph_id) — op: 1 add, 2 modify, 3 dfs, 4 bfs.
 # Routing contract: ops 1,2 -> primary; ops 3,4 -> secondary by seq
@@ -82,6 +90,11 @@ def existing_graph_ids() -> list[str]:
 # --- SQL literal generation (DuckDB side of the differential check) ---
 
 def _values(rows: list[tuple]) -> str:
+    if not rows:
+        # an empty VALUES body is invalid SQL — fail loudly, callers
+        # must handle the empty-relation case themselves
+        raise ValueError("cannot render empty VALUES list")
+
     def lit(v) -> str:
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"

@@ -32,7 +32,8 @@ DERIVED_EDGES_SQL = (
 )
 DERIVED_SYM_SQL = (
     f"SELECT src, dst FROM ({DERIVED_EDGES_SQL}) "
-    f"UNION ALL SELECT dst AS src, src AS dst FROM ({DERIVED_EDGES_SQL})"
+    f"UNION ALL SELECT dst AS src, src AS dst FROM ({DERIVED_EDGES_SQL}) "
+    "WHERE src <> dst"  # self-loops once — mirrors symmetrize()
 )
 # Deterministic default start vertex: the order-side vid of the
 # smallest order key (an order vertex gives a 3-level BFS: order ->
@@ -41,9 +42,17 @@ DEFAULT_START_SQL = f"{ORDER_VID_OFFSET} + (SELECT MIN(o_orderkey) FROM orders)"
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
-    """Undirected expansion: each stored edge yields both directions."""
+    """Undirected expansion: each stored edge yields both directions.
+
+    Self-loops (allowed by the spec, Assignment 2.pdf p.2) are emitted
+    ONCE — the reference's adjacency-row sum sees a loop as a single 1
+    on the diagonal, so reversing (v,v) would double-count degree and
+    duplicate traversal rows.
+    """
     return edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
     )
 
 
@@ -72,4 +81,8 @@ def derived_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def default_start(spark: SparkSession, sf_dir: str) -> int:
     """Scalar action — one aggregate, not a driver-side loop."""
     row = table(spark, sf_dir, "orders").agg(F.min("o_orderkey")).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"orders table at {sf_dir!r} is empty — no default start vertex"
+        )
     return ORDER_VID_OFFSET + int(row[0])

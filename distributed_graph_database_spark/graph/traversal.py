@@ -35,7 +35,15 @@ from pyspark.sql import functions as F
 # a frontier can be billions of rows — never unconditionally broadcast.
 BROADCAST_FRONTIER_MAX_ROWS = 5_000_000
 
+# Shared round bound: the Spark loop and the DuckDB recursive-CTE
+# oracle both derive from this one constant (oracles.py interpolates
+# it), so neither side can silently under-explore deep graphs.
 MAX_LEVELS_DEFAULT = 100
+
+# Bounded formatter cap for bfs_order (see bfs_order docstring).
+BFS_ORDER_MAX_VERTICES = 100_000
+
+START_NOT_PRESENT_MSG = "Starting vertex not present in graph"
 
 
 def bfs_levels(
@@ -44,46 +52,67 @@ def bfs_levels(
     start: int,
     max_levels: int = MAX_LEVELS_DEFAULT,
     cache_edges: bool = True,
+    validate: bool = False,
 ) -> DataFrame:
     """Minimum-hop level per reachable vertex → (vid bigint, level int).
 
-    Driver-side loop of DataFrame ops; every round's result is
-    localCheckpoint-ed (eager) so lineage stays O(1) and the round
-    count doubles as the termination check.
+    Driver-side loop of DataFrame ops. Each round's (small) frontier is
+    localCheckpoint-ed once; the cumulative visited set is kept as the
+    *union of per-round checkpointed frames* rather than re-
+    materialized every round — re-checkpointing the cumulative set is
+    O(V·D) copy work at scale (the round-1 shape), whereas the frame
+    union only ever checkpoints each vertex once. The anti-join probe
+    sees a union of ≤ diameter tiny checkpointed plans, which Catalyst
+    collapses fine for any realistic diameter.
+
+    validate=True enforces the reference's R10 bounds check
+    (secondary_server.c:187-188): unknown start ⇒ ValueError with the
+    reference's message.
     """
+    if validate and not _start_in_graph(edges_sym, start):
+        raise ValueError(START_NOT_PRESENT_MSG)
+
     if cache_edges:
         edges_sym = edges_sym.persist()
+    try:
+        root = spark.createDataFrame([(start, 0)], "vid bigint, level int")
+        frames = [root.localCheckpoint(eager=True)]
+        visited = frames[0]
+        frontier = visited.select("vid")
+        frontier_rows = 1
 
-    visited = spark.createDataFrame([(start, 0)], "vid bigint, level int")
-    visited = visited.localCheckpoint(eager=True)
-    frontier = visited.select("vid")
-    frontier_rows = 1
+        level = 0
+        while level < max_levels:
+            level += 1
+            probe = (
+                F.broadcast(frontier)
+                if frontier_rows <= BROADCAST_FRONTIER_MAX_ROWS
+                else frontier
+            )
+            nxt = (
+                probe.join(edges_sym, probe.vid == edges_sym.src)
+                .select(F.col("dst").alias("vid"))
+                .distinct()
+                .join(visited, "vid", "left_anti")
+                .withColumn("level", F.lit(level).cast("int"))
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            frontier_rows = nxt.count()
+            if frontier_rows == 0:
+                break
+            frames.append(nxt)
+            visited = frames[0]
+            for f in frames[1:]:
+                visited = visited.unionByName(f)
+            frontier = nxt.select("vid")
+        return visited
+    finally:
+        if cache_edges:
+            edges_sym.unpersist()
 
-    level = 0
-    while level < max_levels:
-        level += 1
-        probe = (
-            F.broadcast(frontier)
-            if frontier_rows <= BROADCAST_FRONTIER_MAX_ROWS
-            else frontier
-        )
-        nxt = (
-            probe.join(edges_sym, probe.vid == edges_sym.src)
-            .select(F.col("dst").alias("vid"))
-            .distinct()
-            .join(visited, "vid", "left_anti")
-            .withColumn("level", F.lit(level).cast("int"))
-        )
-        nxt = nxt.localCheckpoint(eager=True)
-        frontier_rows = nxt.count()
-        if frontier_rows == 0:
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("vid")
 
-    if cache_edges:
-        edges_sym.unpersist()
-    return visited
+def _start_in_graph(edges_sym: DataFrame, start: int) -> bool:
+    return not edges_sym.filter(F.col("src") == F.lit(start)).isEmpty()
 
 
 def reachable_vertices(
@@ -97,10 +126,20 @@ def bfs_order(spark: SparkSession, edges_sym: DataFrame, start: int, **kw) -> Da
     """R5+R9: traversal output as one space-separated string, canonical
     order (level, vid). The reference's formatter (secondary_server.c:
     223-226) corrupted 2-digit ids — ours is correct for any id
-    (SURVEY.md §4.3). array_sort over collected structs keeps the
-    result deterministic regardless of partitioning.
+    (SURVEY.md §4.3).
+
+    Explicitly BOUNDED presentation op: the aggregate runs over the
+    first BFS_ORDER_MAX_VERTICES rows in (level, vid) order, taken via
+    orderBy+limit (TakeOrderedAndProject: per-partition heaps, driver
+    merges ≤ cap rows — no single-task global collect of an unbounded
+    set, which was the round-1 scale hazard). The oracle applies the
+    identical LIMIT, so results match at every sf.
     """
-    lv = bfs_levels(spark, edges_sym, start, **kw)
+    lv = (
+        bfs_levels(spark, edges_sym, start, **kw)
+        .orderBy("level", "vid")
+        .limit(BFS_ORDER_MAX_VERTICES)
+    )
     return lv.agg(
         F.array_join(
             F.transform(
@@ -163,8 +202,11 @@ def neighbors_1hop(edges_sym: DataFrame, start: int) -> DataFrame:
 def vertex_degree(edges_sym: DataFrame) -> DataFrame:
     """Degree per vertex = adjacency-row sum → (vid, degree).
 
-    Self-loops count once here (the symmetrized view stores a loop
-    twice only if stored twice upstream; our stores keep one copy).
+    Self-loops count once (symmetrize() emits a loop once — it skips
+    the reverse copy for src==dst — matching the reference's matrix
+    row-sum, which sees one diagonal 1). Isolated vertices have no
+    edge row and therefore no output row; callers needing degree-0
+    rows left-join against a vertices frame with coalesce(degree, 0).
     """
     return edges_sym.groupBy(F.col("src").alias("vid")).agg(
         F.count(F.lit(1)).alias("degree")

@@ -5,10 +5,12 @@ here on DuckDB over the same parquet views, then compares row count +
 schema + order-insensitive value hash. Keys absent here get a weaker
 rows-only check (reserved for genuinely approximate / non-SQL ops).
 
-The graph oracles rebuild the pinned derivation (graph/derive.py) and
-re-express the driver-side BFS loop as a bounded recursive CTE with
-min-level semantics; the bound (level < 16) only has to exceed the
-derived graph's diameter (2) and the fixture diameters (≤ 4).
+The graph oracles rebuild the pinned derivation and the BFS loop as a
+bounded recursive CTE with min-level semantics. Every constant —
+edge derivation, symmetrization, start vertex, round bound, bfs_order
+cap — is interpolated from the SAME module constants the Spark code
+uses (graph/derive.py, graph/traversal.py), so the two sides cannot
+silently drift.
 """
 
 from __future__ import annotations
@@ -20,18 +22,18 @@ from .pipeline import multimodal as pl_mm
 from .pipeline import similarity as pl_sim
 from .pipeline import text as pl_text
 from .sources import matrix
-from .graph.derive import DERIVED_EDGES_SQL
+from .graph.derive import DEFAULT_START_SQL, DERIVED_EDGES_SQL, DERIVED_SYM_SQL
+from .graph.traversal import BFS_ORDER_MAX_VERTICES, MAX_LEVELS_DEFAULT
 
 _GRAPH_CTE = f"""
-e AS ({DERIVED_EDGES_SQL}),
-sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
-start AS (SELECT 100000 + MIN(o_orderkey) AS vid FROM orders),
+sym AS ({DERIVED_SYM_SQL}),
+start AS (SELECT {DEFAULT_START_SQL} AS vid),
 walk(vid, level) AS (
     SELECT vid, 0 FROM start
     UNION
     SELECT s.dst, w.level + 1
     FROM walk w JOIN sym s ON s.src = w.vid
-    WHERE w.level < 16
+    WHERE w.level < {MAX_LEVELS_DEFAULT}
 ),
 lvl AS (SELECT vid, MIN(level) AS level FROM walk GROUP BY vid)
 """
@@ -52,8 +54,10 @@ WITH RECURSIVE {_GRAPH_CTE}
 SELECT CAST(vid AS BIGINT) AS vid, CAST(level AS INT) AS level FROM lvl
 """,
     "bfs_order": f"""
-WITH RECURSIVE {_GRAPH_CTE}
-SELECT string_agg(CAST(vid AS VARCHAR), ' ' ORDER BY level, vid) AS bfs_order FROM lvl
+WITH RECURSIVE {_GRAPH_CTE},
+capped AS (SELECT vid, level FROM lvl
+           ORDER BY level, vid LIMIT {BFS_ORDER_MAX_VERTICES})
+SELECT string_agg(CAST(vid AS VARCHAR), ' ' ORDER BY level, vid) AS bfs_order FROM capped
 """,
     "dfs_leaves": f"""
 WITH RECURSIVE {_TREE_CTE}
@@ -66,14 +70,12 @@ WITH RECURSIVE {_GRAPH_CTE}
 SELECT CAST(vid AS BIGINT) AS vid FROM lvl
 """,
     "neighbors_1hop": f"""
-WITH e AS ({DERIVED_EDGES_SQL}),
-sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
-start AS (SELECT 100000 + MIN(o_orderkey) AS vid FROM orders)
+WITH sym AS ({DERIVED_SYM_SQL}),
+start AS (SELECT {DEFAULT_START_SQL} AS vid)
 SELECT DISTINCT CAST(s.dst AS BIGINT) AS vid FROM sym s, start WHERE s.src = start.vid
 """,
     "vertex_degree": f"""
-WITH e AS ({DERIVED_EDGES_SQL}),
-sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e)
+WITH sym AS ({DERIVED_SYM_SQL})
 SELECT CAST(src AS BIGINT) AS vid, COUNT(*) AS degree FROM sym GROUP BY src
 """,
     "graph_stats": f"""

@@ -19,7 +19,8 @@ def test_parse_reference_fixture_files(spark):
     got: dict[str, set] = {}
     for r in edges:
         got.setdefault(r.graph_id, set()).add((r.src, r.dst))
-    want = {g: set(e) for g, (_, e) in fixtures.FIXTURE_GRAPHS.items() if e}
+    want = {g: set(e) for g, (_, e) in fixtures.FIXTURE_GRAPHS.items()
+            if e and g in fixtures.REFERENCE_GRAPH_IDS}
     assert got == want
 
 
@@ -48,7 +49,8 @@ def test_matrix_text_roundtrip_is_identity(spark, tmp_path):
 
 def test_matrix_files_byte_identical_to_reference():
     """Our serializer writes the reference's exact file format."""
-    for gid, (n, edges) in fixtures.FIXTURE_GRAPHS.items():
+    for gid in fixtures.REFERENCE_GRAPH_IDS:
+        n, edges = fixtures.FIXTURE_GRAPHS[gid]
         with open(f"/root/reference/{gid}.txt") as f:
             ref = f.read()
         ours = matrix.matrix_text(n, edges)

@@ -31,6 +31,7 @@ BFS_GOLDEN = {
     ("G5", 1): {(1, 0), (2, 1), (3, 1), (4, 1), (5, 2)},
     ("G5", 5): {(5, 0), (3, 1), (1, 2), (2, 3), (4, 3)},
     ("G6", 1): {(1, 0)},
+    ("G8", 1): {(1, 0), (2, 1)},   # self-loop must not revisit 1
 }
 
 BFS_ORDER_GOLDEN = {
@@ -42,6 +43,7 @@ BFS_ORDER_GOLDEN = {
     ("G5", 1): "1 2 3 4 5",
     ("G5", 5): "5 3 1 2 4",
     ("G6", 1): "1",
+    ("G8", 1): "1 2",
 }
 
 DFS_LEAVES_GOLDEN = {
@@ -53,6 +55,7 @@ DFS_LEAVES_GOLDEN = {
     ("G5", 1): {2, 4, 5},
     ("G5", 5): {2, 4},
     ("G6", 1): {1},
+    ("G8", 1): {2},
 }
 
 REACHABLE_GOLDEN = {
@@ -64,6 +67,7 @@ REACHABLE_GOLDEN = {
     ("G5", 1): {1, 2, 3, 4, 5},
     ("G5", 5): {1, 2, 3, 4, 5},
     ("G6", 1): {1},
+    ("G8", 1): {1, 2},
 }
 
 
@@ -115,6 +119,28 @@ def test_start_validation_empty_graph(spark):
     assert traversal.validate_start(g1, 1) is True
 
 
+def test_bfs_validate_rejects_unknown_start(spark):
+    """R10 wired into the traversal entry point: bogus start raises
+    the reference's error string (secondary_server.c:187-188)."""
+    edges = graph_edges_sym(spark, "G1")
+    with pytest.raises(ValueError, match="Starting vertex not present"):
+        traversal.bfs_levels(spark, edges, 99, validate=True)
+    # valid start with validate on still works
+    got = {(r.vid, r.level)
+           for r in traversal.bfs_levels(spark, edges, 1, validate=True).collect()}
+    assert got == BFS_GOLDEN[("G1", 1)]
+
+
+def test_bfs_order_plan_is_bounded(spark):
+    """The formatter aggregates over orderBy+limit (per-partition
+    heaps), not an unbounded single-task collect (VERDICT r1 #2)."""
+    plan = (
+        traversal.bfs_order(spark, graph_edges_sym(spark, "G1"), 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_vertex_degree_goldens(spark):
     got = {
         r.vid: r.degree
@@ -126,6 +152,13 @@ def test_vertex_degree_goldens(spark):
         for r in traversal.vertex_degree(graph_edges_sym(spark, "G5")).collect()
     }
     assert got5 == {1: 3, 2: 1, 3: 2, 4: 1, 5: 1}
+    # G8: the self-loop at 1 counts ONCE (matrix diagonal row-sum
+    # semantics); isolated vertex 3 has no row.
+    got8 = {
+        r.vid: r.degree
+        for r in traversal.vertex_degree(graph_edges_sym(spark, "G8")).collect()
+    }
+    assert got8 == {1: 2, 2: 1}
 
 
 def test_graph_stats_goldens(spark):
@@ -147,4 +180,5 @@ def test_graph_stats_goldens(spark):
         "G4": (0, 0),
         "G5": (5, 4),
         "G6": (2, 0),
+        "G8": (3, 2),
     }
