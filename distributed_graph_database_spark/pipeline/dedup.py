@@ -81,15 +81,30 @@ GROUP BY md5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')))
 def _minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_key): B band keys from H seeded min-hashes.
     Seeding = xxhash64(shingle, seed_i) — one array traversal per seed,
-    all JVM-side."""
+    all JVM-side.
+
+    The shingle array is materialized behind its own projection
+    boundary FIRST: inlining the shingle expression into all H min-hash
+    traversals makes the (tokenize→K-gram→concat) subtree re-evaluate H
+    times per row — measured 14× slower at sf0.1 (118 s → 8 s)."""
     tokens = _norm_tokens()
-    sh = _shingles(tokens)
-    with_mh = docs.select(
+    sh_df = docs.select("doc_id", _shingles(tokens).alias("sh"))
+    # Seed folded INTO the hashed string, not passed as a second
+    # xxhash64 argument: inside a PySpark transform lambda, expressions
+    # like xxhash64(s, lit(i)) evaluate identically for different i
+    # (verified empirically; fine at top level and in SQL), which would
+    # silently collapse all H hash functions into one.
+    with_mh = sh_df.select(
         "doc_id",
         F.array(
             *[
                 F.array_min(
-                    F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))
+                    F.transform(
+                        "sh",
+                        lambda s, i=i: F.xxhash64(
+                            F.concat_ws("#", s, F.lit(str(i)))
+                        ),
+                    )
                 )
                 for i in range(MINHASH_H)
             ]
@@ -121,7 +136,9 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted pair passed the exact filter); recall < 1 is the LSH
     trade, hence rows-only oracle + property tests."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    bands = _minhash_bands(docs)
+    # materialize once: both sides of the band self-join (and nothing
+    # else) read this — without it each side recomputes the sketches
+    bands = _minhash_bands(docs).localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -136,9 +153,11 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # candidate sets are small; shingle arrays for verification are
+    # joined twice (a/b side) — checkpoint so they're built once
     sh = docs.select(
         "doc_id", F.array_distinct(_shingles(_norm_tokens())).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
