@@ -80,8 +80,8 @@ GROUP BY md5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')))
 
 def _minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_key): B band keys from H seeded min-hashes.
-    Seeding = xxhash64(shingle, seed_i) — one array traversal per seed,
-    all JVM-side.
+    Seeding = xxhash64 of "<shingle>#<seed_i>" — one array traversal
+    per seed, all JVM-side.
 
     The shingle array is materialized behind its own projection
     boundary FIRST: inlining the shingle expression into all H min-hash
@@ -178,25 +178,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     it bit-identical in DuckDB → exact oracle (rare for simhash).
     Output: (doc_id, simhash)."""
     tokens = _norm_tokens()
-    h32 = F.transform(
-        tokens, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    # Columnar vote shape: explode token hashes to rows, then 32
+    # codegen'd conditional SUMs with map-side partial aggregation —
+    # measured ~2x faster than per-row higher-order aggregates (HOF
+    # lambdas are interpreted per element, never codegen'd), and the
+    # shuffle carries only 32 partial counters per doc. The md5/conv
+    # subtree is evaluated exactly once per token.
+    exploded = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                tokens,
+                lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+            )
+        ).alias("h"),
     )
-    votes = [
-        F.aggregate(
-            h32,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for b in range(32)
-    ]
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
     sim = None
-    for b, v in enumerate(votes):
-        bit = F.when(v > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sim = bit if sim is None else sim + bit
-    return table(spark, sf_dir, "documents").select(
-        "doc_id", sim.alias("simhash")
-    )
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def _oracle_simhash() -> str:
