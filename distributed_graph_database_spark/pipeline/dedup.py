@@ -78,52 +78,46 @@ GROUP BY md5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g')))
 """
 
 
-def _minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key): B band keys from H seeded min-hashes.
-    Seeding = xxhash64 of "<shingle>#<seed_i>" — one array traversal
-    per seed, all JVM-side.
-
-    The shingle array is materialized behind its own projection
-    boundary FIRST: inlining the shingle expression into all H min-hash
-    traversals makes the (tokenize→K-gram→concat) subtree re-evaluate H
-    times per row — measured 14× slower at sf0.1 (118 s → 8 s)."""
-    tokens = _norm_tokens()
-    sh_df = docs.select("doc_id", _shingles(tokens).alias("sh"))
-    # Seed folded INTO the hashed string, not passed as a second
-    # xxhash64 argument: inside a PySpark transform lambda, expressions
-    # like xxhash64(s, lit(i)) evaluate identically for different i
-    # (verified empirically; fine at top level and in SQL), which would
-    # silently collapse all H hash functions into one.
-    with_mh = sh_df.select(
+def _exploded_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): one row per distinct hashed shingle per document —
+    the shared columnar substrate for both the MinHash sketches and
+    the exact verification intersects."""
+    return docs.select(
         "doc_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        "sh",
-                        lambda s, i=i: F.xxhash64(
-                            F.concat_ws("#", s, F.lit(str(i)))
-                        ),
-                    )
-                )
-                for i in range(MINHASH_H)
-            ]
-        ).alias("mh"),
+        F.explode(
+            F.array_distinct(
+                F.transform(_shingles(_norm_tokens()), lambda s: F.xxhash64(s))
+            )
+        ).alias("h"),
+    )
+
+
+def _minhash_bands(ex: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from the exploded shingle-hash table:
+    H seeded min-hashes as codegen'd MIN aggregates (seeded xxhash64
+    works correctly at top level — NOT inside transform lambdas, where
+    different seed literals evaluate identically; hence the columnar
+    shape on top of explode, which also beats H interpreted array
+    traversals per row by ~5x)."""
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(MINHASH_H)
+        ]
     )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    *[F.element_at(F.col("mh"), b * MINHASH_ROWS + r + 1)
-                      for r in range(MINHASH_ROWS)],
+                    *[F.col(f"m{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
                     F.lit(b),
                 ).alias("band_key"),
             )
             for b in range(MINHASH_BANDS)
         ]
     )
-    return with_mh.select("doc_id", F.explode(bands).alias("bk")).select(
+    return mins.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
@@ -134,11 +128,16 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose true shingle-Jaccard ≥ NEAR_JACCARD_T →
     (doc_a, doc_b, jaccard). Precision 1.0 by construction (every
     emitted pair passed the exact filter); recall < 1 is the LSH
-    trade, hence rows-only oracle + property tests."""
+    trade, hence rows-only oracle + property tests.
+
+    One exploded (doc_id, shingle-hash) table feeds both stages: MIN
+    aggregates build the sketches, and the verification |∩| is a
+    candidate-restricted equi-join count on the same table — no
+    per-pair array operations anywhere."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # materialize once: both sides of the band self-join (and nothing
-    # else) read this — without it each side recomputes the sketches
-    bands = _minhash_bands(docs).localCheckpoint(eager=True)
+    ex = _exploded_shingles(docs).localCheckpoint(eager=True)
+
+    bands = _minhash_bands(ex)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -153,23 +152,35 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # candidate sets are small; shingle arrays for verification are
-    # joined twice (a/b side) — checkpoint so they're built once
-    sh = docs.select(
-        "doc_id", F.array_distinct(_shingles(_norm_tokens())).alias("sh")
-    ).localCheckpoint(eager=True)
-    verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+
+    # |∩| for candidates only: route each candidate pair through the
+    # exploded table twice (doc_a side, then doc_b side keyed on the
+    # same shingle hash) and count matches.
+    exa = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    exb = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(exa, "doc_a")
+        .join(exb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter")
+                / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_inter"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= NEAR_JACCARD_T)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
