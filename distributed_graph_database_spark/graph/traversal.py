@@ -135,11 +135,13 @@ def bfs_order(spark: SparkSession, edges_sym: DataFrame, start: int, **kw) -> Da
     set, which was the round-1 scale hazard). The oracle applies the
     identical LIMIT, so results match at every sf.
     """
-    lv = (
-        bfs_levels(spark, edges_sym, start, **kw)
-        .orderBy("level", "vid")
-        .limit(BFS_ORDER_MAX_VERTICES)
-    )
+    return bfs_order_from_levels(bfs_levels(spark, edges_sym, start, **kw))
+
+
+def bfs_order_from_levels(levels: DataFrame) -> DataFrame:
+    """bfs_order over precomputed (vid, level) rows — the formatter
+    half of bfs_order, reusable when levels are already materialized."""
+    lv = levels.orderBy("level", "vid").limit(BFS_ORDER_MAX_VERTICES)
     return lv.agg(
         F.array_join(
             F.transform(
@@ -157,7 +159,10 @@ def bfs_tree(
     """Deterministic traversal tree: (vid, level, parent) with
     parent(v) = min-vid neighbor of v at level(v)-1 (start has none).
     """
-    lv = bfs_levels(spark, edges_sym, start, **kw)
+    return bfs_tree_from_levels(bfs_levels(spark, edges_sym, start, **kw), edges_sym)
+
+
+def bfs_tree_from_levels(lv: DataFrame, edges_sym: DataFrame) -> DataFrame:
     child = lv.alias("c")
     parent = lv.alias("p")
     e = edges_sym.alias("e")
@@ -182,7 +187,13 @@ def dfs_leaves(spark: SparkSession, edges_sym: DataFrame, start: int, **kw) -> D
     vertices that parent no one in the deterministic traversal tree.
     A start with no neighbors is its own terminal (FIXTURES.md G6).
     """
-    tree = bfs_tree(spark, edges_sym, start, **kw)
+    return dfs_leaves_from_levels(
+        bfs_levels(spark, edges_sym, start, **kw), edges_sym
+    )
+
+
+def dfs_leaves_from_levels(lv: DataFrame, edges_sym: DataFrame) -> DataFrame:
+    tree = bfs_tree_from_levels(lv, edges_sym)
     parents = tree.filter(F.col("parent").isNotNull()).select(
         F.col("parent").alias("vid")
     )
