@@ -105,10 +105,86 @@ FROM b
 """
 
 
+# --- frame sampling ---------------------------------------------------------
+
+FRAME_LEN = 32       # bytes per fake "video frame"
+SAMPLE_EVERY = 4     # keep every 4th frame (uniform temporal sampling)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: treat each payload as a frame-packed video
+    (FRAME_LEN-byte frames, last one ragged), emit every SAMPLE_EVERY-th
+    frame's (index, byte offset, byte sum). The 1→N row explosion
+    happens inside the Arrow batch — the real shape of a frame-sampling
+    kernel, where ffmpeg would decode instead of slicing bytes."""
+    for pdf in batches:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        offs: list[int] = []
+        sums: list[int] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = (n + FRAME_LEN - 1) // FRAME_LEN
+            for fi in range(0, n_frames, SAMPLE_EVERY):
+                off = fi * FRAME_LEN
+                doc_ids.append(doc_id)
+                idxs.append(fi)
+                offs.append(off)
+                sums.append(sum(payload[off : off + FRAME_LEN]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_offset": pd.Series(offs, dtype="int32"),
+                "frame_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int, frame_sum bigint"
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: video-frame sampling plumbing → one row per
+    sampled frame (doc_id, frame_idx, frame_offset, frame_sum)."""
+    docs = table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
+# Exact SQL twin: documents.text is ASCII in the testdata (asserted in
+# tests), so byte k of the utf-8 payload is ascii(substr(text, k+1, 1))
+# and the frame byte-sum is a list_sum over that range.
+ORACLE_MM_FRAME_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, text, CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, n,
+         CAST(CEIL(n / {FRAME_LEN}.0) AS INT) AS n_frames
+  FROM b
+),
+s AS (
+  SELECT doc_id, text, n,
+         CAST(UNNEST(range(0, n_frames, {SAMPLE_EVERY})) AS INT) AS frame_idx
+  FROM f
+)
+SELECT doc_id, frame_idx,
+       CAST(frame_idx * {FRAME_LEN} AS INT) AS frame_offset,
+       CAST(list_sum(list_transform(
+              range(frame_idx * {FRAME_LEN} + 1,
+                    LEAST(frame_idx * {FRAME_LEN} + {FRAME_LEN}, n) + 1),
+              i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS frame_sum
+FROM s
+"""
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLE_SQL = {
     "mm_decode_meta": ORACLE_MM_DECODE_META,
+    "mm_frame_sample": ORACLE_MM_FRAME_SAMPLE,
 }

@@ -31,6 +31,8 @@ N_QUERIES = 5       # pinned query set: lowest vec_ids
 TOP_K = 10
 IVF_CELLS = 16      # pinned centroid set: next-lowest vec_ids
 IVF_NPROBE = 4
+DEDUP_PROBES = 2    # dedup_embed: cells each vector is blocked into
+EMBED_COSINE_T = 0.4  # dedup_embed near-dup threshold
 
 
 def _dot(a, b) -> F.Column:
@@ -189,12 +191,99 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the brief's embedding-space
+    dedup method): candidates are pairs sharing any of their
+    DEDUP_PROBES nearest IVF cells; candidates are exact-verified at
+    cosine ≥ EMBED_COSINE_T → (vec_a, vec_b, cosine).
+
+    The cell blocking makes the quadratic term per-cell (Σ|cell|²),
+    never corpus² — same trade as dedup_ngram's source blocking but on
+    a learned/geometric key. Multi-probe (2 cells per vector) recovers
+    most boundary pairs a 1-cell blocking would split. Everything —
+    centroid set, assignment tiebreaks, threshold — is deterministic,
+    so unlike hash-LSH this blocked dedup has an EXACT DuckDB oracle.
+
+    100 TB notes: cell count scales as ~sqrt(corpus) (here pinned 16);
+    the corpus is hash-partitioned by cell id so each pair bucket is
+    one partition's work, and the exploded probe table is 2× corpus —
+    shuffle-bounded, no broadcast of anything corpus-sized.
+    """
+    emb = _embeddings(spark, sf_dir)
+    cells = _cells(spark, sf_dir)
+    blocked = _assign(emb, cells, "v", "cells", DEDUP_PROBES).select(
+        "vec_id", "v", F.explode("cells").alias("cell_id")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm("va") * _norm("vb"))
+        )
+        .filter(F.col("cosine") >= EMBED_COSINE_T)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+ORACLE_DEDUP_EMBED = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cells AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  ORDER BY vec_id LIMIT {IVF_CELLS} OFFSET {N_QUERIES}
+),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, c.cv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                    c.cell_id) AS rn
+  FROM e CROSS JOIN cells c
+),
+blocked AS (SELECT vec_id, v, cell_id FROM scored WHERE rn <= {DEDUP_PROBES}),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         FIRST(a.v) AS va, FIRST(b.v) AS vb
+  FROM blocked a JOIN blocked b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b,
+       ROUND(list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va))
+                  * sqrt(list_dot_product(vb, vb))), 6) AS cosine
+FROM cand
+WHERE list_dot_product(va, vb)
+        / (sqrt(list_dot_product(va, va))
+           * sqrt(list_dot_product(vb, vb))) >= {EMBED_COSINE_T}
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
+    "dedup_embed": dedup_embed,
 }
 
 # sim_topk_ivf: recall < 1 by design → rows-only + recall test.
+# dedup_embed is exact-oracled: its blocking is deterministic algebra.
 ORACLE_SQL = {
     "sim_topk": ORACLE_SIM_TOPK,
+    "dedup_embed": ORACLE_DEDUP_EMBED,
 }

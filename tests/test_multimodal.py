@@ -33,6 +33,37 @@ def test_payload_bytes_match_text_length(spark, sf_smoke):
     assert joined.filter(F.col("n_bytes") != F.col("expect")).count() == 0
 
 
+def test_frame_sample_matches_bytewise_model(spark, sf_smoke):
+    """Every sampled frame's (offset, sum) equals a direct byte-slice
+    model of the payload; sampled indices are exactly the 0-mod-4 ones."""
+    docs = {r.doc_id: r.text.encode("utf-8") for r in
+            table(spark, sf_smoke, "documents").collect()}
+    out = multimodal.mm_frame_sample(spark, sf_smoke).collect()
+    seen: dict[int, set[int]] = {}
+    for r in out:
+        payload = docs[r.doc_id]
+        assert r.frame_idx % multimodal.SAMPLE_EVERY == 0
+        assert r.frame_offset == r.frame_idx * multimodal.FRAME_LEN
+        chunk = payload[r.frame_offset : r.frame_offset + multimodal.FRAME_LEN]
+        assert chunk, (r.doc_id, r.frame_idx)
+        assert r.frame_sum == sum(chunk)
+        seen.setdefault(r.doc_id, set()).add(r.frame_idx)
+    for doc_id, payload in docs.items():
+        n_frames = (len(payload) + multimodal.FRAME_LEN - 1) // multimodal.FRAME_LEN
+        expect = set(range(0, n_frames, multimodal.SAMPLE_EVERY))
+        assert seen.get(doc_id, set()) == expect, doc_id
+
+
+def test_documents_are_ascii(spark, sf_oracle):
+    """The frame-sample oracle equates byte k with ascii(substr(text,k+1,1)),
+    which holds only for pure-ASCII text — assert that testdata property."""
+    docs = table(spark, sf_oracle, "documents")
+    non_ascii = docs.filter(
+        F.octet_length(F.encode(F.col("text"), "utf-8")) != F.length("text")
+    ).count()
+    assert non_ascii == 0
+
+
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="codec libraries"):
         multimodal.decode_image_real(b"\x89PNG")

@@ -54,6 +54,46 @@ def test_ivf_scans_fraction_of_corpus(spark, sf_oracle):
     assert "Cartesian" not in plan
 
 
+def test_dedup_embed_pairs_are_true_near_dups_with_fair_recall(spark, sf_smoke):
+    """dedup_embed reports only genuine pairs (cosine ≥ T, exact metric)
+    and its cell blocking recovers a fair share of the true pair set."""
+    import numpy as np
+
+    from distributed_graph_database_spark.catalog import table
+
+    rows = table(spark, sf_smoke, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    truth = {
+        (ids[i], ids[j]): sims[i, j]
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= similarity.EMBED_COSINE_T
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.dedup_embed(spark, sf_smoke).collect()
+    }
+    # precision 1: every reported pair is a true near-dup with the exact cosine
+    for pair, c in got.items():
+        assert pair in truth, pair
+        assert abs(c - truth[pair]) < 1e-5, (pair, c, truth[pair])
+    if truth:
+        recall = len(got) / len(truth)
+        assert recall >= 0.3, (recall, len(got), len(truth))
+
+
+def test_dedup_embed_no_cartesian(spark, sf_oracle):
+    plan = (
+        similarity.dedup_embed(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
+
+
 def test_sim_topk_broadcasts_queries(spark, sf_oracle):
     plan = (
         similarity.sim_topk(spark, sf_oracle)
