@@ -40,8 +40,22 @@ def main() -> int:
 
     queries = entry_mod.queries()
 
-    # Warm up the JVM / parquet footer caches outside any timing.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm up the JVM outside any timing: codegen + shuffle + broadcast
+    # machinery on synthetic data (no real tables touched), so the
+    # first timed query measures the query, not first-use JIT cost.
+    from pyspark.sql import Window, functions as F
+
+    a = spark.range(200_000).withColumn("k", F.pmod("id", F.lit(1000)))
+    b = spark.range(1_000).withColumn("k", F.pmod("id", F.lit(1000)))
+    (
+        a.join(F.broadcast(b), "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("r", F.row_number().over(Window.orderBy(F.desc("n"), "k")))
+        .filter(F.col("r") <= 10)
+        .collect()
+    )
+    a.select("k").distinct().join(b.select("k"), "k", "left_anti").count()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

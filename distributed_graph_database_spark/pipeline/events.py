@@ -118,12 +118,85 @@ FROM n GROUP BY user_id, session_no
 """
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'click' event, the most recent 'view' by
+    the same user at-or-before the click (funnel attribution) →
+    (click_id, user_id, click_ts, view_id, view_ts, lag_seconds).
+
+    Implemented as the LINEAR merge-scan, not a range join: tag both
+    sides, single shuffle on user_id, sort within partition by
+    (ts, views-before-clicks, event_id), then `last(view, ignorenulls)`
+    over the running window carries the newest view forward to each
+    click. Cost is one shuffle + one sort — O(n log n) per user — where
+    a pairwise `v.ts <= c.ts` range join is quadratic per user and is
+    exactly the plan shape that dies at 100 TB. Tie rule (pinned in
+    both engines): a view at the same timestamp as the click counts;
+    among ties, max event_id wins. Clicks with no prior view keep
+    sentinel values (-1 / '') so the output is null-free.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    # views sort before clicks at equal ts => `<=` as-of semantics
+    order = Window.partitionBy("user_id").orderBy(
+        "ts", (F.col("event_type") == "click").cast("int"), "event_id"
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_view = F.col("event_type") == "view"
+    carried = ev.withColumn(
+        "view_id",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(running),
+    ).withColumn(
+        "view_ts",
+        F.last(F.when(is_view, F.col("ts")), ignorenulls=True).over(running),
+    )
+    return (
+        carried.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").cast("string").alias("click_ts"),
+            F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+            F.coalesce(F.col("view_ts").cast("string"), F.lit("")).alias("view_ts"),
+            F.coalesce(
+                F.col("ts").cast("long") - F.col("view_ts").cast("long"), F.lit(-1)
+            ).alias("lag_seconds"),
+        )
+    )
+
+
+# The oracle states the *semantics* (latest view at-or-before, max
+# event_id tiebreak) as a LATERAL top-1 — deliberately a different
+# algorithm than Spark's merge-scan, so parity actually checks the
+# as-of logic rather than mirroring it.
+ORACLE_EVENTS_ASOF_JOIN = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       CAST(c.ts AS VARCHAR) AS click_ts,
+       COALESCE(v.event_id, -1) AS view_id,
+       COALESCE(CAST(v.ts AS VARCHAR), '') AS view_ts,
+       COALESCE(CAST(FLOOR(EPOCH(c.ts)) AS BIGINT)
+                  - CAST(FLOOR(EPOCH(v.ts)) AS BIGINT), -1) AS lag_seconds
+FROM events c
+LEFT JOIN LATERAL (
+  SELECT e.event_id, e.ts
+  FROM events e
+  WHERE e.user_id = c.user_id AND e.event_type = 'view' AND e.ts <= c.ts
+  ORDER BY e.ts DESC, e.event_id DESC
+  LIMIT 1
+) v ON TRUE
+WHERE c.event_type = 'click'
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
 }
 
 ORACLE_SQL = {
     "events_tumbling": ORACLE_EVENTS_TUMBLING,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
+    "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
 }

