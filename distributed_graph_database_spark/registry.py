@@ -58,7 +58,13 @@ def _bfs_levels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     edges, start = _graph_ctx(spark, sf_dir)
-    lv = traversal.bfs_levels(spark, edges, start, cache_edges=False)
+    # validate=True: the reference's R10 bounds check runs at every
+    # query entry (client.c:36-49 semantics) — an absent start vertex
+    # raises the reference's error instead of silently returning
+    # {(start, 0)}.
+    lv = traversal.bfs_levels(
+        spark, edges, start, cache_edges=False, validate=True
+    )
     lv = lv.localCheckpoint(eager=True)
     _BFS_CACHE[key] = lv
     return lv
