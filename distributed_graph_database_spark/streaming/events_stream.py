@@ -16,6 +16,7 @@ bounded-state shapes for 100 TB/day streams.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -78,14 +79,56 @@ def sessionize_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
-def run_available_now(df: DataFrame, name: str) -> DataFrame:
+def user_totals_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState` (the
+    sanctioned arbitrary-state API): per-user running event count and
+    value sum, state carried across micro-batches.
+
+    This is the shape built-in streaming aggs can't express when the
+    per-key update logic grows arbitrary (feature-store updaters,
+    decayed counters, per-entity model state): one state row per user,
+    Arrow-batched updates, update-mode emission of changed keys only.
+    With an availableNow drain of a static directory the final state
+    equals the batch groupBy — which the smoke test asserts.
+
+    Scale: state is (2 longs) per user, hash-partitioned by user_id in
+    the state store; eviction would use event-time timeout (set
+    NoTimeout here because the drain is finite).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, src_dir).select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(pdf["cents"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [s]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value_cents bigint",
+        stateStructType="n bigint, s bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink
-    and return the materialized result table (complete output mode:
-    every window's final row)."""
+    and return the materialized result table (complete mode for agg
+    twins: every window's final row; update mode for the arbitrary-
+    state operator, which emits per-key rows itself)."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -52,6 +52,32 @@ def test_sessionize_stream_matches_batch_sessions(spark, sf_smoke, events_dir):
     assert got == batch
 
 
+def test_stateful_user_totals_matches_batch(spark, sf_smoke, events_dir):
+    """applyInPandasWithState running totals, drained with availableNow,
+    equal the batch per-user aggregate."""
+    from distributed_graph_database_spark.catalog import table
+
+    batch = {
+        (r.user_id): (r.n_events, r.sum_value_cents)
+        for r in table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .collect()
+    }
+    streamed = events_stream.run_available_now(
+        events_stream.user_totals_stream(spark, events_dir),
+        "user_totals_smoke",
+        mode="update",
+    )
+    got = {r.user_id: (r.n_events, r.sum_value_cents) for r in streamed.collect()}
+    assert got == batch
+
+
 def test_sessionize_gap_semantics(spark, sf_oracle):
     """No intra-session gap exceeds the threshold; consecutive sessions
     of one user are separated by more than the gap."""
