@@ -132,6 +132,92 @@ GROUP BY r_name, n_name
 """
 
 
+N_BUCKETS = 8
+
+# Bucketed-table names are derived from the sf dir; the write happens
+# once per (session, sf_dir) — the 100 TB pattern where fact tables
+# are bucketed at ingest and every subsequent key-join is shuffle-free.
+_BUCKETED_READY: set[tuple[str, str]] = set()
+
+
+def _drop_stale_location(spark: SparkSession, name: str) -> None:
+    """A fresh session's in-memory catalog forgets managed tables while
+    their warehouse directories persist, and saveAsTable then fails
+    with LOCATION_ALREADY_EXISTS even in overwrite mode. Remove the
+    orphaned location before (re)creating."""
+    if spark.catalog.tableExists(name):
+        return
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    to, tl = f"bkt_orders{suffix}", f"bkt_lineitem{suffix}"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_READY:
+        _drop_stale_location(spark, to)
+        _drop_stale_location(spark, tl)
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(to)
+        )
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tl)
+        )
+        _BUCKETED_READY.add(key)
+    return to, tl
+
+
+def ql_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located big-big join via bucketing — the scale path for fact
+    ⋈ fact where neither side broadcasts: orders and lineitem are
+    written `bucketBy(N_BUCKETS, orderkey)` + sortBy once (ingest-time
+    cost), then the join reads bucket k ⋈ bucket k directly — the plan
+    has NO shuffle exchange under the sort-merge join (asserted in
+    tests). At 100 TB this is the difference between re-shuffling two
+    fact tables per query and none.
+
+    The merge hint pins sort-merge so the demo isn't converted to a
+    broadcast join at test scale; result = order-status revenue rollup.
+    """
+    to, tl = _bucketed_pair(spark, sf_dir)
+    orders = spark.table(to)
+    li = spark.table(tl)
+    return (
+        orders.hint("merge")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+        )
+    )
+
+
+ORACLE_BUCKETED_JOIN = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')}) AS BIGINT) AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def ql_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_semi / left_anti: customers with vs without an open ('O')
     order. The two branches share one scan each; semi/anti avoid
@@ -404,6 +490,7 @@ QUERIES = {
     "ql_filter": ql_filter,
     "ql_hash_join": ql_hash_join,
     "ql_broadcast_join": ql_broadcast_join,
+    "ql_bucketed_join": ql_bucketed_join,
     "ql_semi_anti_join": ql_semi_anti_join,
     "ql_agg": ql_agg,
     "ql_distinct": ql_distinct,
@@ -422,6 +509,7 @@ ORACLE_SQL = {
     "ql_filter": ORACLE_FILTER,
     "ql_hash_join": ORACLE_HASH_JOIN,
     "ql_broadcast_join": ORACLE_BROADCAST_JOIN,
+    "ql_bucketed_join": ORACLE_BUCKETED_JOIN,
     "ql_semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "ql_agg": ORACLE_AGG,
     "ql_distinct": ORACLE_DISTINCT,

@@ -47,6 +47,18 @@ def test_topk_avoids_global_sort(spark, sf_oracle):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_oracle):
+    """The whole point of bucketing: bucket k joins bucket k directly —
+    no Exchange under the sort-merge join, and the bucketed scans
+    report the bucket count."""
+    plan = _physical_plan(relational.ql_bucketed_join(spark, sf_oracle))
+    join_subtree = plan.split("SortMergeJoin")[1]
+    # exchanges may exist above the join (the groupBy), never below it
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in join_subtree.split("Scan")[0], plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
 def test_semi_anti_use_semi_join_plans(spark, sf_oracle):
     plan = _physical_plan(relational.ql_semi_anti_join(spark, sf_oracle))
     assert "LeftSemi" in plan, plan
