@@ -200,6 +200,66 @@ def dfs_leaves_from_levels(lv: DataFrame, edges_sym: DataFrame) -> DataFrame:
     return tree.select("vid").join(parents, "vid", "left_anti").select("vid")
 
 
+def connected_components(
+    spark: SparkSession,
+    edges_sym: DataFrame,
+    max_rounds: int = MAX_LEVELS_DEFAULT,
+) -> DataFrame:
+    """Connected components via iterative hash-min label propagation →
+    (vid bigint, comp bigint) with comp = min vid of the component.
+
+    Every vertex starts labeled with itself; each round takes the min
+    of its own and its neighbors' labels. Converges in O(diameter)
+    rounds — the whole graph is active every round (unlike BFS's
+    frontier), so this is the engine's heaviest iterative operator:
+    one join + one groupBy-min per round over the full edge set.
+
+    Termination is detected by the (monotonically decreasing) sum of
+    labels: one cheap aggregate action per round instead of a
+    change-count join. Per-round results are localCheckpoint-ed to cut
+    lineage exactly like bfs_levels.
+
+    Scale: at billions of edges the known upgrade is the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") which contracts paths in
+    O(log d) rounds; hash-min is the portable baseline and is what the
+    recursive-CTE oracle can mirror exactly.
+    """
+    edges_sym = edges_sym.persist()
+    try:
+        labels = (
+            edges_sym.select(F.col("src").alias("vid"))
+            .distinct()
+            .withColumn("comp", F.col("vid"))
+            .localCheckpoint(eager=True)
+        )
+        prev_sum = labels.agg(F.sum("comp")).first()[0]
+        for _ in range(max_rounds):
+            nbr_min = (
+                edges_sym.join(labels, edges_sym.dst == labels.vid)
+                .groupBy("src")
+                .agg(F.min("comp").alias("nbr_comp"))
+                .select(F.col("src").alias("vid"), "nbr_comp")
+            )
+            labels = (
+                labels.join(nbr_min, "vid", "left")
+                .select(
+                    "vid",
+                    F.least(
+                        F.col("comp"), F.coalesce("nbr_comp", "comp")
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_sum = labels.agg(F.sum("comp")).first()[0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        return labels
+    finally:
+        edges_sym.unpersist()
+
+
 def neighbors_1hop(edges_sym: DataFrame, start: int) -> DataFrame:
     """Single expansion step (the adjacency row a traversal scans,
     dfs_bfs.h:57,99) → (vid)."""

@@ -78,6 +78,20 @@ SELECT DISTINCT CAST(s.dst AS BIGINT) AS vid FROM sym s, start WHERE s.src = sta
 WITH sym AS ({DERIVED_SYM_SQL})
 SELECT CAST(src AS BIGINT) AS vid, COUNT(*) AS degree FROM sym GROUP BY src
 """,
+    # comp(v) = min vid reachable from v — the same value hash-min
+    # label propagation converges to; the UNION-dedup bounds recursion
+    # at the transitive closure, no explicit level cap needed.
+    "graph_components": f"""
+WITH RECURSIVE sym AS ({DERIVED_SYM_SQL}),
+verts AS (SELECT DISTINCT src AS vid FROM sym),
+walk(vid, lbl) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.vid
+)
+SELECT CAST(vid AS BIGINT) AS vid, CAST(MIN(lbl) AS BIGINT) AS comp
+FROM walk GROUP BY vid
+""",
     "graph_stats": f"""
 WITH fixture_vertices(graph_id, vid) AS (VALUES {fixtures.fixture_vertices_values_sql()}),
 fixture_edges(graph_id, src, dst) AS (VALUES {fixtures.fixture_edges_values_sql()}),

@@ -99,6 +99,11 @@ def q_vertex_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traversal.vertex_degree(edges)
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _ = _graph_ctx(spark, sf_dir)
+    return traversal.connected_components(spark, edges)
+
+
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_ids = spark.createDataFrame(
         [(g,) for g in fixtures.existing_graph_ids()], "graph_id string"
@@ -115,6 +120,7 @@ QUERIES: dict[str, QueryFn] = {
     "reachable_vertices": q_reachable_vertices,
     "neighbors_1hop": q_neighbors_1hop,
     "vertex_degree": q_vertex_degree,
+    "graph_components": q_graph_components,
     "graph_stats": q_graph_stats,
     **relational.QUERIES,
     **ops.QUERIES,

@@ -141,6 +141,39 @@ def test_bfs_order_plan_is_bounded(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.parametrize("gid", sorted(fixtures.FIXTURE_GRAPHS))
+def test_connected_components_match_union_find(spark, gid):
+    """Hash-min label propagation equals a python union-find on every
+    fixture graph (comp = min vid of the component)."""
+    n, edges = fixtures.FIXTURE_GRAPHS[gid]
+    if not edges:
+        return  # empty graph: no vertices with edges, nothing to label
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for s, d in edges:
+        union(s, d)
+    expect = {v: find(v) for v in parent}
+    got = {
+        r.vid: r.comp
+        for r in traversal.connected_components(
+            spark, graph_edges_sym(spark, gid)
+        ).collect()
+    }
+    assert got == expect, (gid, got, expect)
+
+
 def test_vertex_degree_goldens(spark):
     got = {
         r.vid: r.degree
