@@ -16,6 +16,7 @@ silently drift.
 from __future__ import annotations
 
 from . import fixtures, ops, relational
+from .pipeline import clean as pl_clean
 from .pipeline import dedup as pl_dedup
 from .pipeline import events as pl_events
 from .pipeline import multimodal as pl_mm
@@ -107,6 +108,7 @@ FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
     **ops.ORACLE_SQL,
     **matrix.ORACLE_SQL,
     **pl_text.ORACLE_SQL,
+    **pl_clean.ORACLE_SQL,
     **pl_dedup.ORACLE_SQL,
     **pl_sim.ORACLE_SQL,
     **pl_events.ORACLE_SQL,

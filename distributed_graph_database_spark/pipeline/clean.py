@@ -1,0 +1,123 @@
+"""End-to-end corpus cleaning — the composition the individual text/
+dedup operators exist for: one declared key that exact-dedups,
+quality-gates, and language-filters `documents` the way an LLM
+training-data pipeline does before tokenization.
+
+`pipeline_clean_corpus` is the FUSED form of
+text_fingerprint × text_quality × text_lang_id + exact keep-first:
+one scan of `documents` computes every per-doc column (fingerprint,
+quality counts, language scores — all whole-stage-codegen
+expressions shared with the standalone keys via text.py's column
+builders), then a single window shuffle on the fingerprint picks the
+keep-first representative. At 100 TB this one-scan-one-shuffle shape
+is the difference between re-reading the text column four times with
+three joins and touching it once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .text import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    QUALITY_MAX_AVG_TOKEN,
+    QUALITY_MAX_CHARS,
+    QUALITY_MIN_AVG_TOKEN,
+    QUALITY_MIN_CHARS,
+    QUALITY_MIN_DIVERSITY,
+    _marker_score,
+    _tokens,
+    fingerprint_col,
+    lang_pred_col,
+    quality_base_cols,
+    quality_score_col,
+)
+
+KEEP_LANG = "en"
+KEEP_MIN_QUALITY = 3
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept documents after exact dedup (keep-first per fingerprint),
+    quality gating (score >= KEEP_MIN_QUALITY) and language filtering
+    (predicted KEEP_LANG) → (doc_id, fingerprint, quality_score,
+    lang_pred)."""
+    td = F.array_distinct(_tokens())
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint_col().alias("fingerprint"),
+        *quality_base_cols(),
+        *[_marker_score(td, lg).alias(f"s_{lg}") for lg in LANG_ORDER],
+    )
+    scored = base.withColumn("quality_score", quality_score_col()).withColumn(
+        "lang_pred", lang_pred_col()
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("quality_score") >= KEEP_MIN_QUALITY)
+            & (F.col("lang_pred") == KEEP_LANG)
+        )
+        .select("doc_id", "fingerprint", "quality_score", "lang_pred")
+    )
+
+
+def _oracle() -> str:
+    en = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    score_cols = ",\n         ".join(
+        "LEN(LIST_INTERSECT(LIST_DISTINCT(regexp_split_to_array(TRIM(text), '\\s+')), ["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lg])
+        + f"])) AS s_{lg}"
+        for lg in LANG_ORDER
+    )
+    branches = []
+    for i, lg in enumerate(LANG_ORDER):
+        later = LANG_ORDER[i + 1:]
+        if later:
+            cond = " AND ".join(f"s_{lg} >= s_{o}" for o in later)
+            branches.append(f"WHEN {cond} THEN '{lg}'")
+        else:
+            branches.append(f"ELSE '{lg}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return rf"""
+WITH b AS (
+  SELECT doc_id,
+         md5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS fingerprint,
+         LENGTH(text) AS n_chars,
+         LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+         LEN(LIST_DISTINCT(regexp_split_to_array(TRIM(text), '\s+'))) AS n_distinct,
+         LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS n_nonspace,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(regexp_split_to_array(TRIM(text), '\s+')),
+                            [{en}])) AS n_stop,
+         {score_cols}
+  FROM documents
+),
+s AS (
+  SELECT doc_id, fingerprint,
+         CAST(n_chars BETWEEN {QUALITY_MIN_CHARS} AND {QUALITY_MAX_CHARS} AS INT)
+       + CAST(n_nonspace / n_tokens >= {QUALITY_MIN_AVG_TOKEN}
+              AND n_nonspace / n_tokens <= {QUALITY_MAX_AVG_TOKEN} AS INT)
+       + CAST(n_distinct / CAST(n_tokens AS DOUBLE) >= {QUALITY_MIN_DIVERSITY} AS INT)
+       + CAST(n_stop >= 1 AS INT) AS quality_score,
+         {case} AS lang_pred,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, fingerprint, quality_score, lang_pred
+FROM s
+WHERE rn = 1 AND quality_score >= {KEEP_MIN_QUALITY} AND lang_pred = '{KEEP_LANG}'
+"""
+
+
+QUERIES = {
+    "pipeline_clean_corpus": pipeline_clean_corpus,
+}
+
+ORACLE_SQL = {
+    "pipeline_clean_corpus": _oracle(),
+}

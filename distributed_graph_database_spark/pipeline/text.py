@@ -97,6 +97,25 @@ def _marker_score(tokens: F.Column, lang: str) -> F.Column:
     return F.size(F.array_intersect(tokens, markers))
 
 
+def lang_pred_col() -> F.Column:
+    """Argmax-with-precedence over the s_<lang> score columns: the
+    first language (in LANG_ORDER) whose score >= all later ones.
+    Usable on any frame carrying the s_* columns."""
+    pred = None
+    for i, lg in enumerate(LANG_ORDER):
+        later = LANG_ORDER[i + 1:]
+        cond = None
+        for other in later:
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lg)
+        if pred is None:
+            pred = F.when(cond, branch) if cond is not None else branch
+        else:
+            pred = pred.when(cond, branch) if cond is not None else pred.otherwise(branch)
+    return pred
+
+
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID: score = |distinct marker hits| per
     language; prediction = argmax with fixed precedence order on ties.
@@ -109,20 +128,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         *[_marker_score(t, lg).alias(f"s_{lg}") for lg in LANG_ORDER],
     )
-    pred = None
-    # precedence chain: first language whose score >= all later ones
-    for i, lg in enumerate(LANG_ORDER):
-        later = LANG_ORDER[i + 1:]
-        cond = None
-        for other in later:
-            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
-            cond = c if cond is None else (cond & c)
-        branch = F.lit(lg)
-        if pred is None:
-            pred = F.when(cond, branch) if cond is not None else branch
-        else:
-            pred = pred.when(cond, branch) if cond is not None else pred.otherwise(branch)
-    return scored.withColumn("lang_pred", pred).select(
+    return scored.withColumn("lang_pred", lang_pred_col()).select(
         "doc_id", "lang", "lang_pred",
         *[f"s_{lg}" for lg in LANG_ORDER],
     )
@@ -169,28 +175,38 @@ QUALITY_MAX_AVG_TOKEN = 10.0
 QUALITY_MIN_DIVERSITY = 0.3
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score for corpus filtering: length window,
-    token-length window, type-token diversity, stopword presence.
-    score ∈ 0..4 (sum of boolean gates); keep = score >= 3."""
+def quality_base_cols() -> list[F.Column]:
+    """The five surface counts the quality gates read (select these
+    alongside whatever else the caller needs from `documents`)."""
     t = _tokens()
     en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
+    return [
         F.length("text").alias("n_chars"),
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
         F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_nonspace"),
         F.size(F.array_intersect(F.array_distinct(t), en)).alias("n_stop"),
-    )
+    ]
+
+
+def quality_score_col() -> F.Column:
+    """Gate sum ∈ 0..4 over the quality_base_cols() columns."""
     g_len = F.col("n_chars").between(QUALITY_MIN_CHARS, QUALITY_MAX_CHARS)
     avg_tok = F.col("n_nonspace") / F.col("n_tokens")
     g_tok = (avg_tok >= QUALITY_MIN_AVG_TOKEN) & (avg_tok <= QUALITY_MAX_AVG_TOKEN)
     g_div = (F.col("n_distinct") / F.col("n_tokens")) >= QUALITY_MIN_DIVERSITY
     g_stop = F.col("n_stop") >= 1
-    score = (
+    return (
         g_len.cast("int") + g_tok.cast("int") + g_div.cast("int") + g_stop.cast("int")
     )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score for corpus filtering: length window,
+    token-length window, type-token diversity, stopword presence.
+    score ∈ 0..4 (sum of boolean gates); keep = score >= 3."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", *quality_base_cols())
+    score = quality_score_col()
     return docs.select(
         "doc_id",
         score.alias("quality_score"),
@@ -224,13 +240,17 @@ SELECT doc_id, quality_score, quality_score >= 3 AS keep FROM s
 """
 
 
+def fingerprint_col() -> F.Column:
+    """md5 over whitespace-normalized lowered text — the exact-dedup key."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized lowered
     text (the exact-dedup key), plus a 32-bit int fingerprint from the
     first 8 hex chars (the cheap shard/bucket key). md5 is identical
     across engines, so this is fully oracle-checkable."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    fp = F.md5(norm)
+    fp = fingerprint_col()
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         fp.alias("fingerprint"),

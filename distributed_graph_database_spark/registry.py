@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import fixtures, ops, relational
+from .pipeline import clean as pl_clean
 from .pipeline import dedup as pl_dedup
 from .pipeline import events as pl_events
 from .pipeline import multimodal as pl_mm
@@ -126,6 +127,7 @@ QUERIES: dict[str, QueryFn] = {
     **ops.QUERIES,
     **matrix.QUERIES,
     **pl_text.QUERIES,
+    **pl_clean.QUERIES,
     **pl_dedup.QUERIES,
     **pl_sim.QUERIES,
     **pl_events.QUERIES,

@@ -473,6 +473,40 @@ GROUP BY event_type
 """
 
 
+# --- SQL front door ---------------------------------------------------------
+
+# One shared ANSI string executed verbatim by BOTH engines —
+# spark.sql() over temp views and DuckDB over its parquet views — the
+# strongest possible differential check of the SQL surface. Shape is
+# TPC-H Q3 (shipping-priority revenue) adapted to the testdata columns,
+# with integer-cents revenue and a unique orderkey tiebreak so the
+# top-10 is deterministic.
+TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1998-06-01'
+  AND l_shipdate > DATE '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def ql_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point: the engine accepts ANSI SQL text, not just the
+    DataFrame API. Catalyst plans the string exactly like the
+    equivalent DataFrame lineage (pushdown, join reordering, top-k via
+    TakeOrderedAndProject all apply)."""
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q3_SQL)
+
+
 # --- approximate ------------------------------------------------------------
 
 def ql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +534,7 @@ QUERIES = {
     "ql_setops": ql_setops,
     "ql_scalar_funcs": ql_scalar_funcs,
     "ql_json": ql_json,
+    "ql_sql_q3": ql_sql_q3,
     "ql_approx_distinct": ql_approx_distinct,
 }
 
@@ -519,4 +554,5 @@ ORACLE_SQL = {
     "ql_setops": ORACLE_SETOPS,
     "ql_scalar_funcs": ORACLE_SCALAR_FUNCS,
     "ql_json": ORACLE_JSON,
+    "ql_sql_q3": TPCH_Q3_SQL,
 }
