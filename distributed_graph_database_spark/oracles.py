@@ -79,6 +79,12 @@ SELECT DISTINCT CAST(s.dst AS BIGINT) AS vid FROM sym s, start WHERE s.src = sta
 WITH sym AS ({DERIVED_SYM_SQL})
 SELECT CAST(src AS BIGINT) AS vid, COUNT(*) AS degree FROM sym GROUP BY src
 """,
+    "vertex_degree_hist": f"""
+WITH sym AS ({DERIVED_SYM_SQL}),
+deg AS (SELECT src AS vid, COUNT(*) AS degree FROM sym GROUP BY src)
+SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_vertices
+FROM deg GROUP BY degree
+""",
     # comp(v) = min vid reachable from v — the same value hash-min
     # label propagation converges to; the UNION-dedup bounds recursion
     # at the transitive closure, no explicit level cap needed.

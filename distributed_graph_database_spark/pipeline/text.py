@@ -270,8 +270,56 @@ FROM n
 """
 
 
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus length distribution — the quantile profile a
+    pipeline reads before choosing truncation/packing lengths →
+    (source, n_docs, q25/q50/q75/q95 of chars, q50/q95 of ws tokens).
+
+    Exact `percentile` (not approx): Spark and DuckDB both use the
+    classic (1-g)·a + g·b linear interpolation and produce
+    bit-identical doubles (verified; rounded to 6dp as ulp armor).
+    At 100 TB swap in percentile_approx and a rows-only oracle — the
+    scan/groupBy shape is unchanged.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for q in QUANTILES:
+        tag = f"q{int(q * 100)}"
+        aggs.append(
+            F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(f"{tag}_chars")
+        )
+    for q in (0.5, 0.95):
+        tag = f"q{int(q * 100)}"
+        aggs.append(
+            F.round(F.expr(f"percentile(n_tokens, {q})"), 6).alias(f"{tag}_tokens")
+        )
+    return docs.groupBy("source").agg(*aggs)
+
+
+def _oracle_length_quantiles() -> str:
+    cols = ["COUNT(*) AS n_docs"]
+    for q in QUANTILES:
+        cols.append(
+            f"ROUND(quantile_cont(LENGTH(text), {q}), 6) AS q{int(q*100)}_chars"
+        )
+    for q in (0.5, 0.95):
+        cols.append(
+            "ROUND(quantile_cont(LEN(regexp_split_to_array(TRIM(text), '\\s+')), "
+            f"{q}), 6) AS q{int(q*100)}_tokens"
+        )
+    return f"SELECT source, {', '.join(cols)} FROM documents GROUP BY source"
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_length_quantiles": text_length_quantiles,
     "text_tokens": text_tokens,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
@@ -280,6 +328,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "text_stats": ORACLE_TEXT_STATS,
+    "text_length_quantiles": _oracle_length_quantiles(),
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_lang_id": _oracle_lang_id(),
     "text_quality": _oracle_quality(),

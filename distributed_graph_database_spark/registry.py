@@ -100,6 +100,20 @@ def q_vertex_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traversal.vertex_degree(edges)
 
 
+def q_vertex_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution — the first thing any graph analyst plots,
+    and the skew report that decides salting/partitioning strategy at
+    scale: (degree, n_vertices)."""
+    edges, _ = _graph_ctx(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        traversal.vertex_degree(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, _ = _graph_ctx(spark, sf_dir)
     return traversal.connected_components(spark, edges)
@@ -121,6 +135,7 @@ QUERIES: dict[str, QueryFn] = {
     "reachable_vertices": q_reachable_vertices,
     "neighbors_1hop": q_neighbors_1hop,
     "vertex_degree": q_vertex_degree,
+    "vertex_degree_hist": q_vertex_degree_hist,
     "graph_components": q_graph_components,
     "graph_stats": q_graph_stats,
     **relational.QUERIES,

@@ -473,6 +473,46 @@ GROUP BY event_type
 """
 
 
+SALT_BUCKETS = 8
+
+
+def ql_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via explicit salting — the manual technique
+    for when one join key is hot enough that a single reducer drowns
+    (AQE's skew-join split handles sort-merge cases at runtime; salting
+    is the portable, planner-independent form and the only option when
+    the hot side feeds a window or the join is streamed).
+
+    Mechanics: the big side gets a DETERMINISTIC salt (pmod of a
+    per-row unique key — never rand(), which breaks retries/replays);
+    the small side is exploded SALT_BUCKETS ways; the join key becomes
+    (key, salt), spreading each hot key over SALT_BUCKETS reducers.
+    Result is provably identical to the unsalted join — the oracle is
+    the plain GROUP BY join.
+    """
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(SALT_BUCKETS))
+    )
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    return (
+        orders.join(
+            cust,
+            (orders.o_custkey == cust.c_custkey) & (orders.salt == cust.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+    )
+
+
+# Identical to the unsalted hash join — that's the point.
+ORACLE_SALTED_JOIN = ORACLE_HASH_JOIN
+
+
 # --- SQL front door ---------------------------------------------------------
 
 # One shared ANSI string executed verbatim by BOTH engines —
@@ -525,6 +565,7 @@ QUERIES = {
     "ql_hash_join": ql_hash_join,
     "ql_broadcast_join": ql_broadcast_join,
     "ql_bucketed_join": ql_bucketed_join,
+    "ql_salted_join": ql_salted_join,
     "ql_semi_anti_join": ql_semi_anti_join,
     "ql_agg": ql_agg,
     "ql_distinct": ql_distinct,
@@ -545,6 +586,7 @@ ORACLE_SQL = {
     "ql_hash_join": ORACLE_HASH_JOIN,
     "ql_broadcast_join": ORACLE_BROADCAST_JOIN,
     "ql_bucketed_join": ORACLE_BUCKETED_JOIN,
+    "ql_salted_join": ORACLE_SALTED_JOIN,
     "ql_semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "ql_agg": ORACLE_AGG,
     "ql_distinct": ORACLE_DISTINCT,
