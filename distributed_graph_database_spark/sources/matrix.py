@@ -204,12 +204,118 @@ SELECT graph_id, COUNT(*) AS n_edges FROM stored GROUP BY graph_id
 """
 
 
+def graph_export_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 serialize, distributed: edge lists → the reference's matrix
+    text lines (primary_server.c:120-146 as a Spark plan) →
+    (graph_id, line_no, line). line_no 0 is the header line `n`; lines
+    1..n are space-separated 0/1 matrix rows, symmetric, self-loops on
+    the diagonal.
+
+    Shape: vertices ⋈ vertices per graph builds the (row, col) grid,
+    a left join against symmetrized edges marks the 1-cells, and one
+    groupBy(graph_id, row) assembles each line with an ordered
+    array_sort+transform — per-row parallelism, no driver-side matrix
+    assembly (the driver-side `matrix_text` helper exists only to
+    write test fixtures). At scale each matrix row is one aggregation
+    group — a graph's export parallelizes across its rows.
+    """
+    verts = fixtures.fixture_vertices_df(spark)
+    edges = fixtures.fixture_edges_df(spark)
+    sym = edges.unionByName(
+        edges.filter(F.col("src") != F.col("dst")).select(
+            "graph_id", F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    grid = (
+        verts.select("graph_id", F.col("vid").alias("row"))
+        .join(verts.select("graph_id", F.col("vid").alias("col")), "graph_id")
+    )
+    cells = grid.join(
+        sym.select("graph_id", F.col("src").alias("row"), F.col("dst").alias("col"))
+        .withColumn("one", F.lit(1)),
+        ["graph_id", "row", "col"],
+        "left",
+    ).select("graph_id", "row", "col", F.coalesce("one", F.lit(0)).alias("cell"))
+    body = (
+        cells.groupBy("graph_id", F.col("row").alias("line_no"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("col", "cell"))),
+                    lambda s: s.cell.cast("string"),
+                ),
+            ).alias("line")
+        )
+    )
+    header = (
+        verts.groupBy("graph_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "graph_id",
+            F.lit(0).cast("bigint").alias("line_no"),
+            F.col("n").cast("string").alias("line"),
+        )
+    )
+    # empty graph (G4, n=0): no vertices ⇒ no header row from verts —
+    # emit its `0` header from the catalog of graph ids.
+    gids = spark.createDataFrame(
+        [(g,) for g in fixtures.existing_graph_ids()], "graph_id string"
+    )
+    empty_header = (
+        gids.join(verts.select("graph_id").distinct(), "graph_id", "left_anti")
+        .select(
+            "graph_id",
+            F.lit(0).cast("bigint").alias("line_no"),
+            F.lit("0").alias("line"),
+        )
+    )
+    return header.unionByName(empty_header).unionByName(body)
+
+
+ORACLE_GRAPH_EXPORT_MATRIX = f"""
+WITH verts(graph_id, vid) AS (VALUES {fixtures.fixture_vertices_values_sql()}),
+edges(graph_id, src, dst) AS (VALUES {fixtures.fixture_edges_values_sql()}),
+gids(graph_id) AS (VALUES {fixtures.existing_graphs_values_sql()}),
+sym AS (
+  SELECT graph_id, src, dst FROM edges
+  UNION ALL
+  SELECT graph_id, dst, src FROM edges WHERE src <> dst
+),
+grid AS (
+  SELECT r.graph_id, r.vid AS row, c.vid AS col
+  FROM verts r JOIN verts c USING (graph_id)
+),
+cells AS (
+  SELECT g.graph_id, g.row, g.col,
+         CASE WHEN s.src IS NULL THEN 0 ELSE 1 END AS cell
+  FROM grid g
+  LEFT JOIN sym s ON s.graph_id = g.graph_id AND s.src = g.row AND s.dst = g.col
+),
+body AS (
+  SELECT graph_id, CAST(row AS BIGINT) AS line_no,
+         string_agg(CAST(cell AS VARCHAR), ' ' ORDER BY col) AS line
+  FROM cells GROUP BY graph_id, row
+),
+header AS (
+  SELECT g.graph_id, CAST(0 AS BIGINT) AS line_no,
+         CAST(COALESCE(v.n, 0) AS VARCHAR) AS line
+  FROM gids g
+  LEFT JOIN (SELECT graph_id, COUNT(*) AS n FROM verts GROUP BY graph_id) v
+    USING (graph_id)
+)
+SELECT * FROM header UNION ALL SELECT * FROM body
+"""
+
+
 QUERIES = {
     "graph_from_matrix": graph_from_matrix,
     "graph_store_roundtrip": graph_store_roundtrip,
+    "graph_export_matrix": graph_export_matrix,
 }
 
 ORACLE_SQL = {
     "graph_from_matrix": ORACLE_GRAPH_FROM_MATRIX,
     "graph_store_roundtrip": ORACLE_GRAPH_STORE_ROUNDTRIP,
+    "graph_export_matrix": ORACLE_GRAPH_EXPORT_MATRIX,
 }

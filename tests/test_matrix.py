@@ -77,3 +77,15 @@ def test_modify_overwrites_single_partition(spark, sf_oracle):
     # store layout really is one directory per graph partition
     parts = {p for p in os.listdir(matrix.STORE_DIR) if p.startswith("graph_id=")}
     assert "graph_id=G1" in parts and "graph_id=G5" in parts
+
+
+def test_distributed_export_matches_reference_serializer(spark, sf_smoke):
+    """graph_export_matrix (the Spark-side R2 serialize) produces the
+    exact lines of the driver-side reference-format serializer."""
+    got: dict[str, dict[int, str]] = {}
+    for r in matrix.graph_export_matrix(spark, sf_smoke).collect():
+        got.setdefault(r.graph_id, {})[r.line_no] = r.line
+    for gid, (n, edges) in fixtures.FIXTURE_GRAPHS.items():
+        expect = matrix.matrix_text(n, edges).strip("\n").split("\n")
+        lines = [got[gid][i] for i in range(len(got[gid]))]
+        assert lines == expect, (gid, lines, expect)
