@@ -244,8 +244,9 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = (
         _assign(emb, cells, "v", "cells", DEDUP_PROBES, unit=True)
         .select("vec_id", F.col("v").alias("nv"), F.explode("cells").alias("cell_id"))
-        .localCheckpoint(eager=False)  # tiny (2N rows); stops the
-        # self-join from running the assignment subplan twice
+        .localCheckpoint(eager=True)  # tiny (2N rows); eager so the
+        # self-join's two branches both read the materialized copy (a
+        # lazy checkpoint is computed per-branch within the first job)
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     return (

@@ -23,6 +23,9 @@ def get_spark(app_name: str = "distributed-graph-database-spark") -> SparkSessio
     Honors SPARK_GRAFT_CPUS for local core count (driver contract).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle_parts = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -31,7 +34,7 @@ def get_spark(app_name: str = "distributed-graph-database-spark") -> SparkSessio
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         # Arrow batches for any Pandas-UDF path and driver collection.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The testdata events table stores TIMESTAMP(NANOS) parquet,
