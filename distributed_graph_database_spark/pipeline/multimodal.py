@@ -179,12 +179,87 @@ FROM s
 """
 
 
+# --- resize -----------------------------------------------------------------
+
+RESIZE_FACTOR = 4    # keep every 4th byte ("pixel") — fake 4:1 downsample
+
+
+def resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: deterministic stand-in for an image resize —
+    subsample every RESIZE_FACTOR-th payload byte and emit the resized
+    length + checksum alongside the decoded source/target dimensions.
+    A real deployment swaps the byte arithmetic for PIL.thumbnail
+    inside the same batch loop; the Spark-side contract (binary in,
+    typed summary out, N:N row mapping) is identical."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n, first, w, h, _ = _fake_decode(payload)
+            sub = payload[::RESIZE_FACTOR]
+            rows.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    max(1, w // RESIZE_FACTOR),
+                    max(1, h // RESIZE_FACTOR),
+                    len(sub),
+                    sum(sub),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "in_w", "in_h", "out_w", "out_h",
+                "out_bytes", "out_checksum",
+            ],
+        )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, in_w int, in_h int, out_w int, out_h int, "
+    "out_bytes int, out_checksum bigint"
+)
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: resize plumbing → (doc_id, in/out dims, resized
+    byte count + checksum)."""
+    docs = table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(resize_payloads, RESIZE_SCHEMA)
+
+
+ORACLE_MM_RESIZE = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n,
+         CAST(COALESCE(ASCII(SUBSTR(text, 1, 1)), 0) AS INT) AS first_byte
+  FROM documents
+),
+d AS (
+  SELECT doc_id, text, n,
+         CAST(16 + (n % 97) AS INT) AS in_w,
+         CAST(16 + ((n * 31 + first_byte) % 89) AS INT) AS in_h
+  FROM b
+)
+SELECT doc_id, in_w, in_h,
+       CAST(GREATEST(1, in_w // {RESIZE_FACTOR}) AS INT) AS out_w,
+       CAST(GREATEST(1, in_h // {RESIZE_FACTOR}) AS INT) AS out_h,
+       CAST(CEIL(n / {RESIZE_FACTOR}.0) AS INT) AS out_bytes,
+       CAST(list_sum(list_transform(range(1, n + 1, {RESIZE_FACTOR}),
+              i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS out_checksum
+FROM d
+"""
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize": mm_resize,
 }
 
 ORACLE_SQL = {
     "mm_decode_meta": ORACLE_MM_DECODE_META,
     "mm_frame_sample": ORACLE_MM_FRAME_SAMPLE,
+    "mm_resize": ORACLE_MM_RESIZE,
 }
