@@ -114,10 +114,41 @@ WHERE rn = 1 AND quality_score >= {KEEP_MIN_QUALITY} AND lang_pred = '{KEEP_LANG
 """
 
 
+SAMPLE_MOD = 10  # keep 1-in-10
+
+
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-SAMPLE_MOD corpus sample by content-stable
+    hash of doc_id → (doc_id, source, lang). The reproducible
+    subsample every training pipeline needs: never `rand()` (breaks
+    task retries and cross-run comparability) and never `LIMIT`
+    (driver-biased); a hash-mod filter is embarrassingly parallel,
+    pushdown-friendly, and yields the same rows on any cluster layout.
+    md5 keeps it engine-portable for the oracle."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % SAMPLE_MOD
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(bucket == 0)
+        .select("doc_id", "source", "lang")
+    )
+
+
+ORACLE_CORPUS_SAMPLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {SAMPLE_MOD} = 0
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
+    "corpus_sample": corpus_sample,
 }
 
 ORACLE_SQL = {
     "pipeline_clean_corpus": _oracle(),
+    "corpus_sample": ORACLE_CORPUS_SAMPLE,
 }
