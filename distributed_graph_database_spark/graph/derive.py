@@ -26,8 +26,12 @@ from ..catalog import table
 ORDER_VID_OFFSET = 100_000
 
 # DuckDB oracle fragments — MUST stay in lockstep with the DataFrame code.
+# No DISTINCT: o_orderkey is unique (asserted in tests), so every
+# (custkey, offset+orderkey) pair is distinct by construction and a
+# dedup would shuffle the whole orders table for nothing — at 100 TB
+# that's the single most expensive no-op in the plan.
 DERIVED_EDGES_SQL = (
-    "SELECT DISTINCT o_custkey AS src, "
+    "SELECT o_custkey AS src, "
     f"{ORDER_VID_OFFSET} + o_orderkey AS dst FROM orders"
 )
 DERIVED_SYM_SQL = (
@@ -57,12 +61,17 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed-once customer→order edge list (the pinned derivation)."""
+    """Directed-once customer→order edge list (the pinned derivation).
+
+    No `.distinct()`: o_orderkey is a unique key (guarded by a test),
+    so the pairs are distinct by construction and the dedup shuffle
+    would be a full-table no-op.
+    """
     orders = table(spark, sf_dir, "orders")
     return orders.select(
         F.col("o_custkey").cast("bigint").alias("src"),
         (F.lit(ORDER_VID_OFFSET) + F.col("o_orderkey")).cast("bigint").alias("dst"),
-    ).distinct()
+    )
 
 
 def derived_edges_sym(spark: SparkSession, sf_dir: str) -> DataFrame:

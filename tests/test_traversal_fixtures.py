@@ -141,6 +141,15 @@ def test_bfs_order_plan_is_bounded(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_orderkey_unique_guards_no_distinct_derivation(spark, sf_oracle):
+    """derive.derived_edges skips DISTINCT on the strength of
+    o_orderkey uniqueness — assert that property on the testdata."""
+    from distributed_graph_database_spark.catalog import table
+
+    o = table(spark, sf_oracle, "orders")
+    assert o.count() == o.select("o_orderkey").distinct().count()
+
+
 @pytest.mark.parametrize("gid", sorted(fixtures.FIXTURE_GRAPHS))
 def test_connected_components_match_union_find(spark, gid):
     """Hash-min label propagation equals a python union-find on every
