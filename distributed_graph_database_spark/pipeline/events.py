@@ -134,9 +134,15 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     among ties, max event_id wins. Clicks with no prior view keep
     sentinel values (-1 / '') so the output is null-free.
     """
-    ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "view")
-    )
+    ev = table(spark, sf_dir, "events")
+    return asof_join_frame(ev)
+
+
+def asof_join_frame(ev: DataFrame) -> DataFrame:
+    """The merge-scan core of events_asof_join over any frame with
+    (event_id, ts, user_id, event_type) — split out so property tests
+    can drive it with random event sets."""
+    ev = ev.filter(F.col("event_type").isin("click", "view"))
     # views sort before clicks at equal ts => `<=` as-of semantics
     order = Window.partitionBy("user_id").orderBy(
         "ts", (F.col("event_type") == "click").cast("int"), "event_id"
