@@ -56,6 +56,26 @@ def main() -> int:
         .collect()
     )
     a.select("k").distinct().join(b.select("k"), "k", "left_anti").count()
+    # parquet write+read machinery (footer parsing, vectorized reader)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.range(1000).withColumn("k", F.pmod("id", F.lit(7))).write.mode(
+            "overwrite"
+        ).parquet(f"{td}/warm")
+        spark.read.parquet(f"{td}/warm").groupBy("k").count().collect()
+    # higher-order-function paths (the vector-math kernels)
+    spark.range(50_000).select(
+        F.aggregate(
+            F.zip_with(
+                F.array(*[F.lit(float(i)) for i in range(8)]),
+                F.array(*[F.lit(float(i)) for i in range(8)]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d")
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
