@@ -328,6 +328,69 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+PIVOT_STATUSES = ["O", "F", "P"]
+
+
+def ql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide rollup): order counts per priority × status, status
+    values pinned (never inferred — value inference is a separate scan
+    and nondeterministic column order at scale) →
+    (o_orderpriority, n_O, n_F, n_P)."""
+    orders = table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}")
+            for s in PIVOT_STATUSES
+        ],
+    )
+
+
+ORACLE_PIVOT = f"""
+SELECT o_orderpriority,
+       {", ".join(
+           f"COUNT(*) FILTER (o_orderstatus = '{s}') AS n_{s}"
+           for s in PIVOT_STATUSES
+       )}
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def ql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in
+    one pass (partial aggregation handles each set map-side); NULL
+    slots normalized to 'ALL' like ql_rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents("l_extendedprice")).alias("price_cents"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "price_cents",
+        )
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM({_CENTS_SQL.format(c='l_extendedprice')}) AS BIGINT) AS price_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # --- windows / ordering -----------------------------------------------------
 
 def ql_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,6 +633,8 @@ QUERIES = {
     "ql_agg": ql_agg,
     "ql_distinct": ql_distinct,
     "ql_rollup": ql_rollup,
+    "ql_cube": ql_cube,
+    "ql_pivot": ql_pivot,
     "ql_window_rank": ql_window_rank,
     "ql_topk": ql_topk,
     "ql_setops": ql_setops,
@@ -591,6 +656,8 @@ ORACLE_SQL = {
     "ql_agg": ORACLE_AGG,
     "ql_distinct": ORACLE_DISTINCT,
     "ql_rollup": ORACLE_ROLLUP,
+    "ql_cube": ORACLE_CUBE,
+    "ql_pivot": ORACLE_PIVOT,
     "ql_window_rank": ORACLE_WINDOW_RANK,
     "ql_topk": ORACLE_TOPK,
     "ql_setops": ORACLE_SETOPS,
