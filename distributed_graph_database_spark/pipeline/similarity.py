@@ -1,7 +1,7 @@
 """Similarity search over the `embeddings` table (array<float>, d=64)
 — the ANN surface of the LLM-data-pipeline brief.
 
-Two paths, as the brief prescribes:
+Three paths, as the brief prescribes:
 - `sim_topk` — brute-force cosine top-k: the exact baseline. Query
   set (a handful of pinned vec_ids) is broadcast against the corpus;
   per-query top-k via window row_number. Exact DuckDB oracle (cosine
@@ -13,6 +13,9 @@ Two paths, as the brief prescribes:
   hash-partitioned by cell id so a probe touches NPROBE/C of the data
   instead of all of it. Recall < 1 by design → rows-only oracle +
   recall property test against the exact path.
+- `dedup_embed` — embedding-cosine near-dup pairs: multi-probe IVF
+  cell blocking + exact verification inside the join projection.
+  Deterministic blocking ⇒ exact oracle (unlike hash-LSH).
 
 Everything is JVM-side (`zip_with`/`aggregate` expressions); no UDFs.
 At 100 TB the dot-product kernel would be the one candidate for a
