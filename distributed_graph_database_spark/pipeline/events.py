@@ -195,14 +195,52 @@ WHERE c.event_type = 'click'
 """
 
 
+FUNNEL_WINDOW_S = 30 * 60  # view→click attribution window
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel per user, composed on the as-of join: every
+    click attributed to its latest prior view, counted as converted
+    when the view→click lag is within FUNNEL_WINDOW_S →
+    (user_id, n_clicks, n_attributed, n_converted).
+
+    One more aggregate over the merge-scan — the funnel costs nothing
+    beyond the as-of join's single shuffle (the groupBy re-uses the
+    user_id partitioning)."""
+    asof = events_asof_join(spark, sf_dir)
+    return asof.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum((F.col("view_id") >= 0).cast("bigint")).alias("n_attributed"),
+        F.sum(
+            (
+                (F.col("view_id") >= 0)
+                & (F.col("lag_seconds") <= FUNNEL_WINDOW_S)
+            ).cast("bigint")
+        ).alias("n_converted"),
+    )
+
+
+ORACLE_EVENTS_FUNNEL = f"""
+WITH attributed AS ({ORACLE_EVENTS_ASOF_JOIN})
+SELECT user_id,
+       COUNT(*) AS n_clicks,
+       CAST(SUM(CASE WHEN view_id >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN view_id >= 0 AND lag_seconds <= {FUNNEL_WINDOW_S}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM attributed GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
+    "events_funnel": events_funnel,
 }
 
 ORACLE_SQL = {
     "events_tumbling": ORACLE_EVENTS_TUMBLING,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
 }
