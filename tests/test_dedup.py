@@ -56,6 +56,45 @@ def test_near_dedup_no_cartesian_product(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_df_cap_excludes_hot_shingles(spark):
+    """The intersect-join input must exclude any (source, shingle)
+    with document frequency > NGRAM_DF_CAP — the 100 TB stop-shingle
+    guard. Synthetic corpus: one shingle shared by CAP+6 docs (hot),
+    one unique shingle family per doc (cold)."""
+    n = dedup.NGRAM_DF_CAP + 6
+    docs = spark.createDataFrame(
+        [(i, "src", f"hot hot hot u{i} u{i} u{i}") for i in range(n)],
+        "doc_id long, source string, text string",
+    )
+    capped = dedup._capped_shingles(docs)
+    hot_hash = spark.range(1).select(
+        F.xxhash64(F.lit("hot hot hot"))
+    ).first()[0]
+    # the hot shingle is gone from the join input...
+    assert capped.filter(F.col("h") == hot_hash).count() == 0
+    # ...no surviving (source, h) bucket exceeds the cap...
+    max_df = (
+        capped.groupBy("source", "h").count().agg(F.max("count")).first()[0]
+    )
+    assert max_df <= dedup.NGRAM_DF_CAP
+    # ...and cold shingles all survive (3 per doc: the other 3-grams).
+    assert capped.count() == 3 * n
+
+
+def test_ngram_df_cap_noop_on_testdata(spark, sf_oracle):
+    """Testdata dfs (max 3 at sf0.01) sit far below the cap, so the
+    capped join input equals the uncapped explode — the exact-oracle
+    guarantee for dedup_ngram rests on this."""
+    docs = table(spark, sf_oracle, "documents").select("doc_id", "source", "text")
+    capped = dedup._capped_shingles(docs).count()
+    uncapped = (
+        dedup._hashed_shingle_docs(docs, ["doc_id", "source"])
+        .select(F.explode("sh"))
+        .count()
+    )
+    assert capped == uncapped
+
+
 def test_exact_dedup_counts(spark, sf_oracle):
     out = dedup.dedup_exact(spark, sf_oracle)
     n_docs = table(spark, sf_oracle, "documents").count()

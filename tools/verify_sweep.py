@@ -1,0 +1,46 @@
+"""Fresh-process driver-contract sweep: entry() smoke at sf0.001, then
+every queries() key vs its oracle_sql() at sf0.01 via the same
+canonical compare the round driver uses (tests/oracle_harness)."""
+import importlib, sys, time, traceback
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from pyspark.sql import SparkSession
+
+from oracle_harness import assert_parity
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+m = importlib.import_module("__spark_entry__")
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+rows = m.entry(spark).collect()
+print(f"entry() smoke: {len(rows)} rows", flush=True)
+
+Q, O = m.queries(), m.oracle_sql()
+print(f"{len(Q)} keys, {len(O)} oracles", flush=True)
+fails = []
+for key, fn in Q.items():
+    t0 = time.time()
+    try:
+        df = fn(spark, SF_ORACLE)
+        if key in O:
+            assert_parity(df, O[key], SF_ORACLE, key)
+            status = "parity"
+        else:
+            n = df.count()
+            assert n > 0, "rows-only key returned 0 rows"
+            status = f"rows-only ({n})"
+    except Exception:
+        status = "FAIL"
+        fails.append(key)
+        traceback.print_exc()
+    print(f"  {key}: {status} [{time.time()-t0:.1f}s]", flush=True)
+
+print(f"SWEEP {'FAILED: ' + ','.join(fails) if fails else 'OK'} ({len(Q)} keys)")
+sys.exit(1 if fails else 0)
