@@ -205,59 +205,115 @@ def connected_components(
     edges_sym: DataFrame,
     max_rounds: int = MAX_LEVELS_DEFAULT,
 ) -> DataFrame:
-    """Connected components via iterative hash-min label propagation →
-    (vid bigint, comp bigint) with comp = min vid of the component.
+    """Connected components → (vid bigint, comp bigint) with comp =
+    min vid of the component. See connected_components_with_rounds."""
+    return connected_components_with_rounds(spark, edges_sym, max_rounds)[0]
 
-    Every vertex starts labeled with itself; each round takes the min
-    of its own and its neighbors' labels. Converges in O(diameter)
-    rounds — the whole graph is active every round (unlike BFS's
-    frontier), so this is the engine's heaviest iterative operator:
-    one join + one groupBy-min per round over the full edge set.
 
-    Termination is detected by the (monotonically decreasing) sum of
-    labels: one cheap aggregate action per round instead of a
-    change-count join. Per-round results are localCheckpoint-ed to cut
-    lineage exactly like bfs_levels.
+def _large_star(edge_pairs: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: for every vertex u, point each
+    strictly-larger neighbor at m(u) = min(Γ(u) ∪ {u}). Input/output
+    edges canonical (u > v). Output may carry duplicates — the caller's
+    small-star aggregates/dedups them."""
+    sym = edge_pairs.union(
+        edge_pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    # v > u ≥ m, so outputs stay canonical and are never self-loops.
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
 
-    Scale: at billions of edges the known upgrade is the
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") which contracts paths in
-    O(log d) rounds; hash-min is the portable baseline and is what the
-    recursive-CTE oracle can mirror exactly.
+
+def _small_star(edge_pairs: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star: for every vertex u, point u and all
+    its (smaller, by canonical form) neighbors at m(u) = min(Γ(u) ∪
+    {u}). Input canonical (u > v) ⇒ m = min neighbor; output canonical
+    and deduplicated (it is the new iteration state)."""
+    mins = edge_pairs.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        edge_pairs.join(mins, "u")
+        .select(F.col("v").alias("x"), "m")
+        .union(mins.select(F.col("u").alias("x"), "m"))
+        .filter(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components_with_rounds(
+    spark: SparkSession,
+    edges_sym: DataFrame,
+    max_rounds: int = MAX_LEVELS_DEFAULT,
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) → ((vid, comp) labels, rounds used).
+
+    Each round rewires edges toward per-neighborhood minima while
+    provably preserving connectivity; the fixed point is a star per
+    component centered at its minimum vertex, reached in O(log d)
+    rounds — vs O(diameter) for hash-min label propagation (the
+    round-2 implementation this replaces: a 100×-deeper graph cost
+    100× more *rounds*, each a full-edge-set shuffle). Star centers
+    then label their spokes directly; vertices with no non-loop edges
+    are their own component.
+
+    Convergence = the canonical edge state reproducing itself, checked
+    by (count, BIT_XOR xxhash64(u,v)) fingerprint — one tiny aggregate
+    action per round on the already-checkpointed state. Exhausting
+    max_rounds without a fixed point raises (the recursive-CTE oracle
+    always computes the full closure, so returning unconverged labels
+    would be a silent parity divergence — ADVICE r2).
     """
-    edges_sym = edges_sym.persist()
-    try:
-        labels = (
-            edges_sym.select(F.col("src").alias("vid"))
-            .distinct()
-            .withColumn("comp", F.col("vid"))
-            .localCheckpoint(eager=True)
+    verts = (
+        edges_sym.select(F.col("src").alias("vid"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = (
+        edges_sym.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
         )
-        prev_sum = labels.agg(F.sum("comp")).first()[0]
-        for _ in range(max_rounds):
-            nbr_min = (
-                edges_sym.join(labels, edges_sym.dst == labels.vid)
-                .groupBy("src")
-                .agg(F.min("comp").alias("nbr_comp"))
-                .select(F.col("src").alias("vid"), "nbr_comp")
-            )
-            labels = (
-                labels.join(nbr_min, "vid", "left")
-                .select(
-                    "vid",
-                    F.least(
-                        F.col("comp"), F.coalesce("nbr_comp", "comp")
-                    ).alias("comp"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            new_sum = labels.agg(F.sum("comp")).first()[0]
-            if new_sum == prev_sum:
-                break
-            prev_sum = new_sum
-        return labels
-    finally:
-        edges_sym.unpersist()
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fp = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v")).alias("s"),
+    ).first()
+    rounds = 0
+    converged = fp["n"] == 0
+    while not converged and rounds < max_rounds:
+        rounds += 1
+        state = _small_star(_large_star(state)).localCheckpoint(eager=True)
+        new_fp = state.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("s"),
+        ).first()
+        converged = (new_fp["n"], new_fp["s"]) == (fp["n"], fp["s"])
+        fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    labels = (
+        verts.join(
+            state.select(F.col("u").alias("vid"), F.col("v").alias("comp")),
+            "vid",
+            "left",
+        )
+        .select("vid", F.coalesce("comp", "vid").alias("comp"))
+    )
+    return labels, rounds
 
 
 def neighbors_1hop(edges_sym: DataFrame, start: int) -> DataFrame:
