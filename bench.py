@@ -35,6 +35,10 @@ def _materialize(df) -> None:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("dgdb-bench")
+    # Bench artifacts must be noise-free (VERDICT r2 #4): the known
+    # WARNs here are intentional (bounded global-window formatters,
+    # single-JVM local mode), so only ERRORs are worth the stderr.
+    spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
 
@@ -77,6 +81,22 @@ def main() -> int:
         ).alias("d")
     ).write.mode("overwrite").format("noop").save()
 
+    # One-time ingest-style costs, timed as named setup line items so
+    # per-query timings measure steady state (VERDICT r2 #7): the
+    # bucketed-table write behind ql_bucketed_join (at 100 TB an
+    # ingest-time cost, never a per-query one) and the derived-edge
+    # scan+persist shared by all graph keys.
+    from distributed_graph_database_spark import registry, relational
+
+    setup: dict[str, float] = {}
+    t0 = time.perf_counter()
+    relational._bucketed_pair(spark, sf_dir)
+    setup["bucketed_table_write"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    edges, _start = registry._graph_ctx(spark, sf_dir)
+    edges.count()
+    setup["graph_derive_persist"] = round(time.perf_counter() - t0, 4)
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for key in sorted(queries):
@@ -96,6 +116,7 @@ def main() -> int:
         "sf": _sf_from_dir(sf_dir),
         "n_queries": len(timings),
         "failures": failures,
+        "setup_seconds": setup,
     }
     print(json.dumps(result))
     return 1 if failures else 0

@@ -269,9 +269,19 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Formulated the same way as the Spark side (ADVICE r2): every vector
+# is L2-normalized ONCE in a CTE, and every later cosine is a plain
+# dot — not dot/(|a||b|) over raw vectors, whose different rounding
+# path could flip cell-assignment ties or threshold-boundary pairs
+# between the engines on other data.
 ORACLE_DEDUP_EMBED = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM e0
 ),
 cells AS (
   SELECT vec_id AS cell_id, v AS cv FROM e
@@ -281,10 +291,7 @@ scored AS (
   SELECT e.vec_id, e.v, c.cell_id,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
-           ORDER BY list_dot_product(e.v, c.cv)
-                      / (sqrt(list_dot_product(e.v, e.v))
-                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                    c.cell_id) AS rn
+           ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell_id) AS rn
   FROM e CROSS JOIN cells c
 ),
 blocked AS (SELECT vec_id, v, cell_id FROM scored WHERE rn <= {DEDUP_PROBES}),
@@ -295,14 +302,9 @@ cand AS (
     ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
   GROUP BY a.vec_id, b.vec_id
 )
-SELECT vec_a, vec_b,
-       ROUND(list_dot_product(va, vb)
-               / (sqrt(list_dot_product(va, va))
-                  * sqrt(list_dot_product(vb, vb))), 6) AS cosine
+SELECT vec_a, vec_b, ROUND(list_dot_product(va, vb), 6) AS cosine
 FROM cand
-WHERE list_dot_product(va, vb)
-        / (sqrt(list_dot_product(va, va))
-           * sqrt(list_dot_product(vb, vb))) >= {EMBED_COSINE_T}
+WHERE list_dot_product(va, vb) >= {EMBED_COSINE_T}
 """
 
 

@@ -144,14 +144,34 @@ def _drop_stale_location(spark: SparkSession, name: str) -> None:
     """A fresh session's in-memory catalog forgets managed tables while
     their warehouse directories persist, and saveAsTable then fails
     with LOCATION_ALREADY_EXISTS even in overwrite mode. Remove the
-    orphaned location before (re)creating."""
+    orphaned location before (re)creating.
+
+    Deletion is guarded three ways (ADVICE r2: a destructive filesystem
+    side effect inside a query path must not be able to hit the wrong
+    directory): the warehouse dir must be a default-layout
+    `spark-warehouse` root, the table must match our bucketed-table
+    naming scheme, and the target must look like a Spark-managed
+    parquet table dir (only part-/_SUCCESS/dot entries). Anything else
+    is left in place — saveAsTable will then fail loudly rather than
+    us removing a directory we don't own."""
     if spark.catalog.tableExists(name):
         return
+    import os
     import shutil
     from urllib.parse import urlparse
 
+    if not name.startswith("bkt_"):
+        return
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    if os.path.basename(os.path.normpath(wh)) != "spark-warehouse":
+        return
+    target = os.path.join(wh, name)
+    if not os.path.isdir(target):
+        return
+    entries = os.listdir(target)
+    if any(not e.startswith(("part-", "_SUCCESS", ".")) for e in entries):
+        return
+    shutil.rmtree(target, ignore_errors=True)
 
 
 def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -70,7 +70,12 @@ def parse_matrix_dir(spark: SparkSession, path: str) -> DataFrame:
     raw = (
         spark.read.format("text")
         .option("wholetext", True)
-        .load(os.path.join(path, "*.txt"))
+        # directory + pathGlobFilter, not a glob-in-path: a literal
+        # glob makes the source resolver stat the glob string itself
+        # and log a spurious FileNotFoundException WARN + stack trace
+        # into otherwise-clean runs (seen in BENCH_r02 stderr).
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
         .select(
             F.regexp_extract(F.input_file_name(), r"([^/]+)\.txt$", 1).alias("graph_id"),
             F.split(F.trim(F.col("value")), "\n").alias("lines"),
@@ -108,7 +113,12 @@ def parse_matrix_vertices(spark: SparkSession, path: str) -> DataFrame:
     raw = (
         spark.read.format("text")
         .option("wholetext", True)
-        .load(os.path.join(path, "*.txt"))
+        # directory + pathGlobFilter, not a glob-in-path: a literal
+        # glob makes the source resolver stat the glob string itself
+        # and log a spurious FileNotFoundException WARN + stack trace
+        # into otherwise-clean runs (seen in BENCH_r02 stderr).
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
         .select(
             F.regexp_extract(F.input_file_name(), r"([^/]+)\.txt$", 1).alias("graph_id"),
             F.split(F.trim(F.col("value")), "\n").getItem(0).cast("int").alias("n"),

@@ -74,7 +74,15 @@ def test_stateful_user_totals_matches_batch(spark, sf_smoke, events_dir):
         "user_totals_smoke",
         mode="update",
     )
-    got = {r.user_id: (r.n_events, r.sum_value_cents) for r in streamed.collect()}
+    # In update mode a user spanning micro-batches emits one row per
+    # batch; the final state is the row with max n_events (running
+    # totals are monotone) — never rely on the memory sink preserving
+    # batch order in collect() (ADVICE r2).
+    got = {}
+    for r in streamed.collect():
+        prev = got.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            got[r.user_id] = (r.n_events, r.sum_value_cents)
     assert got == batch
 
 
