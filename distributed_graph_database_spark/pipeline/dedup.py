@@ -383,14 +383,43 @@ FROM pairs WHERE jaccard >= {NGRAM_JACCARD_T}
 """
 
 
+def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of MinHash-LSH against the blocked-exact truth
+    at the shared threshold (VERDICT r2 #5): of the same-source pairs
+    dedup_ngram proves have Jaccard ≥ T, what fraction did dedup_near's
+    banding surface? → one row (n_true, n_found, recall). The truth
+    side is restricted to dedup_ngram's universe (same-source pairs)
+    because that is the only exact pair set a scale-safe operator can
+    produce; dedup_near itself is corpus-wide.
+
+    No DuckDB oracle — the LSH side hinges on Spark's seeded xxhash64,
+    which DuckDB cannot replay — so this is a rows-only key whose VALUE
+    is pinned by tests at sf0.01 (deterministic seeds ⇒ deterministic
+    recall on fixed data)."""
+    truth = dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    found = dedup_near(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    return truth.join(found, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_found"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near": dedup_near,
+    "dedup_near_recall": dedup_near_recall,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram": dedup_ngram,
 }
 
-# dedup_near: LSH recall < 1 by design → rows-only check.
+# dedup_near (and its recall companion): LSH banding hinges on Spark's
+# seeded xxhash64, which DuckDB cannot replay → rows-only checks; the
+# recall VALUE is pinned by tests instead.
 ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_simhash": _oracle_simhash(),

@@ -118,3 +118,12 @@ def test_simhash_identical_docs_same_sketch(spark, sf_oracle):
     joined = sim.join(fp, "doc_id")
     per_hash = joined.groupBy("h").agg(F.countDistinct("simhash").alias("k"))
     assert per_hash.filter(F.col("k") > 1).count() == 0
+
+
+def test_near_dedup_recall_pinned_on_testdata(spark, sf_oracle):
+    """The measured-recall companion key (VERDICT r2 #5): with the
+    module's fixed seeds, recall vs the blocked-exact truth is a
+    deterministic constant of the dataset — pinned at 1.0 on sf0.01
+    (every true same-source pair at the shared threshold is found)."""
+    row = dedup.dedup_near_recall(spark, sf_oracle).collect()[0]
+    assert (row.n_true, row.n_found, row.recall) == (1, 1, 1.0)

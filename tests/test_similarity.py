@@ -100,3 +100,23 @@ def test_sim_topk_broadcasts_queries(spark, sf_oracle):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivf_recall_key_emits_measured_values(spark, sf_oracle):
+    """sim_ivf_recall ships the measured recall@K as hash-checkable
+    rows (VERDICT r2 #5): one row per query, n_hits consistent with an
+    independent set intersection of the two declared operators."""
+    got = {
+        r.query_id: (r.n_hits, r.recall_at_k)
+        for r in similarity.sim_ivf_recall(spark, sf_oracle).collect()
+    }
+    exact = similarity.sim_topk(spark, sf_oracle).collect()
+    approx = similarity.sim_topk_ivf(spark, sf_oracle).collect()
+    want_pairs = {(r.query_id, r.neighbor_id) for r in exact} & {
+        (r.query_id, r.neighbor_id) for r in approx
+    }
+    for qid, (n_hits, recall) in got.items():
+        n = len([1 for a, b in want_pairs if a == qid])
+        assert n_hits == n
+        assert recall == round(n / similarity.TOP_K, 6)
+    assert len(got) == similarity.N_QUERIES
