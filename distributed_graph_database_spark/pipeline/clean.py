@@ -143,12 +143,91 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+PACK_BUDGET = 2048   # tokens per training sequence
+PACK_SHARDS = 16     # parallel packer shards (scales with corpus)
+
+
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing — the step between a cleaned
+    corpus and a training run: stream documents into PACK_BUDGET-token
+    bins ("concat and chunk") → (shard, bin, n_docs, n_tokens).
+
+    Determinism + scale in one shape: docs are sharded by a stable
+    md5(doc_id) key into PACK_SHARDS independent packers (at 100 TB
+    the shard count scales with the corpus — each shard's running sum
+    is one window partition, so no global single-partition window
+    ever exists), ordered within the shard by (content hash, doc_id)
+    — a reproducible shuffle, not rand() — and assigned to the bin
+    where their running token count starts. A bin may overflow its
+    budget by one document tail, exactly like the standard LLM
+    packing approximation; the fill report this emits is how you size
+    PACK_BUDGET against truncation loss."""
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    shard = (
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % PACK_SHARDS
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        docs.select("doc_id", "n_tokens", "h", shard)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET)),
+        )
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select("shard", "bin", "n_docs", "n_tokens")
+    )
+
+
+ORACLE_CORPUS_PACK = rf"""
+WITH d AS (
+  SELECT doc_id,
+         LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, h,
+         CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {PACK_SHARDS} AS shard
+  FROM d
+),
+c AS (
+  SELECT shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT shard,
+       CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "corpus_sample": corpus_sample,
+    "corpus_pack": corpus_pack,
 }
 
 ORACLE_SQL = {
     "pipeline_clean_corpus": _oracle(),
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
+    "corpus_pack": ORACLE_CORPUS_PACK,
 }

@@ -409,12 +409,58 @@ def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    blocked-exact pair graph → (doc_id, cluster_id) for every doc in
+    at least one pair, cluster_id = min doc_id of the component. The
+    step a real dedup pipeline needs after pair generation — picking
+    ONE canonical representative per duplicate *group* (pairs alone
+    over-delete on A~B~C chains where A~C doesn't pass the threshold).
+
+    Composition showcase: the pair table becomes a graph and the
+    engine's own large-star/small-star operator (graph/traversal.py)
+    resolves it in O(log d) rounds — dedup clustering at 100 TB IS a
+    connected-components problem, and the oracle replays it as a
+    recursive CTE over the same SQL-expressible pair set."""
+    from ..graph import traversal
+
+    pairs = dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    edges_sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return traversal.connected_components(spark, edges_sym).select(
+        F.col("vid").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLE_DEDUP_NGRAM}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS vid FROM sym),
+walk(vid, lbl) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.vid
+)
+SELECT CAST(vid AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+FROM walk GROUP BY vid
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near": dedup_near,
     "dedup_near_recall": dedup_near_recall,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram": dedup_ngram,
+    "dedup_clusters": dedup_clusters,
 }
 
 # dedup_near (and its recall companion): LSH banding hinges on Spark's
@@ -424,4 +470,5 @@ ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram": ORACLE_DEDUP_NGRAM,
+    "dedup_clusters": _oracle_dedup_clusters(),
 }

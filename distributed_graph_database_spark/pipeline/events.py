@@ -231,16 +231,147 @@ FROM attributed GROUP BY user_id
 """
 
 
+HOP_WINDOW = "1 hour"
+HOP_SLIDE = "30 minutes"
+
+
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (1-hour windows sliding every 30 min —
+    each event lands in exactly 2 windows) → (hop_start, event_type,
+    n_events, sum_value_cents, n_users). Completes the window family
+    next to `events_tumbling` (aligned) and `events_sessionize`
+    (data-driven); the streaming twin is the same expression under
+    `withWatermark`.
+
+    Spark's `window(ts, size, slide)` expands each row to its
+    size/slide windows JVM-side before the one shuffle on (window,
+    type) — at 100 TB the 2× row expansion is the cost, paid before
+    map-side partial aggregation so the shuffle still carries only
+    partials."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", HOP_WINDOW, HOP_SLIDE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("hop_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+            "n_users",
+        )
+    )
+
+
+# Each event's two hop starts: its 30-min bucket and the one before
+# (time_bucket's 2000-01-01 origin is 30-min aligned with Spark's
+# epoch-aligned windows, so boundaries agree).
+ORACLE_EVENTS_HOPPING = """
+WITH hops AS (
+  SELECT event_type, value, user_id,
+         UNNEST([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                 time_bucket(INTERVAL '30 minutes', ts)]) AS wstart
+  FROM events
+)
+SELECT CAST(wstart AS VARCHAR) AS hop_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM hops GROUP BY 1, 2
+"""
+
+
+RANGE_JOIN_BAND_S = 5 * 60  # view → any-user click window
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global time-range join: for every view, count clicks by ANY
+    user within the next RANGE_JOIN_BAND_S seconds → (view_id,
+    n_clicks_5min). The shape `events_asof_join` cannot express —
+    there is no user equi-key, so a naive formulation is a
+    BroadcastNestedLoopJoin (banned by plan hygiene).
+
+    Scale shape: band-bucketing manufactures the equi-key. Clicks are
+    assigned to their epoch//band bucket; each view probes its own
+    bucket and the next (a [ts, ts+band) interval spans at most 2) via
+    a 2-element explode, then the exact range predicate filters
+    residuals inside the hash join. Cost: 2× view rows through one
+    equi-shuffle, never |views|×|clicks|. This is the standard
+    interval-join recipe (Flink executes its interval joins the same
+    way) — at 100 TB the bucket key is additionally salted by date to
+    keep any hot band bounded."""
+    ev = table(spark, sf_dir, "events")
+    band = F.lit(RANGE_JOIN_BAND_S)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"),
+        (F.unix_timestamp("ts") / band).cast("bigint").alias("bucket"),
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+            (F.unix_timestamp("ts") / band).cast("bigint").alias("b0"),
+        )
+        .select(
+            "view_id",
+            "v_ts",
+            F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+        )
+    )
+    in_range = (
+        F.col("c_ts").isNotNull()
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (
+            F.col("c_ts")
+            < F.col("v_ts") + F.expr(f"INTERVAL {RANGE_JOIN_BAND_S} SECONDS")
+        )
+    )
+    # The range predicate lives in the aggregate, not a filter: a view
+    # whose buckets hold only out-of-range clicks must still emit its
+    # zero row (a filter would drop it and diverge from the oracle's
+    # LEFT JOIN). A click matches via exactly one of the two probe
+    # rows (it has one bucket), so no double counting.
+    return (
+        views.join(clicks, "bucket", "left")
+        .groupBy("view_id")
+        .agg(F.sum(in_range.cast("bigint")).alias("n_clicks_5min"))
+    )
+
+
+ORACLE_EVENTS_RANGE_JOIN = f"""
+SELECT v.event_id AS view_id,
+       CAST(SUM(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks_5min
+FROM events v
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL {RANGE_JOIN_BAND_S} SECOND
+WHERE v.event_type = 'view'
+GROUP BY v.event_id
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
+    "events_hopping": events_hopping,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
+    "events_range_join": events_range_join,
 }
 
 ORACLE_SQL = {
     "events_tumbling": ORACLE_EVENTS_TUMBLING,
+    "events_hopping": ORACLE_EVENTS_HOPPING,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
 }

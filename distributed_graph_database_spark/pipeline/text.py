@@ -317,6 +317,73 @@ def _oracle_length_quantiles() -> str:
     return f"SELECT source, {', '.join(cols)} FROM documents GROUP BY source"
 
 
+NGRAM_TOP_K = 20
+
+
+def text_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K bigrams → (ngram, n_docs, n_occurrences),
+    ordered by occurrences desc (ngram asc tie-break). The vocabulary
+    report behind stop-shingle caps and contamination checks.
+
+    Columnar shape: the token array is materialized (lazy checkpoint)
+    before the bigram transform — `element_at` inside a HOF lambda
+    re-evaluates its argument per element, so pairing straight off
+    `split()` re-runs the regex per bigram (the dedup-shingle lesson).
+    The global top-K is TakeOrdered over the aggregated (distinct
+    bigram) set, never a full sort."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("ngram"),
+    )
+    return (
+        bigrams.groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(NGRAM_TOP_K)
+    )
+
+
+ORACLE_TEXT_NGRAMS_TOP = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN LEN(toks) >= 2
+                THEN list_transform(range(1, LEN(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS ngram
+  FROM t
+)
+SELECT ngram,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM b GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT {NGRAM_TOP_K}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -324,6 +391,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "text_ngrams_top": text_ngrams_top,
 }
 
 ORACLE_SQL = {
@@ -333,4 +401,5 @@ ORACLE_SQL = {
     "text_lang_id": _oracle_lang_id(),
     "text_quality": _oracle_quality(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "text_ngrams_top": ORACLE_TEXT_NGRAMS_TOP,
 }

@@ -1,0 +1,89 @@
+"""Semantic invariants of the round-3 surface additions (the exact
+values are separately hash-checked against DuckDB in
+test_oracle_parity.py): hopping windows, the bucketed range join,
+token packing, top-ngrams, and near-dup clustering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_graph_database_spark.catalog import table
+from distributed_graph_database_spark.pipeline import clean, dedup, events, text
+
+
+def test_hopping_each_event_in_exactly_two_windows(spark, sf_oracle):
+    total = table(spark, sf_oracle, "events").count()
+    hops = events.events_hopping(spark, sf_oracle)
+    assert hops.agg(F.sum("n_events")).first()[0] == 2 * total
+
+
+def test_range_join_counts_match_brute_force(spark, sf_smoke):
+    """Bucket+residual must equal the naive all-pairs semantics —
+    checked per view against a driver-side model at sf0.001."""
+    ev = table(spark, sf_smoke, "events").select(
+        "event_id", "event_type", F.col("ts").cast("long").alias("s")
+    )
+    rows = ev.collect()
+    clicks = sorted(r.s for r in rows if r.event_type == "click")
+    import bisect
+
+    want = {
+        r.event_id: bisect.bisect_left(clicks, r.s + events.RANGE_JOIN_BAND_S)
+        - bisect.bisect_left(clicks, r.s)
+        for r in rows
+        if r.event_type == "view"
+    }
+    got = {
+        r.view_id: r.n_clicks_5min
+        for r in events.events_range_join(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def test_range_join_plan_has_no_nested_loop(spark, sf_oracle):
+    plan = (
+        events.events_range_join(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_corpus_pack_conserves_tokens_and_shards(spark, sf_oracle):
+    docs = table(spark, sf_oracle, "documents").select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n")
+    )
+    total = docs.agg(F.sum("n")).first()[0]
+    packed = clean.corpus_pack(spark, sf_oracle).collect()
+    assert sum(r.n_tokens for r in packed) == total
+    assert sum(r.n_docs for r in packed) == docs.count()
+    shards = {r.shard for r in packed}
+    assert shards <= set(range(clean.PACK_SHARDS))
+    # bins are contiguous from 0 within each shard (streaming fill)
+    by_shard: dict[int, list[int]] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r.bin)
+    for bins in by_shard.values():
+        assert sorted(bins) == list(range(len(bins)))
+
+
+def test_ngrams_top_is_k_rows_sorted(spark, sf_oracle):
+    rows = text.text_ngrams_top(spark, sf_oracle).collect()
+    assert len(rows) == text.NGRAM_TOP_K
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r.n_docs <= r.n_occurrences for r in rows)
+
+
+def test_dedup_clusters_label_is_component_min(spark, sf_smoke):
+    pairs = dedup.dedup_ngram(spark, sf_smoke).collect()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dedup_clusters(spark, sf_smoke).collect()
+    }
+    # every pair endpoint is labeled, both sides agree, label = min
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b]
+    for doc, cl in labels.items():
+        assert cl <= doc
+        assert cl in labels and labels[cl] == cl
