@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import shared
 from ..catalog import table
 
 # MinHash configuration: H hashes in B bands of R rows (H = B*R).
@@ -148,6 +149,12 @@ def _minhash_bands(ex: DataFrame) -> DataFrame:
 
 
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry point (see cache.shared): the pair set is reused
+    by dedup_near_recall within a session."""
+    return shared(spark, sf_dir, "dedup_near", lambda: _dedup_near(spark, sf_dir))
+
+
+def _dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified:
     candidates = pairs sharing any band bucket; output = candidates
     whose true shingle-Jaccard ≥ NEAR_JACCARD_T →
@@ -291,6 +298,12 @@ def _capped_shingles(docs: DataFrame) -> DataFrame:
 
 
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry point (see cache.shared): the truth pair set is
+    reused by dedup_near_recall and dedup_clusters within a session."""
+    return shared(spark, sf_dir, "dedup_ngram", lambda: _dedup_ngram(spark, sf_dir))
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: pairs within the same `source`
     block with word-3-gram shingle-set Jaccard ≥ NGRAM_JACCARD_T →
     (doc_a, doc_b, jaccard) — the exact counterpart of `dedup_near`'s

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import shared
 from ..catalog import table
 
 N_QUERIES = 5       # pinned query set: lowest vec_ids
@@ -64,6 +65,12 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry point (see cache.shared): reused by
+    sim_ivf_recall within a session."""
+    return shared(spark, sf_dir, "sim_topk", lambda: _sim_topk(spark, sf_dir))
+
+
+def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: pinned queries (N_QUERIES lowest vec_ids) ×
     full corpus → (query_id, neighbor_id, rank, cosine). The query
     side is tiny and broadcast; the corpus is scanned once."""
@@ -174,6 +181,12 @@ def _assign(
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry point (see cache.shared): reused by
+    sim_ivf_recall within a session."""
+    return shared(spark, sf_dir, "sim_topk_ivf", lambda: _sim_topk_ivf(spark, sf_dir))
+
+
+def _sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: corpus assigned to 1 cell, queries probe
     their IVF_NPROBE nearest cells; exact cosine + top-k inside the
     probed cells only → same schema as sim_topk."""

@@ -148,3 +148,14 @@ QUERIES: dict[str, QueryFn] = {
     **pl_events.QUERIES,
     **pl_mm.QUERIES,
 }
+
+# Uncached plan views for machine plan assertions: keys served through
+# cache.shared return a checkpoint scan, which would make plan-hygiene
+# checks vacuous — these builders expose the underlying query plan.
+PLAN_QUERIES: dict[str, QueryFn] = {
+    **QUERIES,
+    "dedup_near": pl_dedup._dedup_near,
+    "dedup_ngram": pl_dedup._dedup_ngram,
+    "sim_topk": pl_sim._sim_topk,
+    "sim_topk_ivf": pl_sim._sim_topk_ivf,
+}

@@ -49,7 +49,7 @@ def test_near_dedup_precision_and_high_recall(spark, sf_smoke):
 
 def test_near_dedup_no_cartesian_product(spark, sf_oracle):
     plan = (
-        dedup.dedup_near(spark, sf_oracle)
+        dedup._dedup_near(spark, sf_oracle)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in plan

@@ -16,12 +16,12 @@ import pytest
 
 from distributed_graph_database_spark import registry
 
-KEYS = sorted(registry.QUERIES)
+KEYS = sorted(registry.PLAN_QUERIES)
 
 
 @pytest.mark.parametrize("key", KEYS)
 def test_no_cartesian_no_python_udf(spark, sf_oracle, key):
-    df = registry.QUERIES[key](spark, sf_oracle)
+    df = registry.PLAN_QUERIES[key](spark, sf_oracle)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{key}: shuffle cartesian\n{plan}"
     assert "BatchEvalPython" not in plan, f"{key}: row Python UDF\n{plan}"

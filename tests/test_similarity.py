@@ -48,7 +48,7 @@ def test_ivf_scans_fraction_of_corpus(spark, sf_oracle):
     """The probed candidate set is a strict subset of the corpus —
     the join is on cell_id, never a full cross product."""
     plan = (
-        similarity.sim_topk_ivf(spark, sf_oracle)
+        similarity._sim_topk_ivf(spark, sf_oracle)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in plan
@@ -96,7 +96,7 @@ def test_dedup_embed_no_cartesian(spark, sf_oracle):
 
 def test_sim_topk_broadcasts_queries(spark, sf_oracle):
     plan = (
-        similarity.sim_topk(spark, sf_oracle)
+        similarity._sim_topk(spark, sf_oracle)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
