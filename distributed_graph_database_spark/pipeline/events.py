@@ -358,6 +358,56 @@ GROUP BY v.event_id
 """
 
 
+RETENTION_MAX_OFFSET = 7
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the other classic events rollup: users
+    cohorted by first-activity day, counted on each later activity day
+    → (cohort_day, day_offset, n_users) for offsets 0..7.
+
+    Two shuffles total, both on user_id (first-activity groupBy-min and
+    the activity⋈cohort join reuse the same partitioning; AQE collapses
+    the exchange), then one partial-aggregated groupBy on the tiny
+    (cohort, offset) key space. No window, no skew surface — cohort
+    retention at 100 TB is exactly this shape, with the distinct
+    (user, day) activity set as the materialized intermediate."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort",
+            F.datediff("d", "cohort").cast("bigint").alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("cohort").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+        )
+    )
+
+
+ORACLE_EVENTS_RETENTION = f"""
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, MIN(d) AS cohort FROM d GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, d FROM d)
+SELECT CAST(f.cohort AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+WHERE date_diff('day', f.cohort, a.d) <= {RETENTION_MAX_OFFSET}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -365,6 +415,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
     "events_range_join": events_range_join,
+    "events_retention": events_retention,
 }
 
 ORACLE_SQL = {
@@ -374,4 +425,5 @@ ORACLE_SQL = {
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
+    "events_retention": ORACLE_EVENTS_RETENTION,
 }

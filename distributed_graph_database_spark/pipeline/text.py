@@ -14,7 +14,7 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -384,6 +384,70 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
+TFIDF_TOP_TERMS = 3
+
+
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP_TERMS characteristic terms per document by
+    tf·idf → (doc_id, term, tf, score) — the per-doc keyword profile
+    (topic drift / contamination triage over a training corpus).
+
+    Fully distributed: term frequencies are one groupBy over the
+    exploded token table; document frequencies one more over its
+    distinct (the df side is |vocabulary|-sized and joins back by
+    term); the corpus size N enters as a broadcast 1-row cross join,
+    never a driver-side collect. Ranking uses the ROUNDED score
+    (6 dp) with a term tie-break so cross-engine ulp jitter in ln()
+    cannot flip ranks."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (
+        table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_corpus") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+ORACLE_TEXT_TFIDF_TOP = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * LN(n.n_corpus / CAST(df.df AS DOUBLE)), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, score FROM ranked WHERE rn <= {TFIDF_TOP_TERMS}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -392,6 +456,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_ngrams_top": text_ngrams_top,
+    "text_tfidf_top": text_tfidf_top,
 }
 
 ORACLE_SQL = {
@@ -402,4 +467,5 @@ ORACLE_SQL = {
     "text_quality": _oracle_quality(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_ngrams_top": ORACLE_TEXT_NGRAMS_TOP,
+    "text_tfidf_top": ORACLE_TEXT_TFIDF_TOP,
 }

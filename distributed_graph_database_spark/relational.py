@@ -438,6 +438,53 @@ SELECT * FROM (
 """
 
 
+def ql_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based window aggregates — the window family member
+    ql_window_rank's ranking can't express: per-customer running order
+    total (ROWS UNBOUNDED PRECEDING) and a 3-order moving average,
+    ordered by (orderdate, orderkey) for a unique frame. One shuffle on
+    the partition key; frames evaluate inside the sorted partition with
+    no extra exchange — the 100 TB point of window frames over
+    self-joins (a correlated 'sum of my earlier orders' join would be
+    a second shuffle plus a skew hazard)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("cents")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("running_cents"),
+            F.round(
+                F.avg("cents").over(w.rowsBetween(-2, Window.currentRow)), 4
+            ).alias("moving_avg_cents"),
+            F.count(F.lit(1))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint")
+            .alias("order_seq"),
+        )
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w_run AS BIGINT)
+         AS running_cents,
+       ROUND(AVG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w_mov, 4)
+         AS moving_avg_cents,
+       CAST(COUNT(*) OVER w_run AS BIGINT) AS order_seq
+FROM orders
+WINDOW
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING),
+  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 orders by price: orderBy+limit compiles to
     TakeOrderedAndProject (per-partition heaps + driver merge of 10
@@ -656,6 +703,7 @@ QUERIES = {
     "ql_cube": ql_cube,
     "ql_pivot": ql_pivot,
     "ql_window_rank": ql_window_rank,
+    "ql_window_running": ql_window_running,
     "ql_topk": ql_topk,
     "ql_setops": ql_setops,
     "ql_scalar_funcs": ql_scalar_funcs,
@@ -679,6 +727,7 @@ ORACLE_SQL = {
     "ql_cube": ORACLE_CUBE,
     "ql_pivot": ORACLE_PIVOT,
     "ql_window_rank": ORACLE_WINDOW_RANK,
+    "ql_window_running": ORACLE_WINDOW_RUNNING,
     "ql_topk": ORACLE_TOPK,
     "ql_setops": ORACLE_SETOPS,
     "ql_scalar_funcs": ORACLE_SCALAR_FUNCS,

@@ -87,3 +87,49 @@ def test_dedup_clusters_label_is_component_min(spark, sf_smoke):
     for doc, cl in labels.items():
         assert cl <= doc
         assert cl in labels and labels[cl] == cl
+
+
+def test_window_running_last_row_equals_group_total(spark, sf_oracle):
+    from distributed_graph_database_spark import relational
+
+    out = relational.ql_window_running(spark, sf_oracle)
+    per_cust = out.groupBy("o_custkey").agg(
+        F.max("order_seq").alias("n"),
+        F.max("running_cents").alias("final_running"),
+    )
+    want = (
+        table(spark, sf_oracle, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "total"
+            ),
+        )
+    )
+    diff = per_cust.join(want, "o_custkey").filter(
+        (per_cust.n != want.n) | (F.col("final_running") != F.col("total"))
+    )
+    assert diff.count() == 0
+
+
+def test_retention_offset_zero_counts_every_user(spark, sf_oracle):
+    """Every user is active on their own cohort day, so the sum of
+    offset-0 counts equals the distinct user count."""
+    ret = events.events_retention(spark, sf_oracle)
+    day0 = (
+        ret.filter(F.col("day_offset") == 0).agg(F.sum("n_users")).first()[0]
+    )
+    n_users = (
+        table(spark, sf_oracle, "events").select("user_id").distinct().count()
+    )
+    assert day0 == n_users
+    assert ret.filter(F.col("day_offset") < 0).count() == 0
+
+
+def test_tfidf_top_terms_per_doc(spark, sf_oracle):
+    out = text.text_tfidf_top(spark, sf_oracle)
+    per_doc = out.groupBy("doc_id").count()
+    assert per_doc.filter(F.col("count") > text.TFIDF_TOP_TERMS).count() == 0
+    n_docs = table(spark, sf_oracle, "documents").count()
+    assert per_doc.count() == n_docs
