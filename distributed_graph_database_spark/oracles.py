@@ -23,6 +23,7 @@ from .pipeline import multimodal as pl_mm
 from .pipeline import similarity as pl_sim
 from .pipeline import text as pl_text
 from .sources import matrix
+from .graph import analytics as g_analytics
 from .graph.derive import DEFAULT_START_SQL, DERIVED_EDGES_SQL, DERIVED_SYM_SQL
 from .graph.traversal import BFS_ORDER_MAX_VERTICES, MAX_LEVELS_DEFAULT
 
@@ -118,5 +119,6 @@ FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
     **pl_dedup.ORACLE_SQL,
     **pl_sim.ORACLE_SQL,
     **pl_events.ORACLE_SQL,
+    **g_analytics.ORACLE_SQL,
     **pl_mm.ORACLE_SQL,
 }

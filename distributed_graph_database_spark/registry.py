@@ -20,6 +20,7 @@ from .pipeline import multimodal as pl_mm
 from .pipeline import similarity as pl_sim
 from .pipeline import text as pl_text
 from .sources import matrix
+from .graph import analytics as g_analytics
 from .graph import derive, traversal
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -147,6 +148,7 @@ QUERIES: dict[str, QueryFn] = {
     **pl_sim.QUERIES,
     **pl_events.QUERIES,
     **pl_mm.QUERIES,
+    **g_analytics.QUERIES,
 }
 
 # Uncached plan views for machine plan assertions: keys served through

@@ -56,6 +56,29 @@ def tumbling_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def hopping_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming twin of events_hopping: same sliding window expression
+    under a watermark. State is one row per (window, event_type) with
+    2× windows live vs tumbling — still bounded by the watermark
+    horizon (windows whose end < watermark are finalized + evicted)."""
+    from ..pipeline.events import HOP_SLIDE, HOP_WINDOW
+
+    ev = _events_stream(spark, src_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(F.window("ts", HOP_WINDOW, HOP_SLIDE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("hop_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
 def sessionize_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming twin of events_sessionize via the native
     session_window (gap-merged windows; batch's lag+cumsum is the

@@ -37,6 +37,21 @@ def test_tumbling_stream_matches_batch(spark, sf_smoke, events_dir):
     assert got == batch
 
 
+def test_hopping_stream_matches_batch(spark, sf_smoke, events_dir):
+    batch = {
+        (r.hop_start, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in events.events_hopping(spark, sf_smoke).collect()
+    }
+    streamed = events_stream.run_available_now(
+        events_stream.hopping_stream(spark, events_dir), "hopping_smoke"
+    )
+    got = {
+        (r.hop_start, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in streamed.collect()
+    }
+    assert got == batch
+
+
 def test_sessionize_stream_matches_batch_sessions(spark, sf_smoke, events_dir):
     batch = {
         (r.user_id, r.session_start): (r.n_events, r.sum_value_cents)

@@ -133,3 +133,21 @@ def test_tfidf_top_terms_per_doc(spark, sf_oracle):
     assert per_doc.filter(F.col("count") > text.TFIDF_TOP_TERMS).count() == 0
     n_docs = table(spark, sf_oracle, "documents").count()
     assert per_doc.count() == n_docs
+
+
+def test_copurchase_support_threshold_and_triangles(spark, sf_oracle):
+    """Co-purchase edges all meet the support cut; the degree-oriented
+    triangle count equals the canonical-order enumeration (61 at
+    sf0.01, independently computed by naive a<b<c DuckDB enumeration —
+    orientation must count each triangle exactly once)."""
+    from distributed_graph_database_spark.graph import analytics
+
+    edges = analytics.graph_copurchase(spark, sf_oracle)
+    assert (
+        edges.filter(
+            F.col("n_orders") < analytics.COPURCHASE_MIN_ORDERS
+        ).count()
+        == 0
+    )
+    n = analytics.graph_triangles(spark, sf_oracle).first()[0]
+    assert n == 61
