@@ -151,3 +151,22 @@ def test_copurchase_support_threshold_and_triangles(spark, sf_oracle):
     )
     n = analytics.graph_triangles(spark, sf_oracle).first()[0]
     assert n == 61
+
+
+def test_pagerank_mass_conservation(spark, sf_oracle):
+    """With every vertex having outdeg >= 1 on the symmetrized graph,
+    total rank mass stays 1 through every round (teleport + damped
+    redistribution); row count = vertex count of the support graph."""
+    from distributed_graph_database_spark.graph import analytics
+
+    pr = analytics.graph_pagerank(spark, sf_oracle)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-3  # 6-dp per-vertex rounding residue
+    e = analytics.graph_copurchase(spark, sf_oracle)
+    n_verts = (
+        e.select(F.col("p1").alias("v"))
+        .union(e.select(F.col("p2").alias("v")))
+        .distinct()
+        .count()
+    )
+    assert pr.count() == n_verts
