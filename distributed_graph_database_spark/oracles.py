@@ -22,7 +22,7 @@ from .pipeline import events as pl_events
 from .pipeline import multimodal as pl_mm
 from .pipeline import similarity as pl_sim
 from .pipeline import text as pl_text
-from .sources import matrix
+from .sources import formats, matrix
 from .graph import analytics as g_analytics
 from .graph.derive import DEFAULT_START_SQL, DERIVED_EDGES_SQL, DERIVED_SYM_SQL
 from .graph.traversal import BFS_ORDER_MAX_VERTICES, MAX_LEVELS_DEFAULT
@@ -114,6 +114,7 @@ FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
     **relational.ORACLE_SQL,
     **ops.ORACLE_SQL,
     **matrix.ORACLE_SQL,
+    **formats.ORACLE_SQL,
     **pl_text.ORACLE_SQL,
     **pl_clean.ORACLE_SQL,
     **pl_dedup.ORACLE_SQL,

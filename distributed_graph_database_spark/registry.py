@@ -19,7 +19,7 @@ from .pipeline import events as pl_events
 from .pipeline import multimodal as pl_mm
 from .pipeline import similarity as pl_sim
 from .pipeline import text as pl_text
-from .sources import matrix
+from .sources import formats, matrix
 from .graph import analytics as g_analytics
 from .graph import derive, traversal
 
@@ -142,6 +142,7 @@ QUERIES: dict[str, QueryFn] = {
     **relational.QUERIES,
     **ops.QUERIES,
     **matrix.QUERIES,
+    **formats.QUERIES,
     **pl_text.QUERIES,
     **pl_clean.QUERIES,
     **pl_dedup.QUERIES,

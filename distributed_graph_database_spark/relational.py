@@ -438,6 +438,45 @@ SELECT * FROM (
 """
 
 
+N_AGG_SALTS = 16
+
+
+def ql_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skewed COUNT DISTINCT: orders grouped by orderstatus
+    (3 hot keys — the worst-case low-cardinality group-by) counting
+    distinct customers. Phase 1 groups by (status, salt) where salt =
+    hash(custkey) % N_AGG_SALTS, so each hot key's distinct set is
+    built by N_AGG_SALTS parallel reducers instead of one; because the
+    salt is a function of the DISTINCT key, per-salt distinct sets are
+    disjoint and phase 2 just SUMs them. Identical result to the
+    single-phase aggregate (the oracle), which at 100 TB would funnel
+    each status's entire customer set through one task."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_custkey",
+        F.pmod(F.xxhash64("o_custkey"), F.lit(N_AGG_SALTS)).alias("salt"),
+    )
+    partial = o.groupBy("o_orderstatus", "salt").agg(
+        F.countDistinct("o_custkey").alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        partial.groupBy("o_orderstatus")
+        .agg(
+            F.sum("nd").cast("bigint").alias("n_customers"),
+            F.sum("n").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def ql_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-based window aggregates — the window family member
     ql_window_rank's ranking can't express: per-customer running order
@@ -696,6 +735,7 @@ QUERIES = {
     "ql_broadcast_join": ql_broadcast_join,
     "ql_bucketed_join": ql_bucketed_join,
     "ql_salted_join": ql_salted_join,
+    "ql_salted_agg": ql_salted_agg,
     "ql_semi_anti_join": ql_semi_anti_join,
     "ql_agg": ql_agg,
     "ql_distinct": ql_distinct,
@@ -720,6 +760,7 @@ ORACLE_SQL = {
     "ql_broadcast_join": ORACLE_BROADCAST_JOIN,
     "ql_bucketed_join": ORACLE_BUCKETED_JOIN,
     "ql_salted_join": ORACLE_SALTED_JOIN,
+    "ql_salted_agg": ORACLE_SALTED_AGG,
     "ql_semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "ql_agg": ORACLE_AGG,
     "ql_distinct": ORACLE_DISTINCT,

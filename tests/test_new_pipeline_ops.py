@@ -170,3 +170,34 @@ def test_pagerank_mass_conservation(spark, sf_oracle):
         .count()
     )
     assert pr.count() == n_verts
+
+
+def test_salted_agg_equals_plain_aggregate(spark, sf_oracle):
+    """The two-phase salted aggregate must be provably identical to
+    the single-phase one (skew mitigation must not change results)."""
+    from distributed_graph_database_spark import relational
+
+    got = {
+        r.o_orderstatus: (r.n_customers, r.n_orders)
+        for r in relational.ql_salted_agg(spark, sf_oracle).collect()
+    }
+    want = {
+        r.o_orderstatus: (r.n_customers, r.n_orders)
+        for r in table(spark, sf_oracle, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_store_compact_reduces_files_conserving_rows(spark, sf_oracle):
+    from distributed_graph_database_spark.sources import formats
+
+    row = formats.store_compact(spark, sf_oracle).first()
+    assert row.n_files_before == formats.COMPACT_FILES_BEFORE
+    assert row.n_files_after == formats.COMPACT_FILES_AFTER
+    assert row.n_rows == table(spark, sf_oracle, "documents").count()
