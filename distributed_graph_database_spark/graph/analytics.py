@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import shared
 from ..catalog import table
 
 # Support threshold: a pair must co-occur in at least this many orders
@@ -37,6 +38,14 @@ COPURCHASE_MIN_ORDERS = 2
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry (cache.shared): the projected edge table feeds
+    graph_copurchase, graph_triangles, and graph_pagerank."""
+    return shared(
+        spark, sf_dir, "graph_copurchase", lambda: _copurchase_impl(spark, sf_dir)
+    )
+
+
+def _copurchase_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part pairs (p1 < p2) co-occurring in ≥ COPURCHASE_MIN_ORDERS
     orders, with the co-occurrence count: (p1, p2, n_orders)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -75,7 +84,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (degree, id)-smaller endpoint, wedges joined on the middle
     vertex, closed by an equi-join on the (a, c) edge — three hash
     joins, no wedge ever materialized for a hub's full neighborhood."""
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2").localCheckpoint(eager=True)
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
     deg = (
         e.select(F.col("p1").alias("v"))
         .unionAll(e.select(F.col("p2").alias("v")))

@@ -161,4 +161,5 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "dedup_ngram": pl_dedup._dedup_ngram,
     "sim_topk": pl_sim._sim_topk,
     "sim_topk_ivf": pl_sim._sim_topk_ivf,
+    "graph_copurchase": g_analytics._copurchase_impl,
 }
