@@ -242,14 +242,97 @@ r{k} AS (
     )
 
 
+SSSP_ROUNDS = 5  # ≤5-hop horizon: fixed rounds ⇒ oracle-unrollable
+
+
+def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths on the co-purchase graph
+    (weight = 1/n_orders — strong affinity ⇒ short edge), SSSP_ROUNDS
+    Bellman-Ford relaxations from the minimum vertex id →
+    (vid, round(dist, 6)) for vertices within the hop horizon.
+
+    The weighted complement to bfs_levels' hop counting: the same
+    per-round join + groupBy-min superstep, lazy like graph_pagerank
+    (fixed rounds ⇒ bounded lineage, one job). Distances are exact
+    across engines even before rounding — both sides accumulate each
+    path left-to-right through the identical recurrence — rounding
+    just removes min-tie ambiguity at the 6-dp boundary.
+
+    At 100 TB: this IS the Pregel SSSP kernel on DataFrames; the
+    round count becomes a convergence loop with per-round checkpoints
+    (the bfs_levels shape) once the horizon is unbounded.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.union(
+        e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"), "n_orders")
+    ).select(
+        F.col("p1").alias("src"),
+        F.col("p2").alias("dst"),
+        (F.lit(1.0) / F.col("n_orders")).alias("w"),
+    ).localCheckpoint(eager=True)
+    src0 = sym.agg(F.min("src").alias("s"))
+    dist = (
+        sym.select("src").distinct()
+        .crossJoin(F.broadcast(src0))
+        .filter(F.col("src") == F.col("s"))
+        .select(F.col("src").alias("v"), F.lit(0.0).alias("dist"))
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (
+            sym.join(dist, sym.src == dist.v)
+            .select("dst", (F.col("dist") + F.col("w")).alias("dist"))
+            .select(F.col("dst").alias("v"), "dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(F.col("v").alias("vid"), F.round("dist", 6).alias("dist"))
+
+
+def _oracle_sssp() -> str:
+    base = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS (SELECT p1 AS src, p2 AS dst, 1.0 / n_orders AS w FROM e
+        UNION ALL SELECT p2, p1, 1.0 / n_orders FROM e),
+d0 AS (SELECT MIN(src) AS v, 0.0 AS dist FROM sym)"""
+    rounds = []
+    for k in range(1, SSSP_ROUNDS + 1):
+        prev = f"d{k - 1}"
+        rounds.append(f""",
+d{k} AS (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM {prev}
+    UNION ALL
+    SELECT sym.dst AS v, {prev}.dist + sym.w AS dist
+    FROM sym JOIN {prev} ON sym.src = {prev}.v
+  ) GROUP BY v
+)""")
+    return (
+        base
+        + "".join(rounds)
+        + f"\nSELECT v AS vid, ROUND(dist, 6) AS dist FROM d{SSSP_ROUNDS}"
+    )
+
+
 QUERIES = {
     "graph_copurchase": graph_copurchase,
     "graph_triangles": graph_triangles,
     "graph_pagerank": graph_pagerank,
+    "graph_sssp": graph_sssp,
 }
 
 ORACLE_SQL = {
     "graph_copurchase": ORACLE_GRAPH_COPURCHASE,
     "graph_triangles": ORACLE_GRAPH_TRIANGLES,
     "graph_pagerank": _oracle_pagerank(),
+    "graph_sssp": _oracle_sssp(),
 }

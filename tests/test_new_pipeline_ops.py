@@ -237,3 +237,20 @@ def test_corpus_mix_respects_weights(spark, sf_oracle):
     # nested-sample property: lowering a rate keeps a subset, so the
     # total kept under default 20% must be <= kept under 50%.
     assert all(r.n_kept <= r.n_total for r in rows.values())
+
+
+def test_sssp_source_zero_and_positive_distances(spark, sf_oracle):
+    from distributed_graph_database_spark.graph import analytics
+
+    d = {r.vid: r.dist for r in analytics.graph_sssp(spark, sf_oracle).collect()}
+    src = min(
+        r.p1
+        for r in analytics.graph_copurchase(spark, sf_oracle)
+        .select("p1")
+        .collect()
+    )
+    assert d[src] == 0.0
+    assert all(v > 0 for k, v in d.items() if k != src)
+    # every reached vertex got there through >=1 edge of weight <= 1/2
+    # per hop within the horizon, so distances are bounded
+    assert max(d.values()) <= analytics.SSSP_ROUNDS * 0.5 + 1e-9
