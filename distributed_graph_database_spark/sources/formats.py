@@ -42,9 +42,13 @@ def _staging_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     hit = _STAGED.get(key)
     if hit is not None:
         return hit
+    # Path carries the application id: staging dirs are per-session,
+    # so a concurrent test/bench/driver pair can never race on one
+    # directory (overwrite-in-place of a shared path is not atomic).
     d = os.path.join(
         tempfile.gettempdir(),
-        f"dgdb_fmt_{fmt}_" + "".join(c if c.isalnum() else "_" for c in sf_dir),
+        f"dgdb_fmt_{spark.sparkContext.applicationId}_{fmt}_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
     )
     docs = table(spark, sf_dir, "documents")
     if fmt == "jsonl":
