@@ -254,3 +254,43 @@ def test_sssp_source_zero_and_positive_distances(spark, sf_oracle):
     # every reached vertex got there through >=1 edge of weight <= 1/2
     # per hop within the horizon, so distances are bounded
     assert max(d.values()) <= analytics.SSSP_ROUNDS * 0.5 + 1e-9
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_agg_plan_has_two_aggregate_phases(spark, sf_oracle):
+    """The salt key must actually appear in the first aggregate's
+    grouping (phase 1 parallelism) and be gone by the output."""
+    from distributed_graph_database_spark import relational
+
+    plan = _plan(relational.ql_salted_agg(spark, sf_oracle))
+    assert "salt" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 phases
+
+
+def test_corpus_pack_window_is_sharded(spark, sf_oracle):
+    """The running sum must partition by the shard key — a global
+    (unpartitioned) window would be the single-task scale hazard."""
+    from distributed_graph_database_spark.pipeline import clean
+
+    plan = _plan(clean.corpus_pack(spark, sf_oracle))
+    assert "windowspecdefinition(shard" in plan
+
+
+def test_tfidf_corpus_size_is_broadcast_not_collected(spark, sf_oracle):
+    """N enters the plan as a broadcast join of a 1-row aggregate —
+    never a driver-side collect baked into a literal."""
+    plan = _plan(text.text_tfidf_top(spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_retention_single_wide_shuffle_chain(spark, sf_oracle):
+    """Retention's two user_id shuffles must not balloon into more:
+    the join and both aggregates reuse the user_id partitioning."""
+    plan = _plan(events.events_retention(spark, sf_oracle))
+    # exchanges: user_id (first-activity agg), user_id (distinct),
+    # final (cohort, offset) agg — anything beyond 4 means a lost
+    # partitioning reuse
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
