@@ -306,7 +306,13 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval-join recipe (Flink executes its interval joins the same
     way) — at 100 TB the bucket key is additionally salted by date to
     keep any hot band bounded."""
-    ev = table(spark, sf_dir, "events")
+    return range_join_frame(table(spark, sf_dir, "events"))
+
+
+def range_join_frame(ev: DataFrame) -> DataFrame:
+    """The band-bucketed core of events_range_join over any frame with
+    (event_id, ts, event_type) — split out so property tests can drive
+    it with random event sets (same pattern as asof_join_frame)."""
     band = F.lit(RANGE_JOIN_BAND_S)
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("ts").alias("c_ts"),

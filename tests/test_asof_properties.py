@@ -9,6 +9,7 @@ import datetime
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 BASE = datetime.datetime(2024, 1, 1)
 
@@ -62,3 +63,43 @@ def test_asof_join_matches_bruteforce(spark, case):
         for r in asof_join_frame(ev).collect()
     }
     assert got == _model(case)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_range_join_matches_model_on_random_events(spark, data):
+    """Band-bucketing must be invisible: counts equal the naive
+    all-pairs semantics for arbitrary timestamps, including band
+    boundaries (multiples of RANGE_JOIN_BAND_S are explicitly likely
+    under the generator's coarse grid)."""
+    from distributed_graph_database_spark.pipeline.events import (
+        RANGE_JOIN_BAND_S,
+        range_join_frame,
+    )
+
+    n = data.draw(st.integers(min_value=1, max_value=30))
+    base = 1_700_000_000
+    rows = []
+    for i in range(n):
+        # coarse grid => frequent exact-boundary collisions
+        off = data.draw(
+            st.integers(min_value=0, max_value=8) 
+        ) * (RANGE_JOIN_BAND_S // 2)
+        jitter = data.draw(st.integers(min_value=0, max_value=2))
+        typ = data.draw(st.sampled_from(["view", "click", "purchase"]))
+        rows.append((i, base + off + jitter, typ))
+    ev = spark.createDataFrame(
+        [(i, s, t) for i, s, t in rows],
+        "event_id bigint, s bigint, event_type string",
+    ).select("event_id", F.timestamp_seconds("s").alias("ts"), "event_type")
+    got = {
+        r.view_id: r.n_clicks_5min for r in range_join_frame(ev).collect()
+    }
+    clicks = [s for _, s, t in rows if t == "click"]
+    want = {
+        i: sum(1 for c in clicks if s <= c < s + RANGE_JOIN_BAND_S)
+        for i, s, t in rows
+        if t == "view"
+    }
+    assert got == want
