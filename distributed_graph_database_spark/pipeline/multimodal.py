@@ -252,14 +252,89 @@ FROM d
 """
 
 
+# --- audio windowing --------------------------------------------------------
+
+AUDIO_WIN = 64       # bytes per fake "audio window"
+AUDIO_HOP = 32       # hop size — 50% overlap, the standard STFT shape
+
+
+def chunk_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: OVERLAPPING windowing — the batch shape the
+    frame sampler doesn't cover (frames partition the payload;
+    audio/STFT windows overlap, so output bytes exceed input bytes and
+    adjacent rows share data). Emits every AUDIO_HOP-strided
+    AUDIO_WIN-byte window's (index, offset, byte sum, length); the
+    final ragged window is kept (real feature extractors pad it).
+    A deployment swaps the byte sum for an FFT inside the same loop."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            wi = 0
+            for off in range(0, max(n, 1), AUDIO_HOP):
+                win = payload[off : off + AUDIO_WIN]
+                if not win:
+                    break
+                rows.append((doc_id, wi, off, sum(win), len(win)))
+                wi += 1
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "win_idx", "win_offset", "win_sum", "win_len"],
+        ).astype(
+            {
+                "doc_id": "int64",
+                "win_idx": "int32",
+                "win_offset": "int32",
+                "win_sum": "int64",
+                "win_len": "int32",
+            }
+        )
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, win_idx int, win_offset int, win_sum bigint, win_len int"
+)
+
+
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: overlapping audio-window plumbing → one row per
+    hop window (doc_id, win_idx, win_offset, win_sum, win_len)."""
+    docs = table(spark, sf_dir, "documents")
+    return with_binary_payload(docs).mapInPandas(chunk_audio, AUDIO_SCHEMA)
+
+
+ORACLE_MM_AUDIO_WINDOWS = f"""
+WITH b AS (
+  SELECT doc_id, text, CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n
+  FROM documents
+),
+w AS (
+  SELECT doc_id, text, n,
+         CAST(UNNEST(range(0, GREATEST(n, 1), {AUDIO_HOP})) AS INT) AS win_offset
+  FROM b
+)
+SELECT doc_id,
+       CAST(win_offset / {AUDIO_HOP} AS INT) AS win_idx,
+       win_offset,
+       CAST(list_sum(list_transform(
+              range(win_offset + 1, LEAST(win_offset + {AUDIO_WIN}, n) + 1),
+              i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS win_sum,
+       CAST(LEAST(win_offset + {AUDIO_WIN}, n) - win_offset AS INT) AS win_len
+FROM w
+WHERE win_offset < n
+"""
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
+    "mm_audio_windows": mm_audio_windows,
 }
 
 ORACLE_SQL = {
     "mm_decode_meta": ORACLE_MM_DECODE_META,
     "mm_frame_sample": ORACLE_MM_FRAME_SAMPLE,
     "mm_resize": ORACLE_MM_RESIZE,
+    "mm_audio_windows": ORACLE_MM_AUDIO_WINDOWS,
 }

@@ -67,3 +67,31 @@ def test_documents_are_ascii(spark, sf_oracle):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="codec libraries"):
         multimodal.decode_image_real(b"\x89PNG")
+
+
+def test_audio_windows_overlap_and_cover(spark, sf_oracle):
+    """Adjacent windows hop by AUDIO_HOP (50% overlap at the default
+    sizes), every window except a doc's last is full-length, and the
+    windows jointly cover every payload byte."""
+    from distributed_graph_database_spark.pipeline import multimodal as mm
+
+    rows = mm.mm_audio_windows(spark, sf_oracle).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.n_bytes
+        for r in mm.mm_decode_meta(spark, sf_oracle).collect()
+    }
+    for doc_id, ws in by_doc.items():
+        ws.sort(key=lambda r: r.win_idx)
+        offs = [r.win_offset for r in ws]
+        assert offs == [i * mm.AUDIO_HOP for i in range(len(ws))]
+        n = docs[doc_id]
+        # with 50% overlap the last ceil(WIN/HOP) windows may be ragged;
+        # every window's length is exactly min(WIN, n - offset)
+        for r in ws:
+            assert r.win_len == min(mm.AUDIO_WIN, n - r.win_offset)
+        last = ws[-1]
+        assert last.win_offset + last.win_len == n
+        assert last.win_offset + mm.AUDIO_HOP >= n  # full coverage
