@@ -144,14 +144,64 @@ FROM documents
 """
 
 
+PRUNE_LANG = "en"
+
+
+def _partitioned_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "bylang")
+    hit = _STAGED.get(key)
+    if hit is not None:
+        return hit
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"dgdb_fmt_{spark.sparkContext.applicationId}_bylang_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
+    )
+    table(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(d)
+    _STAGED[key] = d
+    return d
+
+
+def store_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning end to end: documents written
+    `partitionBy(lang)`, then a one-language aggregate whose scan
+    touches ONLY that partition's directory — `PartitionFilters` in
+    the plan, zero I/O on every other language (plan-asserted in
+    tests). The single most important scan optimization at 100 TB:
+    partition columns turn predicates into directory listings.
+    Output: (source, n_docs, sum_chars) for PRUNE_LANG documents."""
+    d = _partitioned_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(d)
+        .filter(F.col("lang") == PRUNE_LANG)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+ORACLE_STORE_PARTITION_PRUNE = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = '{PRUNE_LANG}'
+GROUP BY source
+"""
+
+
 QUERIES = {
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
     "store_compact": store_compact,
+    "store_partition_prune": store_partition_prune,
 }
 
 ORACLE_SQL = {
     "source_jsonl_roundtrip": ORACLE_ROUNDTRIP_AGG,
     "source_csv_roundtrip": ORACLE_ROUNDTRIP_AGG,
     "store_compact": ORACLE_STORE_COMPACT,
+    "store_partition_prune": ORACLE_STORE_PARTITION_PRUNE,
 }

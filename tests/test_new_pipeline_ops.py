@@ -294,3 +294,14 @@ def test_retention_single_wide_shuffle_chain(spark, sf_oracle):
     # final (cohort, offset) agg — anything beyond 4 means a lost
     # partitioning reuse
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_partition_prune_reaches_the_scan(spark, sf_oracle):
+    """The lang predicate must become a PartitionFilter (directory
+    pruning), not a post-scan Filter over all partitions."""
+    import re
+
+    from distributed_graph_database_spark.sources import formats
+
+    plan = _plan(formats.store_partition_prune(spark, sf_oracle))
+    assert re.search(r"PartitionFilters: \[[^\]]*lang[^\]]*\]", plan), plan
