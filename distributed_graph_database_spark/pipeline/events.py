@@ -414,6 +414,99 @@ GROUP BY 1, 2
 """
 
 
+ANOMALY_K = 3  # flag |value - mean| > K·σ (population σ per user)
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier detection, integer-exact: flag events whose
+    value deviates from the user's mean by more than ANOMALY_K
+    population standard deviations → (event_id, user_id, value_cents,
+    n_user_events). The per-user fraud/telemetry screen every events
+    pipeline runs.
+
+    Cross-engine exactness: the z-test is evaluated WITHOUT division
+    or sqrt — |v - s/n| > K·σ ⟺ (n·v - s)² > K²·(n·ss - s²) over
+    integer cents (v value, s sum, ss sum of squares, n count), so
+    both engines compare exact bigints and the oracle is hash-exact
+    (floating-point z-scores would ulp-jitter at the threshold).
+    Magnitudes: cents ≤ ~5·10⁴, so even at 10⁹ events/user the
+    intermediates stay under the 9.2·10¹⁸ bigint ceiling via the
+    n·ss - s² factoring.
+
+    Scale shape: one map-side-combined groupBy builds the per-user
+    (n, s, ss) sketch — users ≪ events, so the stats side broadcasts
+    back onto the event stream; the corpus itself never shuffles."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    lhs = F.col("n") * F.col("v") - F.col("s")
+    rhs = F.lit(ANOMALY_K * ANOMALY_K) * (
+        F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter((F.col("n") >= 2) & (lhs * lhs > rhs))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("v").alias("value_cents"),
+            F.col("n").alias("n_user_events"),
+        )
+    )
+
+
+ORACLE_EVENTS_ANOMALY = f"""
+WITH c AS (
+  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM c GROUP BY user_id
+)
+SELECT event_id, user_id, v AS value_cents, n AS n_user_events
+FROM c JOIN s USING (user_id)
+WHERE n >= 2
+  AND (n*v - s) * (n*v - s) > {ANOMALY_K * ANOMALY_K} * (n*ss - s*s)
+"""
+
+
+def events_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry scrubbing: mask every digit run inside the raw
+    `props` JSON payload (the PII-redaction shape — structure kept,
+    values tokenized) → (event_id, props_masked, n_masked).
+
+    Pure regexp built-ins, whole-stage codegen'd, zero shuffle —
+    a narrow map over the event stream, which is exactly what a
+    scrubber must be at 100 TB (it runs before anything else and
+    must not cost a pass of state)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_masked"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0)).alias(
+            "n_masked"
+        ),
+    )
+
+
+ORACLE_EVENTS_SCRUB = """
+SELECT event_id,
+       REGEXP_REPLACE(props, '[0-9]+', '#', 'g') AS props_masked,
+       LEN(regexp_extract_all(props, '[0-9]+')) AS n_masked
+FROM events
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -422,6 +515,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_range_join": events_range_join,
     "events_retention": events_retention,
+    "events_anomaly": events_anomaly,
+    "events_scrub": events_scrub,
 }
 
 ORACLE_SQL = {
@@ -432,4 +527,6 @@ ORACLE_SQL = {
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_retention": ORACLE_EVENTS_RETENTION,
+    "events_anomaly": ORACLE_EVENTS_ANOMALY,
+    "events_scrub": ORACLE_EVENTS_SCRUB,
 }

@@ -448,6 +448,91 @@ SELECT doc_id, term, tf, score FROM ranked WHERE rn <= {TFIDF_TOP_TERMS}
 """
 
 
+CONTAM_SHINGLE_K = 4
+CONTAM_BENCH_MOD = 10
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    CONTAM_SHINGLE_K-token shingle with the benchmark set (docs with
+    doc_id % CONTAM_BENCH_MOD == 0 stand in for the eval suite) →
+    (doc_id, n_hit_shingles, contaminated) — one row per TRAIN doc,
+    zero-hit docs included, so the output is the full audit report.
+
+    Scale shape: the benchmark shingle-hash set is tiny relative to
+    the corpus (eval suites are ~1e3-1e6 docs vs 1e9+ training docs),
+    so it is DISTINCT'd and broadcast — the train side streams through
+    a broadcast semi-ish join with zero shuffle of the corpus; the
+    per-doc hit count is one map-side-combined groupBy on doc_id. The
+    token array is materialized (lazy checkpoint) before the HOF pairs
+    shingles — `element_at` re-evaluates its argument per element
+    (the dedup-shingle lesson, see text_ngrams_top)."""
+    k = CONTAM_SHINGLE_K
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at("toks", i + j) for j in range(k)]
+                        )
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("sh"),
+    )
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("sh").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hit_shingles"))
+    )
+    train = toks.select("doc_id").filter(~is_bench)
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_shingles", F.lit(0)).alias("n_hit_shingles"),
+        (F.coalesce("n_hit_shingles", F.lit(0)) >= 1).alias("contaminated"),
+    )
+
+
+ORACLE_TEXT_CONTAMINATION = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN LEN(t) >= {CONTAM_SHINGLE_K}
+                THEN list_transform(range(1, LEN(t) - {CONTAM_SHINGLE_K - 2}),
+                     i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                ELSE [] END) AS sh
+  FROM toks
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_hit_shingles
+  FROM sh t JOIN bench USING (sh)
+  WHERE t.doc_id % {CONTAM_BENCH_MOD} <> 0
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hit_shingles, 0) AS n_hit_shingles,
+       COALESCE(h.n_hit_shingles, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {CONTAM_BENCH_MOD} <> 0
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -457,6 +542,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_ngrams_top": text_ngrams_top,
     "text_tfidf_top": text_tfidf_top,
+    "text_contamination": text_contamination,
 }
 
 ORACLE_SQL = {
@@ -468,4 +554,5 @@ ORACLE_SQL = {
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_ngrams_top": ORACLE_TEXT_NGRAMS_TOP,
     "text_tfidf_top": ORACLE_TEXT_TFIDF_TOP,
+    "text_contamination": ORACLE_TEXT_CONTAMINATION,
 }

@@ -726,6 +726,42 @@ LIMIT 10
 """
 
 
+# TPC-H Q1, the pricing-summary scan-heavy headliner: one pass over
+# lineitem, tiny (returnflag, linestatus) group key — the canonical
+# map-side-partial-aggregation benchmark. Money sums in integer cents
+# (per-row ROUND agrees across engines, proven by Q3); the averages
+# are exact bigint/bigint divisions of already-aggregated values, so
+# both engines divide identical integers into identical doubles.
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum_qty, sum_base_cents, sum_disc_cents, sum_charge_cents,
+       CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+       CAST(sum_base_cents AS DOUBLE) / count_order AS avg_price_cents,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= DATE '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+) g
+"""
+
+
+def ql_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #2: TPC-H Q1 off the same shared ANSI string the
+    oracle executes. Plan shape to care about at 100 TB: single scan,
+    shipdate predicate pushed to parquet, partial aggregation before
+    the one tiny-key exchange — Catalyst produces exactly that from
+    the string."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(TPCH_Q1_SQL)
+
+
 def ql_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL entry point: the engine accepts ANSI SQL text, not just the
     DataFrame API. Catalyst plans the string exactly like the
@@ -768,6 +804,7 @@ QUERIES = {
     "ql_setops": ql_setops,
     "ql_scalar_funcs": ql_scalar_funcs,
     "ql_json": ql_json,
+    "ql_sql_q1": ql_sql_q1,
     "ql_sql_q3": ql_sql_q3,
     "ql_approx_distinct": ql_approx_distinct,
     "ql_approx_quantiles": ql_approx_quantiles,
@@ -794,5 +831,6 @@ ORACLE_SQL = {
     "ql_setops": ORACLE_SETOPS,
     "ql_scalar_funcs": ORACLE_SCALAR_FUNCS,
     "ql_json": ORACLE_JSON,
+    "ql_sql_q1": TPCH_Q1_SQL,
     "ql_sql_q3": TPCH_Q3_SQL,
 }

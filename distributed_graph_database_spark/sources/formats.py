@@ -192,11 +192,169 @@ GROUP BY source
 """
 
 
+# CDC changelog derivation (deterministic, from the base table itself):
+# deletes, updates, and inserts keyed by doc_id modulus — disjoint op
+# sets, with inserts offset past the live id range.
+MERGE_DEL_MOD = 13
+MERGE_UPD_MOD = 7
+MERGE_INS_MOD = 11
+MERGE_INS_OFFSET = 100_000
+
+
+def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE (upsert + delete) applied to `documents`, then a
+    full-state audit aggregate → per-source (n_docs, sum_ids,
+    sum_chars, n_langs) over the MERGED table. The Delta/Iceberg
+    `MERGE INTO` shape expressed in plain DataFrame algebra:
+
+        merged = (base ANTI-JOIN changed_keys) ∪ updates ∪ inserts
+
+    A derived changelog (deletes: doc_id % {13} == 0; updates:
+    doc_id % {7} == 0 with bumped n_chars and lang='xx'; inserts:
+    shifted copies with source='cdc') keeps the key fully
+    deterministic, so the oracle replays the identical merge and the
+    hash checks every surviving row via the all-columns aggregate.
+
+    Scale shape: one equi-shuffle on the primary key for the
+    anti-join (changelog ≪ base ⇒ it broadcasts and even that shuffle
+    disappears); unions are free. This is merge-on-read; a real lake
+    deployment wraps the same plan in copy-on-write of only the
+    affected partitions."""
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    is_del = F.col("doc_id") % MERGE_DEL_MOD == 0
+    is_upd = (F.col("doc_id") % MERGE_UPD_MOD == 0) & ~is_del
+    dels = base.filter(is_del).select("doc_id")
+    upds = base.filter(is_upd).select(
+        "doc_id",
+        "text",
+        F.lit("xx").alias("lang"),
+        "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    ins = base.filter(F.col("doc_id") % MERGE_INS_MOD == 0).select(
+        (F.col("doc_id") + MERGE_INS_OFFSET).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("cdc").alias("source"),
+        "n_chars",
+    )
+    changed_keys = (
+        dels.unionByName(upds.select("doc_id")).unionByName(ins.select("doc_id"))
+    )
+    merged = (
+        base.join(F.broadcast(changed_keys), "doc_id", "left_anti")
+        .unionByName(upds)
+        .unionByName(ins)
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+ORACLE_STORE_MERGE_UPSERT = f"""
+WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % {MERGE_DEL_MOD} = 0),
+upds AS (
+  SELECT doc_id, text, 'xx' AS lang, source, n_chars + 1000 AS n_chars
+  FROM documents
+  WHERE doc_id % {MERGE_UPD_MOD} = 0 AND doc_id % {MERGE_DEL_MOD} <> 0
+),
+ins AS (
+  SELECT doc_id + {MERGE_INS_OFFSET} AS doc_id, text, lang,
+         'cdc' AS source, n_chars
+  FROM documents WHERE doc_id % {MERGE_INS_MOD} = 0
+),
+keys AS (
+  SELECT doc_id FROM dels
+  UNION ALL SELECT doc_id FROM upds
+  UNION ALL SELECT doc_id FROM ins
+),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM keys)
+  UNION ALL SELECT * FROM upds
+  UNION ALL SELECT * FROM ins
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM merged GROUP BY source
+"""
+
+
+def _evolve_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two parquet batches with drifted schemas, staged once per
+    (session, sf): batch 1 = even doc_ids at the original 5-column
+    schema; batch 2 = odd doc_ids with an added n_tokens column (the
+    additive evolution every long-lived ingest accumulates)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "evolve")
+    hit = _STAGED.get(key)
+    if hit is not None:
+        return hit, hit + "_v2"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"dgdb_fmt_{spark.sparkContext.applicationId}_evolve_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).write.mode("overwrite").parquet(d + "_v2")
+    _STAGED[key] = d
+    return d, d + "_v2"
+
+
+def store_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution under `mergeSchema`: two parquet
+    batches written at different schema versions read back as ONE
+    table, old rows null-filled on the new column → per-source
+    (n_docs, n_evolved, sum_tokens). The lake-format guarantee
+    (Delta/Iceberg both formalize exactly this) expressed with plain
+    parquet footers merged at read time.
+
+    Scale note: mergeSchema pays a footer read per file at planning —
+    at 100 TB the schema lives in the table catalog instead and the
+    scan shape is identical; the semantics under test (old files are
+    null-extended, no rewrite of written data) are the same."""
+    d1, d2 = _evolve_dirs(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", True).parquet(d1, d2)
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_tokens").alias("n_evolved"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("sum_tokens"),
+    )
+
+
+ORACLE_STORE_SCHEMA_EVOLVE = r"""
+WITH unified AS (
+  SELECT source, NULL AS n_tokens
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT source, LEN(regexp_split_to_array(TRIM(text), '\s+')) AS n_tokens
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(n_tokens) AS n_evolved,
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS sum_tokens
+FROM unified GROUP BY source
+"""
+
+
 QUERIES = {
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
     "store_compact": store_compact,
     "store_partition_prune": store_partition_prune,
+    "store_merge_upsert": store_merge_upsert,
+    "store_schema_evolve": store_schema_evolve,
 }
 
 ORACLE_SQL = {
@@ -204,4 +362,6 @@ ORACLE_SQL = {
     "source_csv_roundtrip": ORACLE_ROUNDTRIP_AGG,
     "store_compact": ORACLE_STORE_COMPACT,
     "store_partition_prune": ORACLE_STORE_PARTITION_PRUNE,
+    "store_merge_upsert": ORACLE_STORE_MERGE_UPSERT,
+    "store_schema_evolve": ORACLE_STORE_SCHEMA_EVOLVE,
 }

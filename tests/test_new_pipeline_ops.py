@@ -305,3 +305,86 @@ def test_partition_prune_reaches_the_scan(spark, sf_oracle):
 
     plan = _plan(formats.store_partition_prune(spark, sf_oracle))
     assert re.search(r"PartitionFilters: \[[^\]]*lang[^\]]*\]", plan), plan
+
+
+def test_contamination_matches_brute_force(spark, sf_smoke):
+    """Broadcast shingle-join must equal a driver-side 4-gram set
+    model at sf0.001 (every train doc, zero-hit rows included)."""
+    rows = table(spark, sf_smoke, "documents").select("doc_id", "text").collect()
+    k, mod = text.CONTAM_SHINGLE_K, text.CONTAM_BENCH_MOD
+
+    def grams(s: str) -> set:
+        t = s.strip().lower().split()
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    bench = set()
+    for r in rows:
+        if r.doc_id % mod == 0:
+            bench |= grams(r.text)
+    want = {
+        r.doc_id: len(grams(r.text) & bench)
+        for r in rows
+        if r.doc_id % mod != 0
+    }
+    got = {
+        r.doc_id: (r.n_hit_shingles, r.contaminated)
+        for r in text.text_contamination(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(want)
+    for doc, (n, flag) in got.items():
+        assert n == want[doc]
+        assert flag == (n >= 1)
+
+
+def test_anomaly_agrees_with_float_zscore(spark, sf_oracle):
+    """The integer-exact test must agree with the float z-score away
+    from ulp distance of the threshold (population σ, K=3)."""
+    import math
+
+    ev = table(spark, sf_oracle, "events").select(
+        "event_id", "user_id", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r.v)
+    flagged = {
+        r.event_id for r in events.events_anomaly(spark, sf_oracle).collect()
+    }
+    k2 = events.ANOMALY_K**2
+    for r in ev:
+        vs = by_user[r.user_id]
+        n = len(vs)
+        if n < 2:
+            assert r.event_id not in flagged
+            continue
+        mean = sum(vs) / n
+        var = sum((x - mean) ** 2 for x in vs) / n
+        z2 = (r.v - mean) ** 2 / var if var else 0.0
+        if abs(z2 - k2) > 1e-6:
+            assert (r.event_id in flagged) == (z2 > k2), (r, z2)
+
+
+def test_merge_upsert_audit_counts(spark, sf_oracle):
+    """The merged state must account exactly for deletes/updates/
+    inserts: total rows = base - deletes + inserts, and the insert
+    partition lands wholly under source='cdc'."""
+    from distributed_graph_database_spark.sources import formats
+
+    base = table(spark, sf_oracle, "documents")
+    n_base = base.count()
+    n_del = base.filter(F.col("doc_id") % formats.MERGE_DEL_MOD == 0).count()
+    n_ins = base.filter(F.col("doc_id") % formats.MERGE_INS_MOD == 0).count()
+    out = {r.source: r for r in formats.store_merge_upsert(spark, sf_oracle).collect()}
+    assert out["cdc"].n_docs == n_ins
+    assert sum(r.n_docs for r in out.values()) == n_base - n_del + n_ins
+    # updates flip lang to 'xx' without changing doc identity: id mass
+    # of non-cdc sources equals the base table minus deleted ids
+    sum_base = base.agg(F.sum("doc_id")).first()[0]
+    sum_del = (
+        base.filter(F.col("doc_id") % formats.MERGE_DEL_MOD == 0)
+        .agg(F.sum("doc_id"))
+        .first()[0]
+    )
+    assert (
+        sum(r.sum_ids for s, r in out.items() if s != "cdc") == sum_base - sum_del
+    )
