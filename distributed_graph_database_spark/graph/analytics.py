@@ -323,11 +323,222 @@ d{k} AS (
     )
 
 
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 50        # safety bound on the Spark peel loop
+KCORE_ORACLE_ROUNDS = 6      # oracle peel depth (idempotent past
+                             # convergence; sf0.01 converges in 3)
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k = KCORE_K) of the co-purchase graph:
+    iteratively peel every vertex whose degree within the surviving
+    subgraph is < k until fixpoint → (vid, core_degree) for the
+    surviving core. The standard graph-cleaning primitive (spam/noise
+    vertices peel away; the dense core is what downstream analytics
+    run on).
+
+    Scale shape: each round is one groupBy-degree + semi-joins over
+    the CURRENT survivor set — every round removes ALL sub-k vertices
+    at once, so the round count is the peel DEPTH of the graph (small
+    in practice; bounded by degeneracy ordering length), not the
+    vertex count. Rounds are checkpointed like the other iterative
+    loops (bfs/components/pagerank) to keep lineage flat. Raises if
+    KCORE_MAX_ROUNDS is hit without convergence rather than silently
+    returning an unpeeled set (the components lesson, ADVICE r2)."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = (
+        e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(e.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
+    n_prev = alive.count()
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            sym.join(alive.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        survivors = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        n = survivors.count()
+        alive = survivors
+        if n == n_prev:
+            break
+        n_prev = n
+    else:
+        raise RuntimeError(
+            f"k-core did not converge within {KCORE_MAX_ROUNDS} rounds"
+        )
+    return (
+        sym.join(alive.withColumnRenamed("v", "src"), "src", "left_semi")
+        .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("src").alias("vid"), "core_degree")
+    )
+
+
+def _oracle_kcore() -> str:
+    base = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS (SELECT p1 AS src, p2 AS dst FROM e UNION ALL SELECT p2, p1 FROM e),
+alive0 AS (SELECT DISTINCT src AS v FROM sym)"""
+    rounds = []
+    for i in range(1, KCORE_ORACLE_ROUNDS + 1):
+        prev = f"alive{i - 1}"
+        rounds.append(f""",
+alive{i} AS (
+  SELECT s.src AS v FROM sym s
+  JOIN {prev} a ON a.v = s.src
+  JOIN {prev} b ON b.v = s.dst
+  GROUP BY s.src HAVING COUNT(*) >= {KCORE_K}
+)""")
+    last = f"alive{KCORE_ORACLE_ROUNDS}"
+    return (
+        base
+        + "".join(rounds)
+        + f"""
+SELECT s.src AS vid, COUNT(*) AS core_degree
+FROM sym s
+JOIN {last} a ON a.v = s.src
+JOIN {last} b ON b.v = s.dst
+GROUP BY s.src"""
+    )
+
+
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard over the co-purchase graph →
+    (p1, p2, common, jaccard): |N(a)∩N(b)| / |N(a)∪N(b)| for every
+    edge — the classic link-strength / link-prediction primitive
+    (edges whose endpoints share most of their neighborhoods are
+    intra-community; near-zero Jaccard flags bridges).
+
+    Scale shape: the common-neighbor count of an edge's endpoints IS
+    the number of triangles through that edge, so the count reuses
+    graph_triangles' compact-forward enumeration — degree-oriented
+    edges bound wedge work at O(m^1.5) regardless of hubs — then one
+    explode of each closed triangle into its three edges + a groupBy.
+    Never the naive adjacency-list self-join, whose Σ deg(mid)² term
+    dies on hub vertices. |N(a)∪N(b)| = d(a)+d(b)−common (a and b are
+    each in the union via the edge itself)."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    deg = (
+        e.select(F.col("p1").alias("v"))
+        .unionAll(e.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("p1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("v").alias("p2"), F.col("d").alias("d2"))
+    with_deg = e.join(da, "p1").join(db, "p2")
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    o = with_deg.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("a"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("b"),
+    ).localCheckpoint(eager=True)
+    o1 = o.select("a", "b")
+    o2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    o3 = o.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = o1.join(o2, "b").join(
+        o3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc"))
+    ).select("a", "b", "c")
+    # each closed triangle (a,b,c) contributes one common neighbor to
+    # each of its three edges, emitted in canonical (min, max) form
+    tri_edges = (
+        tri.select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .unionAll(tri.select(F.least("b", "c"), F.greatest("b", "c")))
+        .unionAll(tri.select(F.least("a", "c"), F.greatest("a", "c")))
+    )
+    common = tri_edges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("common")
+    )
+    return (
+        e.join(
+            common,
+            (F.col("p1") == F.col("x")) & (F.col("p2") == F.col("y")),
+            "left",
+        )
+        .withColumn("common", F.coalesce("common", F.lit(0)))
+        .join(da, "p1")
+        .join(db, "p2")
+        .select(
+            "p1",
+            "p2",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("d1") + F.col("d2") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_GRAPH_JACCARD = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+deg AS (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT p1 AS v FROM e UNION ALL SELECT p2 AS v FROM e)
+  GROUP BY v
+),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.p1 < e.p2)
+              THEN e.p1 ELSE e.p2 END AS a,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.p1 < e.p2)
+              THEN e.p2 ELSE e.p1 END AS b
+  FROM e JOIN deg da ON e.p1 = da.v JOIN deg db ON e.p2 = db.v
+),
+tri AS (
+  SELECT o1.a AS a, o1.b AS b, o2.b AS c
+  FROM o o1
+  JOIN o o2 ON o1.b = o2.a
+  JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b
+),
+tri_edges AS (
+  SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM tri
+  UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri
+  UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri
+),
+common AS (SELECT x, y, COUNT(*) AS common FROM tri_edges GROUP BY x, y)
+SELECT e.p1, e.p2,
+       CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+       ROUND(CAST(COALESCE(c.common, 0) AS DOUBLE)
+               / (da.d + db.d - COALESCE(c.common, 0)), 6) AS jaccard
+FROM e
+LEFT JOIN common c ON e.p1 = c.x AND e.p2 = c.y
+JOIN deg da ON e.p1 = da.v
+JOIN deg db ON e.p2 = db.v
+"""
+
+
 QUERIES = {
     "graph_copurchase": graph_copurchase,
     "graph_triangles": graph_triangles,
     "graph_pagerank": graph_pagerank,
     "graph_sssp": graph_sssp,
+    "graph_kcore": graph_kcore,
+    "graph_jaccard": graph_jaccard,
 }
 
 ORACLE_SQL = {
@@ -335,4 +546,6 @@ ORACLE_SQL = {
     "graph_triangles": ORACLE_GRAPH_TRIANGLES,
     "graph_pagerank": _oracle_pagerank(),
     "graph_sssp": _oracle_sssp(),
+    "graph_kcore": _oracle_kcore(),
+    "graph_jaccard": ORACLE_GRAPH_JACCARD,
 }

@@ -507,6 +507,54 @@ FROM events
 """
 
 
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix → (prev_type, event_type,
+    n, p): Markov counts of consecutive event pairs within each user's
+    timeline, with the row-normalized transition probability — the
+    behavioral-sequence profile behind next-event prediction and
+    funnel design.
+
+    One shuffle on user_id for the lag window ((user_id, ts) is
+    unique, ties broken by event_id anyway for determinism), then a
+    tiny (type × type) aggregate that reuses map-side combine. The
+    probability denominator is a window over prev_type — a second
+    shuffle on a ≤|types| key space, negligible at any scale."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+ORACLE_EVENTS_TRANSITIONS = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       ROUND(CAST(n AS DOUBLE)
+               / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM counts
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -517,6 +565,7 @@ QUERIES = {
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
     "events_scrub": events_scrub,
+    "events_transitions": events_transitions,
 }
 
 ORACLE_SQL = {
@@ -529,4 +578,5 @@ ORACLE_SQL = {
     "events_retention": ORACLE_EVENTS_RETENTION,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "events_scrub": ORACLE_EVENTS_SCRUB,
+    "events_transitions": ORACLE_EVENTS_TRANSITIONS,
 }

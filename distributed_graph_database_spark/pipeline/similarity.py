@@ -420,11 +420,152 @@ GROUP BY e.query_id
 """
 
 
+KMEANS_K = 8
+
+
+def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means (k = KMEANS_K) over the
+    embedding corpus, from the pinned deterministic init the IVF
+    family uses → (cell_id, n_assigned, shift): cluster sizes and how
+    far each centroid moved (L2, 6dp) after the assign+update step —
+    the convergence diagnostic a training loop monitors per iteration.
+
+    Distributed shape (the part that matters at 100 TB): assignment
+    is the IVF coarse quantizer (broadcast centroids, one corpus
+    scan); the centroid UPDATE is per-dimension — posexplode the
+    assigned vectors to (cell, dim, val) and mean-reduce by
+    (cell, dim) — so the update is one map-side-combined groupBy of
+    64·N rows, never a driver-side collect of anything corpus-sized.
+    Further iterations repeat the same two stages; one step is
+    declared because each step's output is the auditable unit.
+
+    Cross-engine exactness: assignment replays the deterministic
+    quantizer (proven by sim_topk_ivf); per-cell means are doubles
+    whose summation-order jitter (~1e-13 relative) sits far below
+    the 6dp rounding on a shift of O(0.1)."""
+    emb = _embeddings(spark, sf_dir)
+    cells = _cells(spark, sf_dir, KMEANS_K)
+    assigned = _assign(emb, cells, "v", "cells", 1).select(
+        "vec_id", "v", F.explode("cells").alias("cell_id")
+    )
+    by_dim = assigned.select(
+        "cell_id", F.posexplode("v").alias("dim", "val")
+    ).groupBy("cell_id", "dim").agg(
+        F.avg("val").alias("mean_val"), F.count(F.lit(1)).alias("n")
+    )
+    old = cells.select(
+        "cell_id", F.posexplode("cv").alias("dim", "old_val")
+    )
+    return (
+        by_dim.join(old, ["cell_id", "dim"])
+        .groupBy("cell_id")
+        .agg(
+            F.max("n").alias("n_assigned"),
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("mean_val") - F.col("old_val"), 2))), 6
+            ).alias("shift"),
+        )
+    )
+
+
+ORACLE_ML_KMEANS_STEP = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cells AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  ORDER BY vec_id LIMIT {KMEANS_K} OFFSET {N_QUERIES}
+),
+assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT e.vec_id, e.v, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell_id) AS rn
+    FROM e CROSS JOIN cells c) WHERE rn <= 1
+),
+by_dim AS (
+  SELECT cell_id, UNNEST(range(LEN(v))) AS dim, UNNEST(v) AS val
+  FROM assigned
+),
+means AS (
+  SELECT cell_id, dim, AVG(val) AS mean_val, COUNT(*) AS n
+  FROM by_dim GROUP BY cell_id, dim
+),
+old AS (
+  SELECT cell_id, UNNEST(range(LEN(cv))) AS dim, UNNEST(cv) AS old_val
+  FROM cells
+)
+SELECT m.cell_id,
+       CAST(MAX(m.n) AS BIGINT) AS n_assigned,
+       ROUND(SQRT(SUM(POW(m.mean_val - o.old_val, 2))), 6) AS shift
+FROM means m JOIN old o ON m.cell_id = o.cell_id AND m.dim = o.dim
+GROUP BY m.cell_id
+"""
+
+
+def ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring at corpus scale: logistic score of every embedding
+    against a pinned weight vector → (vec_id, score, keep). The shape
+    of every learned quality filter / classifier-based curation pass:
+    broadcast the (tiny) model, one scan of the corpus, no shuffle at
+    all — the scoring column is computed inside the scan's projection.
+
+    The weight vector is the corpus's lowest-vec_id embedding, unit-
+    normalized (a deterministic stand-in for trained weights — the
+    plumbing, not the model, is the operator). score =
+    sigmoid(cosine) = 1/(1+exp(-w·v)) on unit vectors; keep = score
+    above the midpoint. Cross-engine: cosines agree to ~1e-14 and
+    sigmoid is 1/4-Lipschitz, so 6dp rounding is orders of magnitude
+    above any libm ulp drift."""
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    w_vec = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("w_id"), F.col("v").alias("wv"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(w_vec))
+        .filter(F.col("vec_id") != F.col("w_id"))
+        .withColumn("cos", _dot(F.col("wv"), F.col("v")))
+        .select(
+            "vec_id",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("cos"))), 6).alias(
+                "score"
+            ),
+            (F.col("cos") > 0).alias("keep"),
+        )
+    )
+
+
+ORACLE_ML_SCORE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(
+                               CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])))) AS v
+  FROM embeddings
+),
+w AS (SELECT vec_id AS w_id, v AS wv FROM e ORDER BY vec_id LIMIT 1)
+SELECT e.vec_id,
+       ROUND(1.0 / (1.0 + EXP(-list_dot_product(w.wv, e.v))), 6) AS score,
+       list_dot_product(w.wv, e.v) > 0 AS keep
+FROM e CROSS JOIN w
+WHERE e.vec_id <> w.w_id
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_ivf_recall": sim_ivf_recall,
     "dedup_embed": dedup_embed,
+    "ml_kmeans_step": ml_kmeans_step,
+    "ml_score": ml_score,
 }
 
 # All four keys exact-oracled: IVF blocking is deterministic algebra,
@@ -434,4 +575,6 @@ ORACLE_SQL = {
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
     "sim_ivf_recall": ORACLE_SIM_IVF_RECALL,
     "dedup_embed": ORACLE_DEDUP_EMBED,
+    "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
+    "ml_score": ORACLE_ML_SCORE,
 }

@@ -772,6 +772,143 @@ def ql_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q3_SQL)
 
 
+HIST_BIN_CENTS = 50_000_00  # $50k-wide revenue bins
+
+
+def ql_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of order totals → (bin, n_orders,
+    min_cents, max_cents) — the profile behind range partitioning and
+    skew diagnosis. Bin = floor(cents / width) over exact integers, so
+    bucket edges cannot ulp-flip between engines. One scan, one
+    map-side-combined groupBy on a tiny key space — the cheapest
+    possible full-table profile at any scale."""
+    o = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    return (
+        o.withColumn("bin", F.floor(F.col("cents") / HIST_BIN_CENTS))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+ORACLE_HISTOGRAM = f"""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+)
+SELECT CAST(FLOOR(cents / {HIST_BIN_CENTS}) AS BIGINT) AS bin,
+       COUNT(*) AS n_orders,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM c GROUP BY 1
+"""
+
+
+def ql_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs line price per returnflag →
+    (l_returnflag, n, corr) — the summary-statistics member of the
+    aggregate family.
+
+    Cross-engine exactness trick (same family as events_anomaly): the
+    five moment sums run in EXACT decimal(38,0) arithmetic (Spark
+    decimals / DuckDB HUGEINT), and the only float ops are the final
+    conversions — both engines convert the identical integers, so
+    sqrt/division produce bit-identical doubles. Built-in corr() would
+    accumulate doubles in partition order and jitter at the 1e-15
+    level; this formulation is hash-stable by construction, at the
+    same one-scan map-side-combined cost."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("decimal(38,0)").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("corr"),
+    )
+
+
+ORACLE_CORR = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity) AS HUGEINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+               / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
+FROM m
+"""
+
+
+def ql_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent o_orderpriority
+    within each o_orderstatus → (o_orderstatus, mode_priority, n).
+    Ties break to the smallest value, so the answer is unique — the
+    built-in `mode()` leaves ties unspecified, which can never be
+    hash-checked across engines. Two-level aggregate: a
+    map-side-combined groupBy on the (status, priority) key space,
+    then a row_number window over the tiny grouped result — the big
+    scan never sees a window."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+ORACLE_MODE = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                               ORDER BY n DESC, o_orderpriority) AS rn
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+FROM ranked WHERE rn = 1
+"""
+
+
 # --- approximate ------------------------------------------------------------
 
 def ql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,6 +941,9 @@ QUERIES = {
     "ql_setops": ql_setops,
     "ql_scalar_funcs": ql_scalar_funcs,
     "ql_json": ql_json,
+    "ql_histogram": ql_histogram,
+    "ql_corr": ql_corr,
+    "ql_mode": ql_mode,
     "ql_sql_q1": ql_sql_q1,
     "ql_sql_q3": ql_sql_q3,
     "ql_approx_distinct": ql_approx_distinct,
@@ -831,6 +971,9 @@ ORACLE_SQL = {
     "ql_setops": ORACLE_SETOPS,
     "ql_scalar_funcs": ORACLE_SCALAR_FUNCS,
     "ql_json": ORACLE_JSON,
+    "ql_histogram": ORACLE_HISTOGRAM,
+    "ql_corr": ORACLE_CORR,
+    "ql_mode": ORACLE_MODE,
     "ql_sql_q1": TPCH_Q1_SQL,
     "ql_sql_q3": TPCH_Q3_SQL,
 }
