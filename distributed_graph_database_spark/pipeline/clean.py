@@ -276,11 +276,71 @@ FROM documents GROUP BY source
 """
 
 
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave of sources into one global
+    training order → (doc_id, source, global_pos): position k·S + r
+    goes to the k-th document (in reproducible md5 order) of the
+    r-th source. The curriculum/ordering op every multi-source
+    training run needs — consecutive positions cycle through sources
+    so no batch is single-source, and the order is cluster-layout-
+    independent (hash order, never rand() or zipWithIndex).
+
+    Scale shape: within-source numbering is a window partitioned by
+    source (S-way parallel, the same partitioning the corpus already
+    has); the source-rank dimension is computed on the DISTINCT
+    source table (tiny) and broadcast back — the global ordinal is
+    pure arithmetic, so there is NO global window or single-partition
+    sort anywhere. Positions are dense iff sources are equal-sized;
+    order, not density, is the contract."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = (
+        docs.select("source").distinct()
+        .withColumn(
+            "source_rank",
+            F.row_number().over(Window.orderBy("source")),
+        )
+    )
+    n_sources = srcs.select(F.max("source_rank").alias("n_sources"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "doc_id",
+            "source",
+            (
+                (F.col("rn") - 1) * F.col("n_sources")
+                + F.col("source_rank")
+                - 1
+            ).cast("bigint").alias("global_pos"),
+        )
+    )
+
+
+ORACLE_CORPUS_INTERLEAVE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         DENSE_RANK() OVER (ORDER BY source) AS source_rank
+  FROM documents
+),
+n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
+SELECT doc_id, source,
+       CAST((rn - 1) * n.n_sources + source_rank - 1 AS BIGINT) AS global_pos
+FROM ranked CROSS JOIN n
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "corpus_sample": corpus_sample,
     "corpus_pack": corpus_pack,
     "corpus_mix": corpus_mix,
+    "corpus_interleave": corpus_interleave,
 }
 
 ORACLE_SQL = {
@@ -288,4 +348,5 @@ ORACLE_SQL = {
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "corpus_pack": ORACLE_CORPUS_PACK,
     "corpus_mix": _oracle_corpus_mix(),
+    "corpus_interleave": ORACLE_CORPUS_INTERLEAVE,
 }

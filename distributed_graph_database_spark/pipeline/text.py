@@ -533,6 +533,64 @@ WHERE d.doc_id % {CONTAM_BENCH_MOD} <> 0
 """
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy →
+    (doc_id, n_distinct_chars, entropy): the statistical quality gate
+    that catches what rule-based gates (text_quality) can't —
+    near-zero entropy flags repeated-character spam / template
+    boilerplate, abnormally high entropy flags binary-in-text and
+    encoding garbage.
+
+    One explode to (doc_id, char) + ONE map-side-combined groupBy per
+    level: H = ln(n) − (Σ c·ln c)/n needs only the per-(doc, char)
+    counts — no second pass over the text and no window. The explode
+    multiplies rows by doc length, but the per-partition partial
+    aggregate collapses them to |alphabet| rows per doc before any
+    shuffle, so shuffled bytes stay tiny at corpus scale.
+
+    Cross-engine: Σ c·ln(c) sums ~60 doubles per doc; summation-order
+    jitter is ~1e-13 absolute on an O(1) result — far below the 6dp
+    rounding."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[\s\S]"), 0)
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log("c")).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_chars",
+            F.round(
+                F.log("n") - F.col("clogc") / F.col("n"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+ORACLE_TEXT_CHAR_ENTROPY = r"""
+WITH chars AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '[\s\S]')) AS ch
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       COUNT(*) AS n_distinct_chars,
+       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+FROM counts GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -543,6 +601,7 @@ QUERIES = {
     "text_ngrams_top": text_ngrams_top,
     "text_tfidf_top": text_tfidf_top,
     "text_contamination": text_contamination,
+    "text_char_entropy": text_char_entropy,
 }
 
 ORACLE_SQL = {
@@ -555,4 +614,5 @@ ORACLE_SQL = {
     "text_ngrams_top": ORACLE_TEXT_NGRAMS_TOP,
     "text_tfidf_top": ORACLE_TEXT_TFIDF_TOP,
     "text_contamination": ORACLE_TEXT_CONTAMINATION,
+    "text_char_entropy": ORACLE_TEXT_CHAR_ENTROPY,
 }

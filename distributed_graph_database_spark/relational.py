@@ -772,6 +772,39 @@ def ql_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q3_SQL)
 
 
+TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC
+"""
+
+
+def ql_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #3: TPC-H Q5 (local-supplier revenue) — the
+    join-ORDERING stress case: six tables where picking the join
+    sequence and broadcast sides is the whole game. Catalyst reorders
+    the comma-join + WHERE into dim-broadcast hash joins on the two
+    fact tables with both date predicates pushed to the orders scan —
+    from nothing but the shared ANSI string the oracle also runs
+    verbatim. The integer-cents revenue (same expression as Q1's
+    sum_disc_cents) keeps the hash engine-stable."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q5_SQL)
+
+
 HIST_BIN_CENTS = 50_000_00  # $50k-wide revenue bins
 
 
@@ -946,6 +979,7 @@ QUERIES = {
     "ql_mode": ql_mode,
     "ql_sql_q1": ql_sql_q1,
     "ql_sql_q3": ql_sql_q3,
+    "ql_sql_q5": ql_sql_q5,
     "ql_approx_distinct": ql_approx_distinct,
     "ql_approx_quantiles": ql_approx_quantiles,
 }
@@ -976,4 +1010,5 @@ ORACLE_SQL = {
     "ql_mode": ORACLE_MODE,
     "ql_sql_q1": TPCH_Q1_SQL,
     "ql_sql_q3": TPCH_Q3_SQL,
+    "ql_sql_q5": TPCH_Q5_SQL,
 }

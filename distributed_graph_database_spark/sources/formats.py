@@ -348,6 +348,66 @@ FROM unified GROUP BY source
 """
 
 
+SORTED_RANGES = 4
+SORTED_FROM = "1994-01-01"
+SORTED_TO = "1994-02-01"
+
+
+def _sorted_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "bydate")
+    hit = _STAGED.get(key)
+    if hit is not None:
+        return hit
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"dgdb_fmt_{spark.sparkContext.applicationId}_bydate_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .repartitionByRange(SORTED_RANGES, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    _STAGED[key] = d
+    return d
+
+
+def store_sorted_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered storage + min/max skipping: orders written
+    range-partitioned AND sorted by o_orderdate, then a narrow
+    date-window aggregate. With the date clustered, every parquet
+    row group carries a tight (min, max) o_orderdate span, so the
+    pushed predicate (PushedFilters in the plan) eliminates whole
+    row groups AND whole files at the footer — the complement of
+    store_partition_prune for columns too high-cardinality to be
+    partition keys. This is the `CLUSTER BY`/Z-order layout decision
+    at 100 TB: one sort paid at ingest buys every later time-window
+    query a scan proportional to the window, not the table.
+    Output: (o_orderpriority, n_orders, revenue_cents) for one month."""
+    d = _sorted_dir(spark, sf_dir)
+    o = spark.read.parquet(d).filter(
+        (F.col("o_orderdate") >= SORTED_FROM) & (F.col("o_orderdate") < SORTED_TO)
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+ORACLE_STORE_SORTED_PRUNE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderdate >= '{SORTED_FROM}' AND o_orderdate < '{SORTED_TO}'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
@@ -355,6 +415,7 @@ QUERIES = {
     "store_partition_prune": store_partition_prune,
     "store_merge_upsert": store_merge_upsert,
     "store_schema_evolve": store_schema_evolve,
+    "store_sorted_prune": store_sorted_prune,
 }
 
 ORACLE_SQL = {
@@ -364,4 +425,5 @@ ORACLE_SQL = {
     "store_partition_prune": ORACLE_STORE_PARTITION_PRUNE,
     "store_merge_upsert": ORACLE_STORE_MERGE_UPSERT,
     "store_schema_evolve": ORACLE_STORE_SCHEMA_EVOLVE,
+    "store_sorted_prune": ORACLE_STORE_SORTED_PRUNE,
 }

@@ -143,6 +143,27 @@ def user_totals_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming exact dedup via `dropDuplicatesWithinWatermark` —
+    the streaming twin of dedup_exact's keep-one-per-key semantics,
+    keyed here by event_id (the stream's identity key; duplicate
+    deliveries are the at-least-once transport reality this operator
+    exists for).
+
+    State shape at 100 TB/day: one state row per key seen within the
+    watermark horizon, evicted as event time passes — bounded by
+    (arrival rate × horizon), unlike a plain dropDuplicates whose
+    state grows forever. Per-key output is then aggregated to a
+    per-type count so the smoke test compares a small stable frame
+    against the batch distinct."""
+    ev = _events_stream(spark, src_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink
     and return the materialized result table (complete mode for agg

@@ -101,6 +101,32 @@ def test_stateful_user_totals_matches_batch(spark, sf_smoke, events_dir):
     assert got == batch
 
 
+def test_dedup_stream_collapses_duplicate_deliveries(
+    spark, sf_smoke, tmp_path_factory
+):
+    """dropDuplicatesWithinWatermark: the same events file delivered
+    TWICE (the at-least-once transport reality) dedups back to the
+    single-copy batch counts."""
+    from distributed_graph_database_spark.catalog import table
+
+    d = tmp_path_factory.mktemp("events_dup_src")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-1.parquet")
+
+    batch = {
+        r.event_type: r.n_events
+        for r in table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    streamed = events_stream.run_available_now(
+        events_stream.dedup_stream(spark, str(d)), "dedup_smoke"
+    )
+    got = {r.event_type: r.n_events for r in streamed.collect()}
+    assert got == batch
+
+
 def test_sessionize_gap_semantics(spark, sf_oracle):
     """No intra-session gap exceeds the threshold; consecutive sessions
     of one user are separated by more than the gap."""
