@@ -32,23 +32,30 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain parquet scan → Catalyst gets pushdown/pruning.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark reads as int64
-    nanos (session flag `nanosAsLong`); normalize it to a timestamp here
-    so every consumer sees one schema. The testdata carries microsecond
-    precision, so `DIV 1000` is lossless (DuckDB oracles read the same
-    column natively as TIMESTAMP_NS).
+    `events.ts` is stored as parquet TIMESTAMP(isAdjustedToUTC=false,
+    MICROS), which Spark reads as TIMESTAMP_NTZ; normalize it to a plain
+    session-TZ TIMESTAMP here so every consumer sees one schema. The
+    session TZ is pinned to UTC (runtime-settable, so this also covers
+    sessions that didn't come from our factory — e.g. the driver's own),
+    which makes the NTZ wall-clock → instant interpretation exact and
+    epoch arithmetic identical to the DuckDB oracle's EPOCH(ts) on the
+    same naive timestamps. A legacy int64-nanos branch is kept for
+    sessions that read old TIMESTAMP(NANOS) data behind
+    `spark.sql.legacy.parquet.nanosAsLong`.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     if name == "events":
-        # Runtime-settable, and required even when the session didn't
-        # come from our factory (e.g. the driver's own session).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

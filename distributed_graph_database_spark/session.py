@@ -37,10 +37,12 @@ def get_spark(app_name: str = "distributed-graph-database-spark") -> SparkSessio
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         # Arrow batches for any Pandas-UDF path and driver collection.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # The testdata events table stores TIMESTAMP(NANOS) parquet,
-        # which Spark only reads as int64 nanos behind this flag; the
-        # catalog converts to a proper timestamp (micros) on read.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The testdata events table stores TIMESTAMP_NTZ parquet; the
+        # catalog casts it to session-TZ TIMESTAMP on read. Pinning the
+        # session TZ to UTC makes that interpretation (and every epoch
+        # extraction downstream) deterministic and DST-free, matching
+        # the DuckDB oracle's EPOCH() over the same naive timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
         # Quiet progress bars in test output.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

@@ -28,11 +28,16 @@ WATERMARK = "2 hours"
 def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet. The
     static read supplies the schema (file sources require one); the
-    nanos→timestamp normalization mirrors catalog.table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    TIMESTAMP_NTZ → session-TZ timestamp normalization mirrors
+    catalog.table (UTC session pin included, so watermarks and window
+    boundaries agree with the batch contract)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(src_dir).schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return stream
 
