@@ -36,6 +36,18 @@ from ..catalog import table
 # market-basket analogue of dedup_ngram's stop-shingle df cap.
 COPURCHASE_MIN_ORDERS = 2
 
+# Basket-size cap: orders with more than this many distinct parts are
+# excluded from the projection BEFORE the pair join. The quadratic term
+# of a basket projection is per-order basket², so one adversarial
+# mega-basket (a crawler cart, a batch import) is Θ(basket²) pair rows
+# through the shuffle; the cap bounds it at CAP² ≈ 4k rows per order.
+# TPC-H baskets are ≤ 7 lineitems, so on the testdata the cap filters
+# nothing — output invariance is pinned by
+# tests/test_scale_guards.py. Mirrored in the DuckDB oracle so the
+# declared semantics INCLUDE the cap (VERDICT r4 item 7: enforce the
+# documented guard, don't prose it).
+COPURCHASE_MAX_BASKET = 64
+
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached entry (cache.shared): the projected edge table feeds
@@ -47,8 +59,18 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _copurchase_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part pairs (p1 < p2) co-occurring in ≥ COPURCHASE_MIN_ORDERS
-    orders, with the co-occurrence count: (p1, p2, n_orders)."""
+    orders, with the co-occurrence count: (p1, p2, n_orders).
+
+    The basket-size window is partitioned by l_orderkey — the same key
+    the self-join shuffles on — so the guard rides the one existing
+    exchange instead of adding a second shuffle."""
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    basket = Window.partitionBy("l_orderkey")
+    li = li.withColumn("basket_n", F.count(F.lit(1)).over(basket)).filter(
+        F.col("basket_n") <= COPURCHASE_MAX_BASKET
+    ).drop("basket_n")
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(
@@ -69,7 +91,12 @@ def graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GRAPH_COPURCHASE = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+)
 SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
 FROM li a JOIN li b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -116,7 +143,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GRAPH_TRIANGLES = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
 e AS (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM li a JOIN li b
@@ -206,7 +238,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_pagerank() -> str:
     base = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
 e AS (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM li a JOIN li b
@@ -293,7 +330,12 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_sssp() -> str:
     base = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
 e AS (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
   FROM li a JOIN li b
@@ -385,7 +427,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_kcore() -> str:
     base = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
 e AS (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM li a JOIN li b
@@ -489,7 +536,12 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GRAPH_JACCARD = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
 e AS (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM li a JOIN li b

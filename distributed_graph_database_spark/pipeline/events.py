@@ -289,6 +289,18 @@ FROM hops GROUP BY 1, 2
 
 RANGE_JOIN_BAND_S = 5 * 60  # view → any-user click window
 
+# Skew guard: a viral burst puts millions of clicks into ONE 5-minute
+# band — one reducer's partition under a bare bucket key. Each click is
+# deterministically hash-salted into one of RANGE_JOIN_SALTS sub-keys
+# and every view probes all salts of its two buckets, so a hot band
+# splits across RANGE_JOIN_SALTS tasks at the price of a bounded
+# (2×SALTS-row) probe expansion per view. Output-invariant by
+# construction (each click holds exactly one (bucket, salt); a view
+# probes each combination once) — pinned against brute force in
+# tests/test_new_pipeline_ops.py and on boundary fixtures in
+# tests/test_catalog_schema.py (VERDICT r4 item 7).
+RANGE_JOIN_SALTS = 4
+
 
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global time-range join: for every view, count clicks by ANY
@@ -304,8 +316,8 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals inside the hash join. Cost: 2× view rows through one
     equi-shuffle, never |views|×|clicks|. This is the standard
     interval-join recipe (Flink executes its interval joins the same
-    way) — at 100 TB the bucket key is additionally salted by date to
-    keep any hot band bounded."""
+    way); the bucket key is additionally hash-salted (RANGE_JOIN_SALTS)
+    so a hot band never concentrates on one reducer."""
     return range_join_frame(table(spark, sf_dir, "events"))
 
 
@@ -317,6 +329,7 @@ def range_join_frame(ev: DataFrame) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("ts").alias("c_ts"),
         (F.unix_timestamp("ts") / band).cast("bigint").alias("bucket"),
+        F.pmod(F.hash("event_id"), F.lit(RANGE_JOIN_SALTS)).alias("salt"),
     )
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -330,6 +343,14 @@ def range_join_frame(ev: DataFrame) -> DataFrame:
             "v_ts",
             F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
         )
+        .select(
+            "view_id",
+            "v_ts",
+            "bucket",
+            F.explode(
+                F.array(*[F.lit(s) for s in range(RANGE_JOIN_SALTS)])
+            ).alias("salt"),
+        )
     )
     in_range = (
         F.col("c_ts").isNotNull()
@@ -342,10 +363,10 @@ def range_join_frame(ev: DataFrame) -> DataFrame:
     # The range predicate lives in the aggregate, not a filter: a view
     # whose buckets hold only out-of-range clicks must still emit its
     # zero row (a filter would drop it and diverge from the oracle's
-    # LEFT JOIN). A click matches via exactly one of the two probe
-    # rows (it has one bucket), so no double counting.
+    # LEFT JOIN). A click matches via exactly one of the probe rows
+    # (it has one (bucket, salt)), so no double counting.
     return (
-        views.join(clicks, "bucket", "left")
+        views.join(clicks, ["bucket", "salt"], "left")
         .groupBy("view_id")
         .agg(F.sum(in_range.cast("bigint")).alias("n_clicks_5min"))
     )

@@ -129,7 +129,7 @@ def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES: dict[str, QueryFn] = {
+_CORE_GRAPH: dict[str, QueryFn] = {
     "bfs_levels": q_bfs_levels,
     "bfs_order": q_bfs_order,
     "dfs_leaves": q_dfs_leaves,
@@ -139,18 +139,45 @@ QUERIES: dict[str, QueryFn] = {
     "vertex_degree_hist": q_vertex_degree_hist,
     "graph_components": q_graph_components,
     "graph_stats": q_graph_stats,
-    **relational.QUERIES,
-    **ops.QUERIES,
-    **matrix.QUERIES,
-    **formats.QUERIES,
-    **pl_text.QUERIES,
-    **pl_clean.QUERIES,
-    **pl_dedup.QUERIES,
-    **pl_sim.QUERIES,
-    **pl_events.QUERIES,
-    **pl_mm.QUERIES,
-    **g_analytics.QUERIES,
 }
+
+
+def _interleave(families: list[dict[str, QueryFn]]) -> dict[str, QueryFn]:
+    """Round-robin merge of the family dicts. The round driver records
+    correctness for a prefix of this dict in iteration order (r4: only
+    the first 50 keys made CORRECTNESS_r04.json, leaving whole families
+    invisible); interleaving guarantees any prefix of ≥len(families)
+    keys samples every component (VERDICT r4 item 4)."""
+    out: dict[str, QueryFn] = {}
+    iters = [iter(d.items()) for d in families]
+    while iters:
+        alive = []
+        for it in iters:
+            entry = next(it, None)
+            if entry is not None:
+                key, fn = entry
+                out[key] = fn
+                alive.append(it)
+        iters = alive
+    return out
+
+
+QUERIES: dict[str, QueryFn] = _interleave(
+    [
+        _CORE_GRAPH,
+        relational.QUERIES,
+        ops.QUERIES,
+        matrix.QUERIES,
+        formats.QUERIES,
+        pl_text.QUERIES,
+        pl_clean.QUERIES,
+        pl_dedup.QUERIES,
+        pl_sim.QUERIES,
+        pl_events.QUERIES,
+        pl_mm.QUERIES,
+        g_analytics.QUERIES,
+    ]
+)
 
 # Uncached plan views for machine plan assertions: keys served through
 # cache.shared return a checkpoint scan, which would make plan-hygiene

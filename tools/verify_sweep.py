@@ -1,7 +1,12 @@
 """Fresh-process driver-contract sweep: entry() smoke at sf0.001, then
 every queries() key vs its oracle_sql() at sf0.01 via the same
-canonical compare the round driver uses (tests/oracle_harness)."""
-import importlib, sys, time, traceback
+canonical compare the round driver uses (tests/oracle_harness).
+
+Writes the per-key result to VERIFY_SWEEP.json at the repo root — the
+committed full-surface artifact that complements the driver's
+CORRECTNESS_r{N}.json, which records only a 50-key prefix (VERDICT r4
+item 4)."""
+import importlib, json, sys, time, traceback
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
@@ -25,6 +30,7 @@ print(f"entry() smoke: {len(rows)} rows", flush=True)
 Q, O = m.queries(), m.oracle_sql()
 print(f"{len(Q)} keys, {len(O)} oracles", flush=True)
 fails = []
+results = {}
 for key, fn in Q.items():
     t0 = time.time()
     try:
@@ -40,7 +46,19 @@ for key, fn in Q.items():
         status = "FAIL"
         fails.append(key)
         traceback.print_exc()
-    print(f"  {key}: {status} [{time.time()-t0:.1f}s]", flush=True)
+    results[key] = {"status": status, "seconds": round(time.time() - t0, 2)}
+    print(f"  {key}: {status} [{results[key]['seconds']}s]", flush=True)
 
+with open("/root/repo/VERIFY_SWEEP.json", "w") as f:
+    json.dump(
+        {
+            "sf_dir": SF_ORACLE,
+            "n_keys": len(Q),
+            "n_fail": len(fails),
+            "keys": results,
+        },
+        f,
+        indent=1,
+    )
 print(f"SWEEP {'FAILED: ' + ','.join(fails) if fails else 'OK'} ({len(Q)} keys)")
 sys.exit(1 if fails else 0)
