@@ -127,6 +127,84 @@ def test_dedup_stream_collapses_duplicate_deliveries(
     assert got == batch
 
 
+def test_watermark_drops_late_rows(spark, tmp_path_factory):
+    """The watermark CONTRACT, not just convergence: an event arriving
+    in a later micro-batch with event time behind the watermark must be
+    excluded from the aggregation (and the closed window must not
+    re-emit), while the same data in batch mode counts it. Three files
+    forced into three micro-batches via maxFilesPerTrigger=1, ordered
+    by modification time. The late row lands TWO batches after the
+    watermark driver: Spark filters late events against the PREVIOUS
+    batch's watermark (the chained-stateful-operator semantics), so a
+    row arriving in the very next batch after the driver is still
+    admitted — pinned here because the twins' availableNow smoke tests
+    would never catch a regression in this behavior."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path_factory.mktemp("late_src")
+    stage = tmp_path_factory.mktemp("late_stage")
+    T = dt.datetime(2000, 1, 1, 0, 30)
+
+    def stage_file(name, rows, mtime):
+        d = str(stage / name)
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, user_id long, value double, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+        return dst
+
+    # batch 0: three in-window clicks + a watermark driver at 05:00
+    # => watermark after batch 0 = 03:00, window [00:00, 01:00) closes
+    stage_file(
+        "a",
+        [
+            (1, "click", 1, 1.0, T),
+            (2, "click", 1, 1.0, T),
+            (3, "click", 2, 1.0, T),
+            (4, "click", 3, 1.0, T.replace(hour=5, minute=0)),
+        ],
+        1_000_000_000,
+    )
+    # batch 1: an on-time event whose window never closes before
+    # end-of-stream (and advances the watermark to 04:00)
+    stage_file("b", [(6, "click", 5, 1.0, T.replace(hour=6, minute=0))], 1_000_000_100)
+    # batch 2: one LATE click — 00:45 is behind the previous batch's
+    # 03:00 watermark, so it must be dropped, not re-open the window
+    stage_file("c", [(5, "click", 4, 1.0, T.replace(minute=45))], 1_000_000_200)
+
+    schema = spark.read.parquet(str(src)).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.w.start.isoformat(), r.event_type): r.n
+        for r in spark.table("late_smoke").collect()
+    }
+    # late click NOT counted (batch mode would say 4); closed window
+    # emitted exactly once; unclosed windows (05:00, 06:00) withheld
+    assert got == {("2000-01-01T00:00:00", "click"): 3}
+
+
 def test_sessionize_gap_semantics(spark, sf_oracle):
     """No intra-session gap exceeds the threshold; consecutive sessions
     of one user are separated by more than the gap."""

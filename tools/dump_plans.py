@@ -66,9 +66,22 @@ HEADLINERS: dict[str, str] = {
     ),
     "events_range_join": (
         "Time-range join WITHOUT an equi-key: band-bucketing manufactures "
-        "one (clicks keyed by epoch÷band, views probe 2 buckets), so the "
-        "plan is a hash join + aggregate — a naive formulation would be a "
-        "BroadcastNestedLoopJoin that dies at scale."
+        "one (clicks keyed by epoch÷band plus a 4-way hash salt, views "
+        "probe 2 buckets × 4 salts), so the plan is a hash join + "
+        "aggregate and a hot 5-minute band splits across 4 reducers — a "
+        "naive formulation would be a BroadcastNestedLoopJoin that dies "
+        "at scale."
+    ),
+    "events_asof_join": (
+        "As-of join as a LINEAR merge-scan: one shuffle on user_id, one "
+        "within-partition sort, `last(..., ignorenulls)` carries the "
+        "newest view forward — never the per-user quadratic range join."
+    ),
+    "graph_copurchase": (
+        "Basket projection with the enforced size cap: the basket count "
+        "window rides the same l_orderkey exchange the pair self-join "
+        "needs, so the guard adds zero extra shuffles and any "
+        "adversarial mega-basket is dropped before the quadratic term."
     ),
     "corpus_pack": (
         "Token packing as sharded window algebra: the running sum "
