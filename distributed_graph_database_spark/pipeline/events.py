@@ -576,6 +576,51 @@ FROM counts
 """
 
 
+DEDUP_UNIT = "hour"  # burst-collapse window
+
+
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dropDuplicatesWithinWatermark shape:
+    collapse burst/retransmission duplicates — same user, same event
+    type, same clock hour — to the earliest occurrence, reported as a
+    per-type reduction summary → (event_type, n_raw, n_kept). The
+    at-least-once-delivery resolution every event pipeline runs before
+    aggregation (~1% of the testdata collapses at the hour grain, so
+    the key is non-vacuous).
+
+    Scale shape: one shuffle on the dedup key for the row_number
+    window, then a tiny per-type aggregate. The dedup key
+    (user, type, hour) is high-cardinality and unskewed by
+    construction — the hour component bounds any single partition's
+    window to one user-type-hour cell."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc(DEDUP_UNIT, "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+        )
+    )
+
+
+ORACLE_EVENTS_DEDUP = f"""
+WITH r AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type, DATE_TRUNC('{DEDUP_UNIT}', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_raw,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -587,6 +632,7 @@ QUERIES = {
     "events_anomaly": events_anomaly,
     "events_scrub": events_scrub,
     "events_transitions": events_transitions,
+    "events_dedup": events_dedup,
 }
 
 ORACLE_SQL = {
@@ -600,4 +646,5 @@ ORACLE_SQL = {
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "events_scrub": ORACLE_EVENTS_SCRUB,
     "events_transitions": ORACLE_EVENTS_TRANSITIONS,
+    "events_dedup": ORACLE_EVENTS_DEDUP,
 }

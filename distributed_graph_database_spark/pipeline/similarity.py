@@ -420,6 +420,63 @@ GROUP BY e.query_id
 """
 
 
+RANGE_SEARCH_T = 0.3  # cosine radius (testdata cosines top out ~0.40)
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search — the OTHER ANN query form next to top-k: every
+    corpus vector within cosine ≥ RANGE_SEARCH_T of each pinned query
+    → (query_id, neighbor_id, cosine). Unlike top-k the result size is
+    data-dependent, which is exactly why real vector stores expose
+    both (dedup wants a radius, retrieval wants a k).
+
+    Same scale shape as sim_topk: the query set broadcasts, the corpus
+    is scanned once, and the threshold filter runs inside the join
+    projection, so only matches reach the (absent) downstream shuffle
+    — a radius query is a pure map over the corpus. The IVF-bucketed
+    variant would prune cells by centroid-distance bound
+    (|cos(q,c)| ≥ T - cell radius); at this corpus size the single
+    scan IS the right plan."""
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    return (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")))
+        .filter(F.col("cosine") >= RANGE_SEARCH_T)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+# Unit-normalize once in a CTE (the dedup_embed formulation) so both
+# engines compare the identical plain-dot double at the threshold.
+ORACLE_SIM_RANGE_SEARCH = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM e0
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {N_QUERIES}
+)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       ROUND(list_dot_product(q.qv, e.v), 6) AS cosine
+FROM q JOIN e ON e.vec_id <> q.query_id
+WHERE list_dot_product(q.qv, e.v) >= {RANGE_SEARCH_T}
+"""
+
+
 KMEANS_K = 8
 
 
@@ -563,6 +620,7 @@ QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_ivf_recall": sim_ivf_recall,
+    "sim_range_search": sim_range_search,
     "dedup_embed": dedup_embed,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_score": ml_score,
@@ -574,6 +632,7 @@ ORACLE_SQL = {
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
     "sim_ivf_recall": ORACLE_SIM_IVF_RECALL,
+    "sim_range_search": ORACLE_SIM_RANGE_SEARCH,
     "dedup_embed": ORACLE_DEDUP_EMBED,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
     "ml_score": ORACLE_ML_SCORE,

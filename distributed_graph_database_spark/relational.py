@@ -805,6 +805,30 @@ def ql_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q5_SQL)
 
 
+GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def ql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form the rollup/cube keys
+    specialize: detail, one partial, and the grand total in ONE pass.
+    Shares the ANSI string with the oracle verbatim (both dialects
+    accept identical GROUPING SETS syntax). Plan: Catalyst's Expand
+    replicates each row once per matching set BEFORE the single
+    map-side-combined aggregate — the 3× expansion happens pre-shuffle
+    so the exchange still carries only partials, the same cost shape
+    as ql_rollup at any scale. NULL-grouped labels are COALESCEd to a
+    sentinel so the output is null-free and hash-stable."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(GROUPING_SETS_SQL)
+
+
 HIST_BIN_CENTS = 50_000_00  # $50k-wide revenue bins
 
 
@@ -967,6 +991,7 @@ QUERIES = {
     "ql_distinct": ql_distinct,
     "ql_rollup": ql_rollup,
     "ql_cube": ql_cube,
+    "ql_grouping_sets": ql_grouping_sets,
     "ql_pivot": ql_pivot,
     "ql_window_rank": ql_window_rank,
     "ql_window_running": ql_window_running,
@@ -998,6 +1023,7 @@ ORACLE_SQL = {
     "ql_distinct": ORACLE_DISTINCT,
     "ql_rollup": ORACLE_ROLLUP,
     "ql_cube": ORACLE_CUBE,
+    "ql_grouping_sets": GROUPING_SETS_SQL,
     "ql_pivot": ORACLE_PIVOT,
     "ql_window_rank": ORACLE_WINDOW_RANK,
     "ql_window_running": ORACLE_WINDOW_RUNNING,

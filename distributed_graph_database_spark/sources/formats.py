@@ -411,6 +411,65 @@ GROUP BY o_orderpriority
 """
 
 
+def store_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-statistics collection (the ANALYZE TABLE op a warehouse
+    runs after ingest — the numbers that feed broadcast decisions,
+    partition sizing, and range-partition bounds) → one row per
+    profiled orders column: (col_name, n_rows, n_nulls, n_distinct,
+    min_s, max_s), min/max as canonical strings.
+
+    One scan computes every metric: a single wide aggregate (Catalyst
+    plans the multi-distinct via Expand — each row fans out once per
+    distinct-column, all before the shuffle carries only partials),
+    then a 1-row stack() to the long stats shape. Exact
+    COUNT(DISTINCT) keeps the oracle hash-exact; at 100 TB the same
+    shape swaps in approx_count_distinct per column and drops the
+    Expand entirely. o_totalprice is profiled in integer cents so
+    min/max strings can't drift on double formatting."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("o_totalprice_cents"),
+    )
+    cols = ["o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice_cents"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_s, max_s)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+def _oracle_store_stats() -> str:
+    branches = []
+    for c in ["o_custkey", "o_orderpriority", "o_orderdate", "o_totalprice_cents"]:
+        branches.append(f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM o""")
+    return (
+        "WITH o AS (SELECT o_custkey, o_orderpriority, o_orderdate, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents "
+        "FROM orders)"
+        + "\nUNION ALL".join(branches)
+    )
+
+
 QUERIES = {
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
@@ -419,6 +478,7 @@ QUERIES = {
     "store_merge_upsert": store_merge_upsert,
     "store_schema_evolve": store_schema_evolve,
     "store_sorted_prune": store_sorted_prune,
+    "store_stats_collect": store_stats_collect,
 }
 
 ORACLE_SQL = {
@@ -429,4 +489,5 @@ ORACLE_SQL = {
     "store_merge_upsert": ORACLE_STORE_MERGE_UPSERT,
     "store_schema_evolve": ORACLE_STORE_SCHEMA_EVOLVE,
     "store_sorted_prune": ORACLE_STORE_SORTED_PRUNE,
+    "store_stats_collect": _oracle_store_stats(),
 }
