@@ -24,6 +24,7 @@ from .pipeline import similarity as pl_sim
 from .pipeline import text as pl_text
 from .sources import formats, matrix
 from .graph import analytics as g_analytics
+from .streaming import events_stream as streaming
 from .graph.derive import DEFAULT_START_SQL, DERIVED_EDGES_SQL, DERIVED_SYM_SQL
 from .graph.traversal import BFS_ORDER_MAX_VERTICES, MAX_LEVELS_DEFAULT
 
@@ -122,4 +123,5 @@ FROM gids g LEFT JOIN v USING (graph_id) LEFT JOIN ec USING (graph_id)
     **pl_events.ORACLE_SQL,
     **g_analytics.ORACLE_SQL,
     **pl_mm.ORACLE_SQL,
+    **streaming.ORACLE_SQL,
 }

@@ -22,6 +22,7 @@ from .pipeline import text as pl_text
 from .sources import formats, matrix
 from .graph import analytics as g_analytics
 from .graph import derive, traversal
+from .streaming import events_stream as streaming
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -176,6 +177,7 @@ QUERIES: dict[str, QueryFn] = _interleave(
         pl_events.QUERIES,
         pl_mm.QUERIES,
         g_analytics.QUERIES,
+        streaming.QUERIES,
     ]
 )
 

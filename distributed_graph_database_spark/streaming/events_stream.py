@@ -16,6 +16,11 @@ bounded-state shapes for 100 TB/day streams.
 
 from __future__ import annotations
 
+import itertools
+import os
+import shutil
+import tempfile
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -167,6 +172,100 @@ def dedup_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+_STREAM_SEQ = itertools.count()
+_SRC_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _events_src_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY (it derives
+    basePath); stage the single events parquet into one, once per
+    (session, sf). At scale the stream source is already a directory
+    (or kafka) — this staging is a testdata-layout shim only."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SRC_STAGED.get(key)
+    if hit is not None:
+        return hit
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"dgdb_stream_src_{spark.sparkContext.applicationId}_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
+    )
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    _SRC_STAGED[key] = d
+    return d
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the tumbling-window twin run end to end
+    through Structured Streaming — readStream file source → watermark →
+    windowed agg → availableNow drain — and returned as the final
+    result table. With a static source fully drained, the final state
+    equals the batch rollup, so this key carries an EXACT oracle: the
+    streaming engine itself is under the driver's hash check, not just
+    under pytest smoke tests.
+
+    Scale notes: the memory sink here is the smoke-surface stand-in
+    for the kafka/delta sink a deployment uses; state is one row per
+    (window, type), evicted as the watermark passes (the bounded-state
+    contract the availableNow drain demonstrates)."""
+    src = _events_src_dir(spark, sf_dir)
+    name = f"stream_tumbling_{next(_STREAM_SEQ)}"
+    return run_available_now(tumbling_stream(spark, src), name)
+
+
+ORACLE_STREAM_TUMBLING = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the `applyInPandasWithState` custom
+    stateful operator (per-user running totals) drained with
+    availableNow. Update mode can emit one row per user per
+    micro-batch; running totals are monotone in n_events, so the final
+    state per user is its max-n row — selected with a window, never by
+    relying on sink row order. Exact oracle: final state ≡ batch
+    groupBy."""
+    from pyspark.sql import Window
+
+    src = _events_src_dir(spark, sf_dir)
+    name = f"stream_user_totals_{next(_STREAM_SEQ)}"
+    res = run_available_now(user_totals_stream(spark, src), name, mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value_cents")
+    )
+
+
+ORACLE_STREAM_USER_TOTALS = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "stream_tumbling": stream_tumbling,
+    "stream_user_totals": stream_user_totals,
+}
+
+ORACLE_SQL = {
+    "stream_tumbling": ORACLE_STREAM_TUMBLING,
+    "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
+}
 
 
 def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
