@@ -544,6 +544,60 @@ WINDOW
 """
 
 
+RANGE_FRAME_DAYS = 90  # rolling window width (value-based, not row-based)
+
+
+def ql_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window — the VALUE-width sibling of
+    ql_window_running's ROWS frames: per-customer rolling 90-day order
+    count and revenue, where the frame is every order whose date falls
+    within the trailing window regardless of how many rows that is
+    (ROWS frames count rows; a gap-y time series needs value frames —
+    the rolling-metric shape of every time-series dashboard). Frame key
+    is the integer day number so both engines evaluate the identical
+    numeric RANGE bound; same-day orders are frame PEERS (all included,
+    tie order irrelevant), which is exactly the ties semantics ROWS
+    cannot express.
+
+    Scale shape identical to any window: one shuffle on o_custkey,
+    frames evaluated inside the sorted partition with a sliding
+    accumulator — never a self-join against the trailing window."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-(RANGE_FRAME_DAYS - 1), Window.currentRow)
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1995-01-01")).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders_90d"),
+        F.sum("cents").over(w).alias("revenue_cents_90d"),
+    )
+
+
+ORACLE_WINDOW_RANGE = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1995-01-01', o_orderdate) AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, CAST(day AS INT) AS day,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_90d,
+       CAST(SUM(cents) OVER w AS BIGINT) AS revenue_cents_90d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN {RANGE_FRAME_DAYS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 def ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 orders by price: orderBy+limit compiles to
     TakeOrderedAndProject (per-partition heaps + driver merge of 10
@@ -995,6 +1049,7 @@ QUERIES = {
     "ql_pivot": ql_pivot,
     "ql_window_rank": ql_window_rank,
     "ql_window_running": ql_window_running,
+    "ql_window_range": ql_window_range,
     "ql_topk": ql_topk,
     "ql_setops": ql_setops,
     "ql_scalar_funcs": ql_scalar_funcs,
@@ -1027,6 +1082,7 @@ ORACLE_SQL = {
     "ql_pivot": ORACLE_PIVOT,
     "ql_window_rank": ORACLE_WINDOW_RANK,
     "ql_window_running": ORACLE_WINDOW_RUNNING,
+    "ql_window_range": ORACLE_WINDOW_RANGE,
     "ql_topk": ORACLE_TOPK,
     "ql_setops": ORACLE_SETOPS,
     "ql_scalar_funcs": ORACLE_SCALAR_FUNCS,
