@@ -388,27 +388,32 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     KCORE_MAX_ROUNDS is hit without convergence rather than silently
     returning an unpeeled set (the components lesson, ADVICE r2)."""
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = (
+    # The loop state is the SURVIVING SUBGRAPH itself, physically
+    # re-materialized each round — peeling removes edges, so every
+    # later round scans only what survived (monotonically shrinking
+    # I/O), instead of re-filtering the full edge set against a
+    # survivor list every round. Edge-count fixpoint ⟺ vertex
+    # fixpoint: if no edge was removed, degrees are unchanged, so the
+    # next survivor set is identical.
+    sub = (
         e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionAll(e.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    alive = sym.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
-    n_prev = alive.count()
+    n_prev = sub.count()
     for _ in range(KCORE_MAX_ROUNDS):
-        deg = (
-            sym.join(alive.withColumnRenamed("v", "src"), "src", "left_semi")
-            .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
         survivors = (
-            deg.filter(F.col("d") >= KCORE_K)
+            sub.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
             .select(F.col("src").alias("v"))
+        )
+        sub = (
+            sub.join(survivors.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(survivors.withColumnRenamed("v", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        n = survivors.count()
-        alive = survivors
+        n = sub.count()
         if n == n_prev:
             break
         n_prev = n
@@ -417,9 +422,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"k-core did not converge within {KCORE_MAX_ROUNDS} rounds"
         )
     return (
-        sym.join(alive.withColumnRenamed("v", "src"), "src", "left_semi")
-        .join(alive.withColumnRenamed("v", "dst"), "dst", "left_semi")
-        .groupBy("src")
+        sub.groupBy("src")
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .select(F.col("src").alias("vid"), "core_degree")
     )
