@@ -587,6 +587,86 @@ JOIN deg db ON e.p2 = db.v
 """
 
 
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph → one row
+    (n_endpoints, assortativity): the Pearson correlation of endpoint
+    degrees over every directed edge — THE one-number topology summary
+    (hub-to-hub vs hub-to-leaf wiring) that decides whether degree-based
+    partitioning will skew.
+
+    Cross-engine exactness: ql_corr's recipe — the five moment sums run
+    in exact decimal(38,0) (degrees are small ints, edges bounded, so
+    intermediates are exact), the only float ops are the final
+    conversions both engines apply to identical integers. Cost: one
+    degree groupBy + two joins of the edge list against the (tiny)
+    degree table + one global aggregate; no shuffle carries anything
+    wider than (x, y) int pairs."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    xy = (
+        sym.join(deg.withColumnRenamed("src", "src").withColumnRenamed("d", "dx"), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")), "dst"
+        )
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_endpoints"),
+        F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("assortativity"),
+    )
+
+
+ORACLE_GRAPH_ASSORTATIVITY = f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS (SELECT p1 AS src, p2 AS dst FROM e UNION ALL SELECT p2, p1 FROM e),
+deg AS (SELECT src AS v, CAST(COUNT(*) AS HUGEINT) AS d FROM sym GROUP BY src),
+xy AS (
+  SELECT da.d AS x, db.d AS y
+  FROM sym JOIN deg da ON sym.src = da.v JOIN deg db ON sym.dst = db.v
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_endpoints,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+               / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS assortativity
+FROM m
+"""
+
+
 QUERIES = {
     "graph_copurchase": graph_copurchase,
     "graph_triangles": graph_triangles,
@@ -594,6 +674,7 @@ QUERIES = {
     "graph_sssp": graph_sssp,
     "graph_kcore": graph_kcore,
     "graph_jaccard": graph_jaccard,
+    "graph_assortativity": graph_assortativity,
 }
 
 ORACLE_SQL = {
@@ -603,4 +684,5 @@ ORACLE_SQL = {
     "graph_sssp": _oracle_sssp(),
     "graph_kcore": _oracle_kcore(),
     "graph_jaccard": ORACLE_GRAPH_JACCARD,
+    "graph_assortativity": ORACLE_GRAPH_ASSORTATIVITY,
 }
