@@ -1,0 +1,53 @@
+"""Registry-order contract (VERDICT r4 item 4): the round driver
+records correctness for only a ~50-key prefix of the registry in
+iteration order. The interleaved composition must keep every family
+visible inside that window — this test fails if a future reordering
+(or a large family addition) pushes any component out of the driver's
+recorded sample."""
+
+from __future__ import annotations
+
+import re
+
+from distributed_graph_database_spark import oracles, registry
+
+DRIVER_WINDOW = 50
+
+FAMILY_PATTERNS = {
+    "core-graph": r"^(bfs_|dfs_|reachable|neighbors|vertex_|graph_components|graph_stats)",
+    "relational": r"^ql_",
+    "ops": r"^(route_|validate_|ops_)",
+    "matrix": r"^graph_(from|store|export)_",
+    "stores": r"^(source_|store_)",
+    "text": r"^text_",
+    "corpus": r"^(pipeline_clean|corpus_)",
+    "dedup": r"^dedup_(?!embed)",
+    "similarity": r"^(sim_|ml_|dedup_embed)",
+    "events": r"^events_",
+    "multimodal": r"^mm_",
+    "graph-analytics": r"^graph_(copurchase|triangles|pagerank|sssp|kcore|jaccard|assortativity)",
+    "streaming": r"^stream_",
+}
+
+
+def test_every_family_lands_in_the_driver_window():
+    prefix = list(registry.QUERIES)[:DRIVER_WINDOW]
+    missing = {
+        fam: pat
+        for fam, pat in FAMILY_PATTERNS.items()
+        if not any(re.match(pat, k) for k in prefix)
+    }
+    assert not missing, (
+        f"families invisible to the driver's {DRIVER_WINDOW}-key window: "
+        f"{sorted(missing)}; first keys: {prefix[:15]}…"
+    )
+
+
+def test_every_key_matches_exactly_one_family():
+    for k in registry.QUERIES:
+        hits = [f for f, p in FAMILY_PATTERNS.items() if re.match(p, k)]
+        assert len(hits) == 1, f"{k}: matched {hits}"
+
+
+def test_oracle_keys_are_registered():
+    assert set(oracles.ORACLE_SQL) <= set(registry.QUERIES)
