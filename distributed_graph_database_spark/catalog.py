@@ -28,6 +28,37 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Sessions whose TZ this module has already had to override (warn once
+# per session, keyed by application id).
+_TZ_WARNED: set[str] = set()
+
+
+def _ensure_utc_session(spark: SparkSession) -> None:
+    """Guarded fallback for sessions not built by session.get_spark
+    (which pins UTC at construction): the events NTZ→TIMESTAMP cast is
+    only correct under a UTC session TZ, so enforce it — but loudly,
+    once, so a host application learns its TZ was overridden rather
+    than discovering shifted timestamps."""
+    # No-default get: the effective value falls back to the JVM default
+    # TZ. (Passing a default string here would make Spark VALIDATE it
+    # as a timezone when the conf is unset — i.e. only in foreign
+    # sessions, the exact case this guard serves.)
+    if spark.conf.get("spark.sql.session.timeZone") == "UTC":
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _TZ_WARNED:
+        _TZ_WARNED.add(app_id)
+        import warnings
+
+        warnings.warn(
+            "distributed_graph_database_spark: overriding session "
+            "spark.sql.session.timeZone to UTC — the events table stores "
+            "TIMESTAMP_NTZ and its normalization contract is UTC "
+            "(see catalog.table docstring)",
+            stacklevel=3,
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain parquet scan → Catalyst gets pushdown/pruning.
@@ -35,18 +66,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     `events.ts` is stored as parquet TIMESTAMP(isAdjustedToUTC=false,
     MICROS), which Spark reads as TIMESTAMP_NTZ; normalize it to a plain
     session-TZ TIMESTAMP here so every consumer sees one schema. The
-    session TZ is pinned to UTC (runtime-settable, so this also covers
-    sessions that didn't come from our factory — e.g. the driver's own),
-    which makes the NTZ wall-clock → instant interpretation exact and
-    epoch arithmetic identical to the DuckDB oracle's EPOCH(ts) on the
-    same naive timestamps. A legacy int64-nanos branch is kept for
-    sessions that read old TIMESTAMP(NANOS) data behind
+    engine's own session factory (session.get_spark) pins the session
+    TZ to UTC, which makes the NTZ wall-clock → instant interpretation
+    exact and epoch arithmetic identical to the DuckDB oracle's
+    EPOCH(ts) on the same naive timestamps. Because the cast is LAZY
+    (it resolves against the session TZ at execution time), a foreign
+    session — e.g. the round driver's own — that isn't UTC would
+    silently shift every events timestamp; for those sessions this
+    seam force-sets UTC once and warns, so the override is visible
+    instead of a side effect (ADVICE r5). A legacy int64-nanos branch
+    is kept for sessions that read old TIMESTAMP(NANOS) data behind
     `spark.sql.legacy.parquet.nanosAsLong`.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _ensure_utc_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F

@@ -627,9 +627,16 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # Degree-regular graph ⇒ both variances 0 ⇒ correlation undefined:
+    # emit NULL (nullif on the denominator, mirrored in the oracle)
+    # rather than engine-dependent NaN/Inf division behavior (ADVICE
+    # r5). decimal(38,0) moment sums are exact up to |E|·max_deg² <
+    # 10^38 — far beyond any realistic graph; past it Spark nulls on
+    # overflow rather than silently wrapping.
+    den = F.nullif(F.sqrt(varx) * F.sqrt(vary), F.lit(0.0))
     return agg.select(
         F.col("n").cast("bigint").alias("n_endpoints"),
-        F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("assortativity"),
+        F.round(num / den, 6).alias("assortativity"),
     )
 
 
@@ -661,8 +668,9 @@ m AS (
 )
 SELECT CAST(n AS BIGINT) AS n_endpoints,
        ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
-               / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
-                  * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS assortativity
+               / NULLIF(SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * SQRT(CAST(n*syy - sy*sy AS DOUBLE)), 0), 6)
+         AS assortativity
 FROM m
 """
 

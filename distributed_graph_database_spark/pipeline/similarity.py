@@ -443,15 +443,19 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     )
+    # Threshold on the ROUNDED cosine (the same value both engines
+    # compare and emit): a raw-double threshold could flip membership
+    # of a vector whose cosine lands within float rounding of T
+    # between the two engines' independent dot evaluations (ADVICE r5).
     return (
         F.broadcast(q)
         .join(emb, F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("v")))
+        .withColumn("cosine", F.round(_dot(F.col("qv"), F.col("v")), 6))
         .filter(F.col("cosine") >= RANGE_SEARCH_T)
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round("cosine", 6).alias("cosine"),
+            "cosine",
         )
     )
 
@@ -470,10 +474,12 @@ e AS (
 q AS (
   SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {N_QUERIES}
 )
-SELECT q.query_id, e.vec_id AS neighbor_id,
-       ROUND(list_dot_product(q.qv, e.v), 6) AS cosine
-FROM q JOIN e ON e.vec_id <> q.query_id
-WHERE list_dot_product(q.qv, e.v) >= {RANGE_SEARCH_T}
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, e.v), 6) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+WHERE cosine >= {RANGE_SEARCH_T}
 """
 
 

@@ -8,6 +8,10 @@ driver sorts columns by name and hashes values.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -157,28 +161,78 @@ def _interleave(families: list[dict[str, QueryFn]]) -> dict[str, QueryFn]:
             entry = next(it, None)
             if entry is not None:
                 key, fn = entry
+                # A cross-family key collision would silently shadow a
+                # query (dict overwrite) — fail loudly instead (ADVICE r5).
+                assert key not in out, f"duplicate registry key: {key!r}"
                 out[key] = fn
                 alive.append(it)
         iters = alive
     return out
 
 
+def _driver_last_seen() -> dict[str, int]:
+    """Map each query key to the LAST round whose committed driver
+    artifact (CORRECTNESS_r{N}.json, repo root) recorded a row for it.
+
+    The round driver records correctness for only a ~50-key prefix of
+    QUERIES in iteration order; keys past the window are verified by
+    the committed sweep + pytest twins but never get a driver-signed
+    row. This map drives the rotation below so driver coverage
+    ACCUMULATES across rounds instead of re-measuring the same prefix
+    (VERDICT r5 item 1). Missing/unreadable artifacts degrade to "never
+    seen" — the rotation then just preserves declaration order."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rnd = int(m.group(1))
+        for key, row in data.items():
+            if isinstance(row, dict):
+                out[key] = max(out.get(key, -1), rnd)
+    return out
+
+
+_LAST_SEEN = _driver_last_seen()
+
+
+def _rotate_for_driver(family: dict[str, QueryFn]) -> dict[str, QueryFn]:
+    """Order a family least-recently-driver-verified first (never-seen
+    keys lead; ties keep declaration order — Python sort is stable).
+    Composed with the round-robin interleave this is a committed,
+    self-updating rotation: each round's new CORRECTNESS artifact
+    pushes the keys it just verified to the back of their family, so
+    the next round's 50-key window samples the stalest keys."""
+    items = sorted(family.items(), key=lambda kv: _LAST_SEEN.get(kv[0], -1))
+    return dict(items)
+
+
+# Component families, in interleave order (also the contract surface
+# tests/test_registry_rotation.py checks the LRU rotation against).
+_FAMILIES: tuple[dict[str, QueryFn], ...] = (
+    _CORE_GRAPH,
+    relational.QUERIES,
+    ops.QUERIES,
+    matrix.QUERIES,
+    formats.QUERIES,
+    pl_text.QUERIES,
+    pl_clean.QUERIES,
+    pl_dedup.QUERIES,
+    pl_sim.QUERIES,
+    pl_events.QUERIES,
+    pl_mm.QUERIES,
+    g_analytics.QUERIES,
+    streaming.QUERIES,
+)
+
 QUERIES: dict[str, QueryFn] = _interleave(
-    [
-        _CORE_GRAPH,
-        relational.QUERIES,
-        ops.QUERIES,
-        matrix.QUERIES,
-        formats.QUERIES,
-        pl_text.QUERIES,
-        pl_clean.QUERIES,
-        pl_dedup.QUERIES,
-        pl_sim.QUERIES,
-        pl_events.QUERIES,
-        pl_mm.QUERIES,
-        g_analytics.QUERIES,
-        streaming.QUERIES,
-    ]
+    [_rotate_for_driver(f) for f in _FAMILIES]
 )
 
 # Uncached plan views for machine plan assertions: keys served through

@@ -182,7 +182,16 @@ def _events_src_dir(spark: SparkSession, sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY (it derives
     basePath); stage the single events parquet into one, once per
     (session, sf). At scale the stream source is already a directory
-    (or kafka) — this staging is a testdata-layout shim only."""
+    (or kafka) — this staging is a testdata-layout shim only.
+
+    EXACT-ORACLE CONTRACT (ADVICE r5): the declared stream_* keys
+    carry exact batch oracles only because this directory holds
+    exactly ONE file, drained in ONE availableNow micro-batch — so no
+    row ever arrives after the watermark has advanced past it. A
+    multi-file staging (or maxFilesPerTrigger) would legitimately drop
+    late rows across batches (the semantics test_watermark_drops_
+    late_rows pins) and diverge from the full-table batch oracle;
+    the assert below makes that assumption fail loudly."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SRC_STAGED.get(key)
     if hit is not None:
@@ -196,6 +205,11 @@ def _events_src_dir(spark: SparkSession, sf_dir: str) -> str:
     dst = os.path.join(d, "events.parquet")
     if not os.path.exists(dst):
         shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
+    staged = [f for f in os.listdir(d) if not f.startswith((".", "_"))]
+    assert staged == ["events.parquet"], (
+        f"stream staging dir {d} must hold exactly one file for the "
+        f"one-batch exact-oracle contract; found {staged}"
+    )
     _SRC_STAGED[key] = d
     return d
 
