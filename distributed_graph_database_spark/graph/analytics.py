@@ -22,7 +22,7 @@ Scale notes (the point of each shape):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import shared
@@ -675,6 +675,112 @@ FROM m
 """
 
 
+LPA_ROUNDS = 4  # fixed synchronous supersteps ⇒ oracle-unrollable
+
+
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the co-purchase graph
+    (VERDICT r5 item 4) → (vid, community): LPA_ROUNDS synchronous
+    supersteps where every vertex adopts the most frequent label among
+    its neighbors plus itself, ties to the smallest label. The
+    modularity-flavored complement to graph_components: components
+    answer "what is reachable", LPA answers "what clusters densely" —
+    a label only spreads while it keeps winning local majorities, so
+    dense neighborhoods keep their minimum vid as a shared label while
+    bridges stop it.
+
+    Determinism (the reason this has an EXACT oracle, unlike classic
+    randomized LPA): synchronous updates, a fixed round count, the
+    self-inclusive vote (which also damps the 2-coloring oscillation
+    sync LPA is known for on bipartite-ish regions), and the
+    (count DESC, label ASC) tie-break make every round a pure function
+    of the last — DuckDB unrolls the same supersteps as generated CTEs
+    (the graph_pagerank recipe).
+
+    Scale: per round one join of the checkpointed sym edge table
+    against the (vid, lbl) state + one (v, lbl) count + one per-vertex
+    arg-max window — all partitioned on the vertex key; state is two
+    longs per vertex. Same Pregel-on-DataFrames shape as pagerank:
+    fixed rounds ⇒ lazy bounded lineage, one job."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = (
+        e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2")))
+        .select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    return label_propagation(sym, LPA_ROUNDS)
+
+
+def label_propagation(sym: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """The LPA superstep core over any symmetric (src, dst) edge table
+    → (vid, community). Exposed separately so invariance tests can run
+    it on fixture graphs (cliques, disjoint unions) independent of the
+    co-purchase derivation."""
+    labels = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+    )
+    w = Window.partitionBy("v").orderBy(F.col("n").desc(), F.col("lbl"))
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym.src == labels.v)
+            .select(F.col("dst").alias("v"), "lbl")
+            .unionAll(labels)  # self-vote: breaks sync-LPA oscillation
+        )
+        labels = (
+            votes.groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+    return labels.select(
+        F.col("v").alias("vid"), F.col("lbl").alias("community")
+    )
+
+
+def _oracle_communities() -> str:
+    base = f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS (SELECT p1 AS src, p2 AS dst FROM e
+        UNION ALL SELECT p2 AS src, p1 AS dst FROM e),
+l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym)"""
+    rounds = []
+    for k in range(1, LPA_ROUNDS + 1):
+        prev = f"l{k - 1}"
+        rounds.append(f""",
+v{k} AS (
+  SELECT sym.dst AS v, {prev}.lbl
+  FROM sym JOIN {prev} ON sym.src = {prev}.v
+  UNION ALL SELECT v, lbl FROM {prev}
+),
+l{k} AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           ROW_NUMBER() OVER (PARTITION BY v
+                              ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM v{k} GROUP BY v, lbl) WHERE rn = 1
+)""")
+    return (
+        base
+        + "".join(rounds)
+        + f"\nSELECT v AS vid, lbl AS community FROM l{LPA_ROUNDS}"
+    )
+
+
 QUERIES = {
     "graph_copurchase": graph_copurchase,
     "graph_triangles": graph_triangles,
@@ -683,6 +789,7 @@ QUERIES = {
     "graph_kcore": graph_kcore,
     "graph_jaccard": graph_jaccard,
     "graph_assortativity": graph_assortativity,
+    "graph_communities": graph_communities,
 }
 
 ORACLE_SQL = {
@@ -693,4 +800,5 @@ ORACLE_SQL = {
     "graph_kcore": _oracle_kcore(),
     "graph_jaccard": ORACLE_GRAPH_JACCARD,
     "graph_assortativity": ORACLE_GRAPH_ASSORTATIVITY,
+    "graph_communities": _oracle_communities(),
 }

@@ -244,5 +244,6 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "dedup_ngram": pl_dedup._dedup_ngram,
     "sim_topk": pl_sim._sim_topk,
     "sim_topk_ivf": pl_sim._sim_topk_ivf,
+    "sim_knn_graph": pl_sim._sim_knn_graph,
     "graph_copurchase": g_analytics._copurchase_impl,
 }

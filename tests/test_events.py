@@ -224,3 +224,18 @@ def test_sessionize_gap_semantics(spark, sf_oracle):
     )
     bad = gaps.filter(F.col("gap") <= events.SESSION_GAP_MIN * 60).count()
     assert bad == 0
+
+
+def test_stream_dedup_matches_batch_events_dedup(spark, sf_smoke):
+    """The declared stream_dedup key's contract (VERDICT r5 item 2):
+    the drained streaming burst-dedup, reduced per type, must equal the
+    batch events_dedup key's n_kept exactly."""
+    batch = {
+        r.event_type: r.n_kept
+        for r in events.events_dedup(spark, sf_smoke).collect()
+    }
+    streamed = {
+        r.event_type: r.n_kept
+        for r in events_stream.stream_dedup(spark, sf_smoke).collect()
+    }
+    assert streamed == batch

@@ -64,8 +64,10 @@ def test_documents_are_ascii(spark, sf_oracle):
     assert non_ascii == 0
 
 
-def test_real_decode_is_explicit_stub():
-    with pytest.raises(NotImplementedError, match="codec libraries"):
+def test_real_decode_rejects_codec_formats():
+    """decode_image_real is a real header parser for PPM/BMP (r6);
+    formats that need a codec library still fail loudly by magic."""
+    with pytest.raises(ValueError, match="unknown image magic"):
         multimodal.decode_image_real(b"\x89PNG")
 
 
@@ -95,3 +97,51 @@ def test_audio_windows_overlap_and_cover(spark, sf_oracle):
         last = ws[-1]
         assert last.win_offset + last.win_len == n
         assert last.win_offset + mm.AUDIO_HOP >= n  # full coverage
+
+
+def test_decode_image_real_parses_hand_built_headers():
+    """The real parser against inputs the synthesizer does NOT emit:
+    a comment-bearing PPM header with extra whitespace, a top-down
+    (negative-height) BMP, and a 16-bit-maxval PPM."""
+    from distributed_graph_database_spark.pipeline.multimodal import (
+        decode_image_real,
+    )
+    import struct
+
+    ppm = b"P6\n# made by hand\n  640 # inline\n 480\n255\n" + b"\x00" * 10
+    assert decode_image_real(ppm) == ("ppm", 640, 480, 24)
+
+    ppm16 = b"P6\n2 2\n65535\n" + b"\x00" * 24
+    assert decode_image_real(ppm16) == ("ppm", 2, 2, 48)
+
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + 12, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, -2, 1, 24, 0, 24, 0, 0, 0, 0)
+        + b"\x00" * 24
+    )
+    assert decode_image_real(bmp) == ("bmp", 3, 2, 24)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_image_real(b"\x89PNG\r\n")
+
+
+def test_synthesized_images_roundtrip_through_real_decode(spark, sf_smoke):
+    """mm_decode_real end to end at sf0.001: every synthesized file
+    parses back to the dimensions its doc_id dictates, and the file
+    sizes are internally consistent per format."""
+    from distributed_graph_database_spark.pipeline import multimodal as mm
+
+    rows = mm.mm_decode_real(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.format == ("ppm" if r.doc_id % 2 == 0 else "bmp")
+        assert r.width == 4 + r.doc_id % 13
+        assert r.height == 4 + r.doc_id % 11
+        assert r.bpp == 24
+        if r.format == "ppm":
+            assert r.n_bytes > 3 * r.width * r.height
+        else:
+            assert r.n_bytes == 54 + ((3 * r.width + 3) // 4) * 4 * r.height

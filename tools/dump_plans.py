@@ -114,6 +114,21 @@ HEADLINERS: dict[str, str] = {
         "BroadcastExchange into the scan's projection — zero shuffle, "
         "zero Python; scoring cost is exactly one pass over the data."
     ),
+    "sim_knn_graph": (
+        "All-corpus ANN join: one scan assigns every vector its probe "
+        "cells (broadcast centroids + window rank), then home-side × "
+        "probe-side equi-join on cell_id — candidate work is "
+        "N²·(probes/cells), never a corpus² product; at 100 TB the home "
+        "table hash-partitions by cell_id so each block is one "
+        "partition's work."
+    ),
+    "graph_communities": (
+        "Four lazy label-propagation supersteps in ONE job over the "
+        "checkpointed sym edge table: per round a join on the vertex "
+        "key, a partial-aggregated (v, lbl) count, and a per-vertex "
+        "arg-max window — all sharing the vertex-key partitioning, the "
+        "same bounded-lineage Pregel shape as pagerank."
+    ),
 }
 
 
