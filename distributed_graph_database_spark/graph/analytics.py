@@ -675,6 +675,118 @@ FROM m
 """
 
 
+def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex of the co-purchase
+    graph → (vid, degree, n_tri, clustering): 2·tri(v)/(d(v)·(d(v)−1)),
+    0 for degree-1 vertices. The per-vertex refinement of
+    graph_triangles' single global count — the transitivity profile
+    that separates locally-dense vertices (clustering→1, community
+    cores) from connectors (clustering→0, the structural holes) that
+    degree alone can't distinguish.
+
+    Scale shape: per-vertex triangle counts come from the SAME
+    degree-oriented compact-forward enumeration as graph_triangles
+    (wedge work bounded O(m^1.5) regardless of hubs); each closed
+    triangle explodes into its three member vertices and a groupBy
+    counts — never a per-vertex neighborhood self-join. Exact across
+    engines: t and d are integers, and 2t/(d(d−1)) is one identical
+    double op on identical integers before the 6dp round."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    deg = (
+        e.select(F.col("p1").alias("v"))
+        .unionAll(e.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("p1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("v").alias("p2"), F.col("d").alias("d2"))
+    with_deg = e.join(da, "p1").join(db, "p2")
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    o = with_deg.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("a"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("b"),
+    ).localCheckpoint(eager=True)
+    o1 = o.select("a", "b")
+    o2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    o3 = o.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = o1.join(o2, "b").join(
+        o3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc"))
+    ).select("a", "b", "c")
+    tri_verts = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    tcount = tri_verts.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    t = F.coalesce("t", F.lit(0))
+    return (
+        deg.join(tcount, "v", "left")
+        .select(
+            F.col("v").alias("vid"),
+            F.col("d").cast("bigint").alias("degree"),
+            t.cast("bigint").alias("n_tri"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    F.lit(2.0) * t / (F.col("d") * (F.col("d") - 1)), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
+ORACLE_GRAPH_CLUSTERING_COEF = f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+deg AS (
+  SELECT v, COUNT(*) AS d
+  FROM (SELECT p1 AS v FROM e UNION ALL SELECT p2 AS v FROM e)
+  GROUP BY v
+),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.p1 < e.p2)
+              THEN e.p1 ELSE e.p2 END AS a,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.p1 < e.p2)
+              THEN e.p2 ELSE e.p1 END AS b
+  FROM e JOIN deg da ON e.p1 = da.v JOIN deg db ON e.p2 = db.v
+),
+tri AS (
+  SELECT o1.a AS a, o1.b AS b, o2.b AS c
+  FROM o o1
+  JOIN o o2 ON o1.b = o2.a
+  JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b
+),
+tv AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT v, COUNT(*) AS t FROM tv GROUP BY v)
+SELECT deg.v AS vid,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_tri,
+       CASE WHEN deg.d >= 2
+            THEN ROUND(2.0 * COALESCE(tc.t, 0) / (deg.d * (deg.d - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN tc ON deg.v = tc.v
+"""
+
+
 LPA_ROUNDS = 4  # fixed synchronous supersteps ⇒ oracle-unrollable
 
 
@@ -790,6 +902,7 @@ QUERIES = {
     "graph_jaccard": graph_jaccard,
     "graph_assortativity": graph_assortativity,
     "graph_communities": graph_communities,
+    "graph_clustering_coef": graph_clustering_coef,
 }
 
 ORACLE_SQL = {
@@ -801,4 +914,5 @@ ORACLE_SQL = {
     "graph_jaccard": ORACLE_GRAPH_JACCARD,
     "graph_assortativity": ORACLE_GRAPH_ASSORTATIVITY,
     "graph_communities": _oracle_communities(),
+    "graph_clustering_coef": ORACLE_GRAPH_CLUSTERING_COEF,
 }

@@ -828,6 +828,97 @@ WHERE e.vec_id <> w.w_id
 """
 
 
+def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of the whole corpus against the
+    labeled embeddings (the `label` column's first consumer) → the
+    confusion matrix (true_label, pred_label, n). The shape of every
+    cheap-classifier curation pass (domain routing, quality tiering):
+    fit = one pass building L per-label mean vectors, predict = one
+    corpus scan against the broadcast centroids — no shuffle touches
+    anything vector-sized except the L·d centroid build.
+
+    Cross-engine exactness: per-dim centroid means are summation-order
+    sensitive (distributed partials vs single-threaded), so centroids
+    are ROUNDED to 6dp before scoring — identical inputs ⇒ the fold
+    dot products are bit-identical ⇒ the argmax (tie-break: smaller
+    label) matches exactly. The corpus vectors themselves are unit-
+    normalized by the same sequential fold on both engines, so no
+    rounding is needed there.
+
+    100 TB: centroid build is a map-side-combined (label, dim) mean —
+    L·d partials per partition; predict is embarrassingly parallel
+    with L·d broadcast doubles."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+    )
+    emb = _unit(emb, "v")
+    cent = (
+        emb.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda x: x.m,
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("pred_label"), "cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "score", _dot(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("pred_label")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("label").alias("true_label"), "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_ML_CENTROID_CLASSIFY = """
+WITH e0 AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, label,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM e0
+),
+by_dim AS (
+  SELECT label, UNNEST(range(LEN(v))) AS dim, UNNEST(v) AS val FROM e
+),
+centd AS (
+  SELECT label, dim, ROUND(AVG(val), 6) AS m
+  FROM by_dim GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS pred_label, list(m ORDER BY dim) AS cv
+  FROM centd GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.pred_label,
+         list_dot_product(e.v, c.cv) AS score
+  FROM e CROSS JOIN cent c
+),
+pred AS (
+  SELECT vec_id, label, pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY score DESC, pred_label) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT label AS true_label, pred_label, COUNT(*) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
@@ -838,6 +929,7 @@ QUERIES = {
     "dedup_embed": dedup_embed,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_score": ml_score,
+    "ml_centroid_classify": ml_centroid_classify,
 }
 
 # Every key exact-oracled: IVF blocking is deterministic algebra,
@@ -852,4 +944,5 @@ ORACLE_SQL = {
     "dedup_embed": ORACLE_DEDUP_EMBED,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
     "ml_score": ORACLE_ML_SCORE,
+    "ml_centroid_classify": ORACLE_ML_CENTROID_CLASSIFY,
 }

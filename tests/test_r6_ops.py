@@ -98,3 +98,36 @@ def test_store_stats_approx_within_5pct_and_no_expand(spark, sf_oracle):
     )
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan
+
+
+def test_clustering_coef_bounds_and_triangle_consistency(spark, sf_oracle):
+    """Cross-operator invariants: every coefficient in [0, 1],
+    degree-1 vertices get 0, and the per-vertex triangle counts sum
+    to exactly 3× graph_triangles' global count (each triangle has
+    three member vertices)."""
+    rows = analytics.graph_clustering_coef(spark, sf_oracle).collect()
+    total = analytics.graph_triangles(spark, sf_oracle).first().n_triangles
+    assert sum(r.n_tri for r in rows) == 3 * total
+    for r in rows:
+        assert 0.0 <= r.clustering <= 1.0
+        if r.degree < 2:
+            assert r.clustering == 0.0 and r.n_tri == 0
+        # a vertex's triangles are bounded by its wedge count
+        assert r.n_tri <= r.degree * (r.degree - 1) // 2
+
+
+def test_centroid_classifier_confusion_is_complete(spark, sf_oracle):
+    """The confusion matrix covers the full corpus exactly once, all
+    true labels appear, and accuracy sits above chance floor only if
+    the data has signal — random testdata embeddings give ~1/L, so we
+    only pin structural facts, not accuracy."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline import similarity
+
+    rows = similarity.ml_centroid_classify(spark, sf_oracle).collect()
+    emb = table(spark, sf_oracle, "embeddings")
+    n_total = emb.count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert sum(r.n for r in rows) == n_total
+    assert {r.true_label for r in rows} == labels
+    assert {r.pred_label for r in rows} <= labels
