@@ -105,40 +105,80 @@ HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
 """
 
 
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle count of the co-purchase graph → one row
-    (n_triangles). Compact-forward enumeration: edges oriented from
-    the (degree, id)-smaller endpoint, wedges joined on the middle
-    vertex, closed by an equi-join on the (a, c) edge — three hash
-    joins, no wedge ever materialized for a hub's full neighborhood."""
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    deg = (
+def _degrees(e: DataFrame) -> DataFrame:
+    """(v, d) over the undirected (p1 < p2) edge table."""
+    return (
         e.select(F.col("p1").alias("v"))
         .unionAll(e.select(F.col("p2").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+def _oriented_edges(e: DataFrame) -> DataFrame:
+    """Degree-oriented edges (a, b): each undirected edge pointed from
+    its (degree, id)-smaller endpoint — the compact-forward orientation
+    that bounds wedge enumeration at O(m^1.5) regardless of hubs."""
+    deg = _degrees(e)
     da = deg.select(F.col("v").alias("p1"), F.col("d").alias("d1"))
     db = deg.select(F.col("v").alias("p2"), F.col("d").alias("d2"))
     with_deg = e.join(da, "p1").join(db, "p2")
     fwd = (F.col("d1") < F.col("d2")) | (
         (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
     )
-    o = with_deg.select(
+    return with_deg.select(
         F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("a"),
         F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("b"),
-    ).localCheckpoint(eager=True)
-    o1 = o.select(F.col("a"), F.col("b"))
+    )
+
+
+def _closed_triangles(o: DataFrame) -> DataFrame:
+    """(a, b, c) closed triangles from an oriented edge table: wedges
+    joined on the middle vertex, closed by an equi-join on the (a, c)
+    edge — three hash joins, no hub neighborhood ever materialized.
+    Each undirected triangle appears exactly once."""
+    o1 = o.select("a", "b")
     o2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
     o3 = o.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    wedges = o1.join(o2, "b")
     return (
-        wedges.join(
-            o3,
-            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
-            "left_semi",
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        o1.join(o2, "b")
+        .join(o3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+
+
+def _tri_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached closed-triangle table (cache.shared): three
+    declared keys are views over it (triangles = count, jaccard =
+    per-edge membership, clustering_coef = per-vertex membership), so
+    the O(m^1.5) enumeration runs once per (session, sf) — at 100 TB
+    this is the materialized triangle table every motif query reads."""
+    return shared(
+        spark,
+        sf_dir,
+        "graph_tri",
+        lambda: _closed_triangles(
+            _oriented_edges(
+                _copurchase_edges(spark, sf_dir).select("p1", "p2")
+            ).localCheckpoint(eager=True)
+        ),
+    )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the co-purchase graph → one row
+    (n_triangles), counted off the shared closed-triangle table."""
+    return _tri_cached(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def _triangles_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached plan view (registry.PLAN_QUERIES): the full
+    enumeration shape the cached entry hides behind a checkpoint."""
+    o = _oriented_edges(_copurchase_impl(spark, sf_dir).select("p1", "p2"))
+    return _closed_triangles(o).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
 
 
@@ -484,28 +524,10 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dies on hub vertices. |N(a)∪N(b)| = d(a)+d(b)−common (a and b are
     each in the union via the edge itself)."""
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    deg = (
-        e.select(F.col("p1").alias("v"))
-        .unionAll(e.select(F.col("p2").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = _degrees(e)
     da = deg.select(F.col("v").alias("p1"), F.col("d").alias("d1"))
     db = deg.select(F.col("v").alias("p2"), F.col("d").alias("d2"))
-    with_deg = e.join(da, "p1").join(db, "p2")
-    fwd = (F.col("d1") < F.col("d2")) | (
-        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
-    )
-    o = with_deg.select(
-        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("a"),
-        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("b"),
-    ).localCheckpoint(eager=True)
-    o1 = o.select("a", "b")
-    o2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    o3 = o.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tri = o1.join(o2, "b").join(
-        o3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc"))
-    ).select("a", "b", "c")
+    tri = _tri_cached(spark, sf_dir)
     # each closed triangle (a,b,c) contributes one common neighbor to
     # each of its three edges, emitted in canonical (min, max) form
     tri_edges = (
@@ -692,28 +714,8 @@ def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines: t and d are integers, and 2t/(d(d−1)) is one identical
     double op on identical integers before the 6dp round."""
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    deg = (
-        e.select(F.col("p1").alias("v"))
-        .unionAll(e.select(F.col("p2").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da = deg.select(F.col("v").alias("p1"), F.col("d").alias("d1"))
-    db = deg.select(F.col("v").alias("p2"), F.col("d").alias("d2"))
-    with_deg = e.join(da, "p1").join(db, "p2")
-    fwd = (F.col("d1") < F.col("d2")) | (
-        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
-    )
-    o = with_deg.select(
-        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("a"),
-        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("b"),
-    ).localCheckpoint(eager=True)
-    o1 = o.select("a", "b")
-    o2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    o3 = o.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tri = o1.join(o2, "b").join(
-        o3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc"))
-    ).select("a", "b", "c")
+    deg = _degrees(e)
+    tri = _tri_cached(spark, sf_dir)
     tri_verts = (
         tri.select(F.col("a").alias("v"))
         .unionAll(tri.select(F.col("b").alias("v")))

@@ -621,6 +621,75 @@ FROM r GROUP BY event_type
 """
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type — every hour between the
+    stream's global min and max hours present for every type, absent
+    cells zero-filled → (hour, event_type, n_events, sum_value_cents).
+    The resampling/gap-fill step every time-series consumer
+    (dashboards, anomaly baselines, forecast featurizers) needs before
+    it can difference or window anything: a missing hour must be an
+    explicit zero row, not a silent hole.
+
+    Scale shape: the fact aggregate is the usual map-side-combined
+    (hour, type) rollup; the dense grid is hours × types where both
+    sides are TINY derived tables (one sequence() from a 1-row bounds
+    aggregate, one distinct over ~5 types), so the grid is a broadcast
+    nested loop of trivial size and the zero-fill is one broadcast
+    left join onto the rollup — the fact table is scanned once and
+    never re-shuffled."""
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    agg = ev.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+            "sum_value_cents"
+        ),
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return grid.join(agg, ["h", "event_type"], "left").select(
+        F.col("h").cast("string").alias("hour"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("sum_value_cents", F.lit(0))
+        .cast("bigint")
+        .alias("sum_value_cents"),
+    )
+
+
+ORACLE_EVENTS_GAP_FILL = """
+WITH ev AS (
+  SELECT DATE_TRUNC('hour', ts) AS h, event_type, value FROM events
+),
+agg AS (
+  SELECT h, event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+  FROM ev GROUP BY 1, 2
+),
+b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+hours AS (
+  SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b
+),
+grid AS (
+  SELECT hours.h, t.event_type
+  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+)
+SELECT CAST(g.h AS VARCHAR) AS hour, g.event_type,
+       CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(a.sum_value_cents, 0) AS BIGINT) AS sum_value_cents
+FROM grid g
+LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -633,6 +702,7 @@ QUERIES = {
     "events_scrub": events_scrub,
     "events_transitions": events_transitions,
     "events_dedup": events_dedup,
+    "events_gap_fill": events_gap_fill,
 }
 
 ORACLE_SQL = {
@@ -647,4 +717,5 @@ ORACLE_SQL = {
     "events_scrub": ORACLE_EVENTS_SCRUB,
     "events_transitions": ORACLE_EVENTS_TRANSITIONS,
     "events_dedup": ORACLE_EVENTS_DEDUP,
+    "events_gap_fill": ORACLE_EVENTS_GAP_FILL,
 }

@@ -246,4 +246,5 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "sim_topk_ivf": pl_sim._sim_topk_ivf,
     "sim_knn_graph": pl_sim._sim_knn_graph,
     "graph_copurchase": g_analytics._copurchase_impl,
+    "graph_triangles": g_analytics._triangles_plan,
 }

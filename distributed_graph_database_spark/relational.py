@@ -1020,6 +1020,45 @@ FROM ranked WHERE rn = 1
 """
 
 
+def ql_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quartiles of order value (integer cents) per priority →
+    (o_orderpriority, p25, p50, p75) — the hash-checkable complement
+    to ql_approx_quantiles: both engines interpolate linearly at
+    rank p·(n−1) over the sorted integers (Spark `percentile`, DuckDB
+    `quantile_cont`), so on identical cents the result doubles are the
+    same single (1−f)·x[i] + f·x[i+1] expression, exact before the
+    6dp round. Exact percentiles need the full sorted group — fine at
+    group counts like these; the approximate twin is the 100 TB
+    default and this form is the audit pass you run on samples."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("q")
+    )
+    return q.select(
+        "o_orderpriority",
+        F.round(F.col("q")[0], 6).alias("p25"),
+        F.round(F.col("q")[1], 6).alias("p50"),
+        F.round(F.col("q")[2], 6).alias("p75"),
+    )
+
+
+ORACLE_QL_PERCENTILES_EXACT = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderpriority,
+       ROUND(quantile_cont(cents, 0.25), 6) AS p25,
+       ROUND(quantile_cont(cents, 0.5), 6) AS p50,
+       ROUND(quantile_cont(cents, 0.75), 6) AS p75
+FROM o GROUP BY o_orderpriority
+"""
+
+
 # --- approximate ------------------------------------------------------------
 
 def ql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,6 +1099,7 @@ QUERIES = {
     "ql_sql_q1": ql_sql_q1,
     "ql_sql_q3": ql_sql_q3,
     "ql_sql_q5": ql_sql_q5,
+    "ql_percentiles_exact": ql_percentiles_exact,
     "ql_approx_distinct": ql_approx_distinct,
     "ql_approx_quantiles": ql_approx_quantiles,
 }
@@ -1093,4 +1133,5 @@ ORACLE_SQL = {
     "ql_sql_q1": TPCH_Q1_SQL,
     "ql_sql_q3": TPCH_Q3_SQL,
     "ql_sql_q5": TPCH_Q5_SQL,
+    "ql_percentiles_exact": ORACLE_QL_PERCENTILES_EXACT,
 }
