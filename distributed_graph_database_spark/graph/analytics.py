@@ -369,28 +369,32 @@ def graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_sssp() -> str:
+    # AS MATERIALIZED on every CTE referenced more than once: DuckDB
+    # may otherwise INLINE a CTE per reference, re-running the whole
+    # co-purchase derivation at every unrolled round (measured 3.6s vs
+    # 0.1s at sf0.01 — and exponential risk as rounds grow).
     base = f"""
-WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-li AS (
+WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS MATERIALIZED (
   SELECT l_orderkey, l_partkey FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
   ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
 ),
-sym AS (SELECT p1 AS src, p2 AS dst, 1.0 / n_orders AS w FROM e
+sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst, 1.0 / n_orders AS w FROM e
         UNION ALL SELECT p2, p1, 1.0 / n_orders FROM e),
-d0 AS (SELECT MIN(src) AS v, 0.0 AS dist FROM sym)"""
+d0 AS MATERIALIZED (SELECT MIN(src) AS v, 0.0 AS dist FROM sym)"""
     rounds = []
     for k in range(1, SSSP_ROUNDS + 1):
         prev = f"d{k - 1}"
         rounds.append(f""",
-d{k} AS (
+d{k} AS MATERIALIZED (
   SELECT v, MIN(dist) AS dist FROM (
     SELECT v, dist FROM {prev}
     UNION ALL
@@ -448,9 +452,25 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= KCORE_K)
             .select(F.col("src").alias("v"))
         )
+        # The survivor set is vertex-sized (≤ what one round's groupBy
+        # already produced) — broadcast it into BOTH semi-joins so the
+        # surviving edge set is filtered map-side instead of being
+        # shuffled twice per round; with peel-depth many rounds the
+        # per-round exchange count dominated wall-clock (40s → ~10s at
+        # sf0.01 on 8 threads). At 100 TB the survivor list of a dense
+        # core is still ≪ the edge set; if it ever outgrew broadcast,
+        # the fallback is exactly the shuffled semi-join this replaces.
         sub = (
-            sub.join(survivors.withColumnRenamed("v", "src"), "src", "left_semi")
-            .join(survivors.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            sub.join(
+                F.broadcast(survivors.withColumnRenamed("v", "src")),
+                "src",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(survivors.withColumnRenamed("v", "dst")),
+                "dst",
+                "left_semi",
+            )
             .localCheckpoint(eager=True)
         )
         n = sub.count()
@@ -469,27 +489,31 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_kcore() -> str:
+    # AS MATERIALIZED everywhere a CTE is referenced twice per round:
+    # without it DuckDB inlines sym (and through it the whole
+    # co-purchase self-join) into BOTH join legs of every unrolled
+    # round — measured 32s vs 0.1s at sf0.01, growing with round count.
     base = f"""
-WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-li AS (
+WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS MATERIALIZED (
   SELECT l_orderkey, l_partkey FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
   ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
 ),
-sym AS (SELECT p1 AS src, p2 AS dst FROM e UNION ALL SELECT p2, p1 FROM e),
-alive0 AS (SELECT DISTINCT src AS v FROM sym)"""
+sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e UNION ALL SELECT p2, p1 FROM e),
+alive0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym)"""
     rounds = []
     for i in range(1, KCORE_ORACLE_ROUNDS + 1):
         prev = f"alive{i - 1}"
         rounds.append(f""",
-alive{i} AS (
+alive{i} AS MATERIALIZED (
   SELECT s.src AS v FROM sym s
   JOIN {prev} a ON a.v = s.src
   JOIN {prev} b ON b.v = s.dst
@@ -869,10 +893,13 @@ e AS (
   GROUP BY 1, 2
   HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
 ),
-sym AS (SELECT p1 AS src, p2 AS dst FROM e
+sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e
         UNION ALL SELECT p2 AS src, p1 AS dst FROM e),
-l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym)"""
+l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM sym)"""
     rounds = []
+    # AS MATERIALIZED on the round CTEs: l{k-1} is referenced twice per
+    # round (vote join + self-vote union), so inlining would re-expand
+    # the whole chain 2^rounds times (the kcore oracle lesson).
     for k in range(1, LPA_ROUNDS + 1):
         prev = f"l{k - 1}"
         rounds.append(f""",
@@ -881,7 +908,7 @@ v{k} AS (
   FROM sym JOIN {prev} ON sym.src = {prev}.v
   UNION ALL SELECT v, lbl FROM {prev}
 ),
-l{k} AS (
+l{k} AS MATERIALIZED (
   SELECT v, lbl FROM (
     SELECT v, lbl,
            ROW_NUMBER() OVER (PARTITION BY v
