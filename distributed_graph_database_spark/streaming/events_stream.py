@@ -366,11 +366,55 @@ SELECT event_type, COUNT(*) AS n_kept FROM k GROUP BY event_type
 """
 
 
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the DURABLE-SINK path — the tumbling
+    rollup drained through `foreachBatch` into a parquet store under a
+    checkpointLocation, then the STORE (not the in-memory stream
+    result) is read back and hash-checked. This is the production
+    sink pattern the memory-sink keys stand in for: foreachBatch gets
+    the per-trigger result as a batch DataFrame and commits it with
+    batch-writer semantics; complete-mode overwrite makes the commit
+    idempotent, so a retried or restarted trigger rewrites the same
+    answer instead of duplicating it (the restart itself is pinned by
+    tests/test_streaming_recovery.py with maxFilesPerTrigger over an
+    exactly-once file sink).
+
+    At scale the same hook writes kafka/delta or dynamic-overwrite
+    parquet partitions keyed by window (store_partition_prune
+    demonstrates that overwrite mode); the checkpoint carries the
+    source offsets so a new run resumes, not replays."""
+    src = _events_src_dir(spark, sf_dir)
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dgdb_stream_sink_{spark.sparkContext.applicationId}_{slug}",
+    )
+    out_dir, ckpt = base + "_data", base + "_ckpt"
+
+    def commit_batch(bdf: DataFrame, batch_id: int) -> None:
+        # complete-mode snapshot → overwrite IS the idempotence story:
+        # re-running batch N (crash between sink write and checkpoint
+        # commit) rewrites byte-identical content.
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        tumbling_stream(spark, src)
+        .writeStream.foreachBatch(commit_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_user_totals": stream_user_totals,
     "stream_dedup": stream_dedup,
     "stream_sessionize": stream_sessionize,
+    "stream_sink_parquet": stream_sink_parquet,
 }
 
 ORACLE_SQL = {
@@ -378,6 +422,8 @@ ORACLE_SQL = {
     "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
+    # the sink's CONTENT equals the tumbling rollup — same oracle
+    "stream_sink_parquet": ORACLE_STREAM_TUMBLING,
 }
 
 
