@@ -547,11 +547,18 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Never the naive adjacency-list self-join, whose Σ deg(mid)² term
     dies on hub vertices. |N(a)∪N(b)| = d(a)+d(b)−common (a and b are
     each in the union via the edge itself)."""
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    return _jaccard_from(
+        _tri_cached(spark, sf_dir),
+        _copurchase_edges(spark, sf_dir).select("p1", "p2"),
+    )
+
+
+def _jaccard_from(tri: DataFrame, e: DataFrame) -> DataFrame:
+    """graph_jaccard's tail over any (tri, e) pair — split out so the
+    uncached plan view can feed the full enumeration chain."""
     deg = _degrees(e)
     da = deg.select(F.col("v").alias("p1"), F.col("d").alias("d1"))
     db = deg.select(F.col("v").alias("p2"), F.col("d").alias("d2"))
-    tri = _tri_cached(spark, sf_dir)
     # each closed triangle (a,b,c) contributes one common neighbor to
     # each of its three edges, emitted in canonical (min, max) form
     tri_edges = (
@@ -737,9 +744,15 @@ def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — never a per-vertex neighborhood self-join. Exact across
     engines: t and d are integers, and 2t/(d(d−1)) is one identical
     double op on identical integers before the 6dp round."""
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    return _clustering_from(
+        _tri_cached(spark, sf_dir),
+        _copurchase_edges(spark, sf_dir).select("p1", "p2"),
+    )
+
+
+def _clustering_from(tri: DataFrame, e: DataFrame) -> DataFrame:
+    """graph_clustering_coef's tail over any (tri, e) pair."""
     deg = _degrees(e)
-    tri = _tri_cached(spark, sf_dir)
     tri_verts = (
         tri.select(F.col("a").alias("v"))
         .unionAll(tri.select(F.col("b").alias("v")))
@@ -825,7 +838,10 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer "what is reachable", LPA answers "what clusters densely" —
     a label only spreads while it keeps winning local majorities, so
     dense neighborhoods keep their minimum vid as a shared label while
-    bridges stop it.
+    bridges stop it. (Reference lineage: the undirected graphs of
+    dfs_bfs.h carry no vertex metadata at all; community labels are
+    the first derived vertex attribute a user of that model asks for
+    once the graph outgrows eyeballing.)
 
     Determinism (the reason this has an EXACT oracle, unlike classic
     randomized LPA): synchronous updates, a fixed round count, the
@@ -945,3 +961,15 @@ ORACLE_SQL = {
     "graph_communities": _oracle_communities(),
     "graph_clustering_coef": ORACLE_GRAPH_CLUSTERING_COEF,
 }
+
+
+def _jaccard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached plan view (registry.PLAN_QUERIES)."""
+    e = _copurchase_impl(spark, sf_dir).select("p1", "p2")
+    return _jaccard_from(_closed_triangles(_oriented_edges(e)), e)
+
+
+def _clustering_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached plan view (registry.PLAN_QUERIES)."""
+    e = _copurchase_impl(spark, sf_dir).select("p1", "p2")
+    return _clustering_from(_closed_triangles(_oriented_edges(e)), e)

@@ -509,6 +509,11 @@ def _sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity sampling at scale — sim_topk generalized from a pinned
     query set to query-set = corpus.
 
+    The reference's data model is an undirected neighbor graph over
+    small vertex sets (adjacency matrix, secondary_server.c:119-153);
+    this operator is the scale analogue — neighbor edges DERIVED from
+    geometry over a corpus too large to materialize a matrix for.
+
     Shape: ONE corpus scan assigns every vector its KNN_PROBES nearest
     cells (broadcast centroids, window rank — the rn=1 cell doubles as
     the vector's HOME cell, so corpus partitioning and probe selection

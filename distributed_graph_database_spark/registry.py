@@ -247,4 +247,6 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "sim_knn_graph": pl_sim._sim_knn_graph,
     "graph_copurchase": g_analytics._copurchase_impl,
     "graph_triangles": g_analytics._triangles_plan,
+    "graph_jaccard": g_analytics._jaccard_plan,
+    "graph_clustering_coef": g_analytics._clustering_plan,
 }
