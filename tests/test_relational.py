@@ -63,3 +63,32 @@ def test_semi_anti_use_semi_join_plans(spark, sf_oracle):
     plan = _physical_plan(relational.ql_semi_anti_join(spark, sf_oracle))
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_sql_q10_window_is_nonvacuous(spark, sf_oracle):
+    """The Q10 date window must actually select data in the driver
+    testdata (a regenerated date range that empties the filter would
+    make the hash check vacuously green — the store_sorted_prune
+    lesson, r4)."""
+    rows = relational.ql_sql_q10(spark, sf_oracle).collect()
+    assert len(rows) == 20  # LIMIT 20 out of a non-empty window
+    assert all(r.revenue_cents > 0 for r in rows)
+
+
+def test_window_misc_values_are_consistent(spark, sf_oracle):
+    """ntile/percent_rank/cume_dist sanity on one partition: quartiles
+    cover 1..4, pct_rank spans [0, 1], cume_dist is non-decreasing in
+    cents order, and lag/lead mirror neighbors."""
+    rows = [
+        r
+        for r in relational.ql_window_misc(spark, sf_oracle).collect()
+        if r.o_orderpriority == "1-URGENT"
+    ]
+    rows.sort(key=lambda r: (r.cents, r.o_orderkey))
+    assert rows and {r.quartile for r in rows} == {1, 2, 3, 4}
+    assert rows[0].pct_rank == 0.0 and rows[-1].pct_rank == 1.0
+    assert rows[-1].cume == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cume >= prev.cume
+        assert cur.prev_cents == prev.cents
+        assert prev.next_cents == cur.cents
