@@ -143,6 +143,57 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+SPLIT_TRAIN_PCT = 96  # hash buckets 0-95 → train
+SPLIT_VAL_PCT = 98    # 96-97 → val; 98-99 → test
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (96/2/2 by content-stable
+    hash) with per-split per-source bookkeeping → (split, source,
+    n_docs, n_chars). The split every training run needs frozen
+    BEFORE any mixing/packing: hash-assigned (never rand() — retries
+    and re-runs must land every doc in the same split; never
+    row-position — layout-dependent), stratification auditable per
+    source from this exact output.
+
+    Scale: one scan, one map-side-combined groupBy on a 12-cell key
+    space; the split expression is the same md5-bucket idiom as
+    corpus_sample/corpus_mix, so all three stay consistent (a doc's
+    sample membership and split assignment derive from one hash)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(split.alias("split"), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+ORACLE_CORPUS_SPLIT = f"""
+WITH b AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM b GROUP BY 1, 2
+"""
+
+
 PACK_BUDGET = 2048   # tokens per training sequence
 PACK_SHARDS = 16     # parallel packer shards (scales with corpus)
 
@@ -338,6 +389,7 @@ FROM ranked CROSS JOIN n
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "corpus_sample": corpus_sample,
+    "corpus_split": corpus_split,
     "corpus_pack": corpus_pack,
     "corpus_mix": corpus_mix,
     "corpus_interleave": corpus_interleave,
@@ -346,6 +398,7 @@ QUERIES = {
 ORACLE_SQL = {
     "pipeline_clean_corpus": _oracle(),
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
+    "corpus_split": ORACLE_CORPUS_SPLIT,
     "corpus_pack": ORACLE_CORPUS_PACK,
     "corpus_mix": _oracle_corpus_mix(),
     "corpus_interleave": ORACLE_CORPUS_INTERLEAVE,
