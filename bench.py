@@ -111,7 +111,12 @@ def main() -> int:
     from distributed_graph_database_spark.pipeline import dedup as pl_dedup
     from distributed_graph_database_spark.pipeline import similarity as pl_sim
 
+    from distributed_graph_database_spark.streaming import (
+        events_stream as streaming,
+    )
+
     cache_fills = [
+        ("stream_source_stage", lambda: streaming._events_src_dir(spark, sf_dir)),
         ("copurchase_project", lambda: g_an._copurchase_edges(spark, sf_dir)),
         ("triangle_enumerate", lambda: g_an._tri_cached(spark, sf_dir)),
         ("bfs_levels_persist", lambda: registry._bfs_levels_cached(spark, sf_dir)),

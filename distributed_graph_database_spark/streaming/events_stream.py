@@ -313,6 +313,18 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the sliding-window twin — same
+    watermark + windowed-agg machinery as stream_tumbling but with
+    overlapping windows (2× live state rows, each finalized
+    independently as the watermark passes its end). Exact oracle under
+    the one-batch drain contract: final state ≡ the batch hopping
+    rollup."""
+    src = _events_src_dir(spark, sf_dir)
+    name = f"stream_hopping_{next(_STREAM_SEQ)}"
+    return run_available_now(hopping_stream(spark, src), name)
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECLARED streaming key: native `session_window` sessionization
     drained with availableNow → (user_id, session_start, n_events,
@@ -354,6 +366,23 @@ SELECT user_id,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM n GROUP BY user_id, session_no
+"""
+
+
+# The batch hopping oracle minus n_users (streaming aggs can't
+# countDistinct; the batch key keeps that column).
+ORACLE_STREAM_HOPPING = """
+WITH hops AS (
+  SELECT event_type, value,
+         UNNEST([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                 time_bucket(INTERVAL '30 minutes', ts)]) AS wstart
+  FROM events
+)
+SELECT CAST(wstart AS VARCHAR) AS hop_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM hops GROUP BY 1, 2
 """
 
 
@@ -413,6 +442,7 @@ QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_user_totals": stream_user_totals,
     "stream_dedup": stream_dedup,
+    "stream_hopping": stream_hopping,
     "stream_sessionize": stream_sessionize,
     "stream_sink_parquet": stream_sink_parquet,
 }
@@ -421,6 +451,7 @@ ORACLE_SQL = {
     "stream_tumbling": ORACLE_STREAM_TUMBLING,
     "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
     "stream_dedup": ORACLE_STREAM_DEDUP,
+    "stream_hopping": ORACLE_STREAM_HOPPING,
     "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
     # the sink's CONTENT equals the tumbling rollup — same oracle
     "stream_sink_parquet": ORACLE_STREAM_TUMBLING,

@@ -129,6 +129,18 @@ HEADLINERS: dict[str, str] = {
         "arg-max window — all sharing the vertex-key partitioning, the "
         "same bounded-lineage Pregel shape as pagerank."
     ),
+    "ml_centroid_classify": (
+        "Fit+predict with zero vector-sized shuffle: the (label, dim) "
+        "mean build partial-aggregates map-side, the L·d centroid table "
+        "broadcasts, and prediction is computed inside the corpus scan's "
+        "projection + one per-vector arg-max window."
+    ),
+    "events_gap_fill": (
+        "Dense-grid zero-fill without re-shuffling the fact table: the "
+        "hour sequence and distinct-type list are 1-row/tiny derived "
+        "tables, their product broadcast left-joins onto the one "
+        "map-side-combined rollup."
+    ),
 }
 
 
