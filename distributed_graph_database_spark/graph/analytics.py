@@ -826,6 +826,96 @@ FROM deg LEFT JOIN tc ON deg.v = tc.v
 """
 
 
+LINKPRED_MAX_DEG = 32  # hub guard: wedges only through mids this small
+LINKPRED_TOPK = 50
+
+
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase graph →
+    the LINKPRED_TOPK strongest NON-edges (p1, p2, common_neighbors):
+    pairs that share many neighbors but are not yet connected — the
+    classic recommendation/completion primitive ("parts bought with
+    the same things are substitutes/complements").
+
+    Scale shape + the enforced guard: wedges enumerate through MID
+    vertices only, and mids are capped at degree ≤ LINKPRED_MAX_DEG —
+    so wedge volume is Σ_{deg(mid)≤cap} deg(mid)² ≤ cap·2m, LINEAR in
+    edges instead of the Σ deg² that dies on hubs. Dropping hub mids
+    is also the standard quality move (a hub vertex connects
+    everything to everything and carries ~zero predictive signal —
+    the same reasoning as Adamic-Adar's 1/log(deg) downweight, taken
+    to its cap limit). Candidate pairs then anti-join the existing
+    edge set; the global top-K is a TakeOrderedAndProject with
+    (common DESC, p1, p2) — deterministic, never a full sort."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    mids = deg.filter(F.col("d") <= LINKPRED_MAX_DEG).select(
+        F.col("src").alias("mid")
+    )
+    legs = sym.join(
+        F.broadcast(mids), sym.src == mids.mid
+    ).select("mid", "dst")
+    a, b = legs.alias("a"), legs.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.mid") == F.col("b.mid")) & (F.col("a.dst") < F.col("b.dst")),
+    ).select(F.col("a.dst").alias("wa"), F.col("b.dst").alias("wc"))
+    cand = wedges.groupBy("wa", "wc").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    nonedges = cand.join(
+        e,
+        (F.col("wa") == F.col("p1")) & (F.col("wc") == F.col("p2")),
+        "left_anti",
+    )
+    return (
+        nonedges.select(
+            F.col("wa").alias("p1"),
+            F.col("wc").alias("p2"),
+            "common_neighbors",
+        )
+        .orderBy(F.col("common_neighbors").desc(), "p1", "p2")
+        .limit(LINKPRED_TOPK)
+    )
+
+
+ORACLE_GRAPH_LINK_PREDICT = f"""
+WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e
+                     UNION ALL SELECT p2, p1 FROM e),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+mids AS (SELECT v FROM deg WHERE d <= {LINKPRED_MAX_DEG}),
+legs AS MATERIALIZED (
+  SELECT src AS mid, dst FROM sym WHERE src IN (SELECT v FROM mids)
+),
+cand AS (
+  SELECT a.dst AS wa, b.dst AS wc, COUNT(*) AS common_neighbors
+  FROM legs a JOIN legs b ON a.mid = b.mid AND a.dst < b.dst
+  GROUP BY 1, 2
+)
+SELECT wa AS p1, wc AS p2, common_neighbors
+FROM cand LEFT JOIN e ON cand.wa = e.p1 AND cand.wc = e.p2
+WHERE e.p1 IS NULL
+ORDER BY common_neighbors DESC, wa, wc
+LIMIT {LINKPRED_TOPK}
+"""
+
+
 LPA_ROUNDS = 4  # fixed synchronous supersteps ⇒ oracle-unrollable
 
 
@@ -948,6 +1038,7 @@ QUERIES = {
     "graph_assortativity": graph_assortativity,
     "graph_communities": graph_communities,
     "graph_clustering_coef": graph_clustering_coef,
+    "graph_link_predict": graph_link_predict,
 }
 
 ORACLE_SQL = {
@@ -960,6 +1051,7 @@ ORACLE_SQL = {
     "graph_assortativity": ORACLE_GRAPH_ASSORTATIVITY,
     "graph_communities": _oracle_communities(),
     "graph_clustering_coef": ORACLE_GRAPH_CLUSTERING_COEF,
+    "graph_link_predict": ORACLE_GRAPH_LINK_PREDICT,
 }
 
 

@@ -108,10 +108,36 @@ def ops_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ops_request_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-server load report over the routed log → (server, n_requests,
+    n_reads, n_writes, pct_of_total): the observability face of the
+    reference's topology — the load balancer's parity split
+    (load_balancer.c:78-99) exists precisely to balance read load
+    across the two secondaries, and this is the report that would
+    verify it. Composes the declared router (same annotated log) with
+    one tiny aggregate; pct is a division of identical integers, so it
+    hash-matches."""
+    routed = route_requests(spark, sf_dir)
+    counts = routed.groupBy("server").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum((F.col("op") >= 3).cast("bigint")).alias("n_reads"),
+        F.sum((F.col("op") <= 2).cast("bigint")).alias("n_writes"),
+    )
+    total = counts.agg(F.sum("n_requests").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "server",
+        "n_requests",
+        "n_reads",
+        "n_writes",
+        F.round(F.col("n_requests") / F.col("total"), 6).alias("pct_of_total"),
+    )
+
+
 QUERIES = {
     "route_requests": route_requests,
     "validate_requests": validate_requests,
     "ops_log_replay": ops_log_replay,
+    "ops_request_stats": ops_request_stats,
 }
 
 
@@ -169,5 +195,26 @@ SELECT graph_id,
        CAST(ARG_MAX(op, seq) AS INT) AS last_op,
        COUNT(*) AS n_writes
 FROM writes GROUP BY graph_id
+""",
+    "ops_request_stats": f"""
+WITH {_oracle_cte()},
+routed AS (
+    SELECT op,
+           CASE WHEN reason IS NOT NULL THEN 'rejected'
+                WHEN op <= 2 THEN 'primary'
+                WHEN seq % 2 = 1 THEN 'secondary_1'
+                ELSE 'secondary_2' END AS server
+    FROM ann
+),
+counts AS (
+    SELECT server, COUNT(*) AS n_requests,
+           CAST(SUM(CASE WHEN op >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_reads,
+           CAST(SUM(CASE WHEN op <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_writes
+    FROM routed GROUP BY server
+)
+SELECT server, n_requests, n_reads, n_writes,
+       ROUND(n_requests / CAST((SELECT SUM(n_requests) FROM counts) AS DOUBLE),
+             6) AS pct_of_total
+FROM counts
 """,
 }
