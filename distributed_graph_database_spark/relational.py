@@ -1053,6 +1053,177 @@ def ql_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q10_SQL)
 
 
+# TPC-H Q6, the forecast-revenue-change scan: ONE table, three
+# pushable predicates, one global sum — the purest predicate-pushdown
+# / map-side-combine benchmark in the suite. Revenue in integer cents
+# (the Q3 rule); the discount BETWEEN compares the identical parquet
+# double against the identical literal double in both engines.
+TPCH_Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def ql_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #5, TPC-H Q6: the selective-scan aggregate.
+    What the plan must show at 100 TB: all three predicates in
+    `PushedFilters` on the parquet scan (shipdate range prunes row
+    groups via min/max stats), partial SUM/COUNT before a single
+    1-row exchange — no join, no window, no Python. Catalyst derives
+    exactly that from the shared ANSI string the oracle also runs."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(TPCH_Q6_SQL)
+
+
+# TPC-H Q4, order-priority checking: the correlated-EXISTS member of
+# the SQL surface (adapted: the reference testdata carries no
+# commitdate/receiptdate, so "late line" = shipped after the window
+# closes). Both engines decorrelate EXISTS into a left-semi join on
+# l_orderkey — the subquery never executes per-row.
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1997-07-01'
+  AND o_orderdate < DATE '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > DATE '1997-10-01'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def ql_sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #6, TPC-H Q4: correlated EXISTS. Catalyst's
+    RewritePredicateSubquery turns the EXISTS into a LeftSemi hash
+    join (lineitem side carries only l_orderkey after pruning, with
+    the shipdate predicate pushed to its scan) — the declared proof
+    that subquery SQL gets decorrelated instead of nested-loop
+    executed, which is the difference between O(n+m) and O(n·m) at
+    100 TB."""
+    for t in ("orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q4_SQL)
+
+
+# TPC-H Q18, large-volume customers: aggregate-then-join with a
+# HAVING gate — the "find the whales" report. The big lineitem
+# aggregate runs FIRST and the HAVING cuts it to a small key set
+# before any join touches customer/orders; quantity sums are integer
+# (ROUND → BIGINT), money in cents, and o_orderkey breaks totalprice
+# ties so the LIMIT frontier is deterministic.
+TPCH_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS order_date,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 150
+) big ON o_orderkey = l_orderkey
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def ql_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #7, TPC-H Q18: the HAVING-gated aggregate-join.
+    Plan shape at 100 TB: lineitem aggregates on its join key (so the
+    groupBy shuffle IS the join shuffle — no second exchange on the
+    fact table), HAVING shrinks the key set ~100× before the orders
+    join, customer broadcasts, TakeOrderedAndProject caps the result.
+    Catalyst derives all of it from the shared string."""
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q18_SQL)
+
+
+def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-linestatus ordinary-least-squares fit of line price against
+    quantity → (l_linestatus, n, slope_cents, intercept_cents): the
+    regression member of the summary-statistics family (ql_corr's
+    sibling).
+
+    Exactness: built-in regr_slope/regr_intercept accumulate doubles
+    in partition order and jitter at 1e-15 across engines, so this
+    key computes the five moment sums in EXACT decimal(38,0) (DuckDB
+    HUGEINT) and converts once — both engines then evaluate the
+    IDENTICAL scalar expression tree over identical integers, and
+    IEEE doubles make that bit-stable. Same one-scan
+    map-side-combined cost as any groupBy aggregate; the moment-sum
+    trick is also the 100 TB shape (shuffle carries 6 numbers per
+    group, never rows)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.round("l_quantity").cast("decimal(38,0)").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("y"),
+    )
+    agg = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²); intercept = (Σy − slope·Σx)/n.
+    # The numerators/denominators stay exact decimal; only the final
+    # divisions/multiply run in double, identically ordered on both
+    # engines. nullif guards the degenerate all-equal-x group.
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n").cast("double")
+    return agg.select(
+        "l_linestatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope_cents"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )
+
+
+ORACLE_QL_REGR = """
+WITH c AS (
+  SELECT l_linestatus,
+         CAST(ROUND(l_quantity) AS HUGEINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_linestatus,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM c GROUP BY l_linestatus
+),
+s AS (
+  SELECT l_linestatus, n, sx, sy,
+         CAST(n*sxy - sx*sy AS DOUBLE)
+           / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) AS slope
+  FROM m
+)
+SELECT l_linestatus,
+       CAST(n AS BIGINT) AS n,
+       ROUND(slope, 6) AS slope_cents,
+       ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE), 6) AS intercept_cents
+FROM s
+"""
+
+
 def ql_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining ranking/distribution window functions in one key
     — ntile, percent_rank, cume_dist, lead, lag — over order values
@@ -1177,6 +1348,10 @@ QUERIES = {
     "ql_sql_q3": ql_sql_q3,
     "ql_sql_q5": ql_sql_q5,
     "ql_sql_q10": ql_sql_q10,
+    "ql_sql_q6": ql_sql_q6,
+    "ql_sql_q4": ql_sql_q4,
+    "ql_sql_q18": ql_sql_q18,
+    "ql_regr": ql_regr,
     "ql_window_misc": ql_window_misc,
     "ql_percentiles_exact": ql_percentiles_exact,
     "ql_approx_distinct": ql_approx_distinct,
@@ -1213,6 +1388,10 @@ ORACLE_SQL = {
     "ql_sql_q3": TPCH_Q3_SQL,
     "ql_sql_q5": TPCH_Q5_SQL,
     "ql_sql_q10": TPCH_Q10_SQL,
+    "ql_sql_q6": TPCH_Q6_SQL,
+    "ql_sql_q4": TPCH_Q4_SQL,
+    "ql_sql_q18": TPCH_Q18_SQL,
+    "ql_regr": ORACLE_QL_REGR,
     "ql_window_misc": ORACLE_QL_WINDOW_MISC,
     "ql_percentiles_exact": ORACLE_QL_PERCENTILES_EXACT,
 }
