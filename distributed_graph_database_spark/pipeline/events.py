@@ -690,6 +690,66 @@ LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type
 """
 
 
+# CEP pattern over each user's ordered timeline: view, then any run of
+# clicks/errors, then purchase — counted left-to-right without overlap
+# (both Java regex and DuckDB's RE2 scan leftmost and resume after the
+# match end; the greedy character class has no alternation ambiguity,
+# so the two engines' match sets are identical).
+PATTERN_FUNNEL_RE = "v[ce]*p"
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the batch MATCH_RECOGNIZE / CEP
+    analogue): encode each user's time-ordered events as a string of
+    type initials and count non-overlapping PATTERN_FUNNEL_RE matches
+    → (user_id, seq_len, n_matches). The free-form complement of
+    events_funnel's fixed-stage windows: the pattern admits arbitrary
+    intermediate noise, which no per-stage min(ts) cascade can express.
+
+    Determinism: collect_list is order-free, so the struct array is
+    array_sort-ed on the unique (ts, event_id) key before the initials
+    are joined — both engines build the identical string, and
+    regexp_count/regexp_extract_all count the identical leftmost,
+    non-overlapping match set.
+
+    Scale: one shuffle on user_id (the groupBy); per-user state is one
+    string bounded by the user's event count. At 100 TB the timeline
+    would be segmented per (user, session) — events_sessionize's keys —
+    before encoding, capping string length at the session bound; the
+    regex scan itself is a JVM-side linear pass, never Python."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda x: x["ini"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.regexp_count("seq", F.lit(PATTERN_FUNNEL_RE)).alias("n_matches"),
+    )
+
+
+ORACLE_EVENTS_PATTERN_MATCH = f"""
+WITH s AS (
+  SELECT user_id,
+         STRING_AGG(SUBSTRING(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(LENGTH(seq) AS INT) AS seq_len,
+       CAST(LEN(REGEXP_EXTRACT_ALL(seq, '{PATTERN_FUNNEL_RE}')) AS INT) AS n_matches
+FROM s
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -703,6 +763,7 @@ QUERIES = {
     "events_transitions": events_transitions,
     "events_dedup": events_dedup,
     "events_gap_fill": events_gap_fill,
+    "events_pattern_match": events_pattern_match,
 }
 
 ORACLE_SQL = {
@@ -718,4 +779,5 @@ ORACLE_SQL = {
     "events_transitions": ORACLE_EVENTS_TRANSITIONS,
     "events_dedup": ORACLE_EVENTS_DEDUP,
     "events_gap_fill": ORACLE_EVENTS_GAP_FILL,
+    "events_pattern_match": ORACLE_EVENTS_PATTERN_MATCH,
 }

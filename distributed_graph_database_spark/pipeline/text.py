@@ -591,6 +591,114 @@ FROM counts GROUP BY doc_id
 """
 
 
+# Collocation extraction: a bigram must occur this often to be scored
+# (kills the long tail of one-off pairs before the join), and the
+# report is the global PMI top-k.
+COLLOC_MIN_PAIR = 5
+COLLOC_TOP_K = 20
+
+
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations: the COLLOC_TOP_K adjacent token pairs
+    whose pointwise mutual information ln(c_xy·N / (c_x·c_y)) is
+    highest, among pairs seen ≥ COLLOC_MIN_PAIR times → (w1, w2, cxy,
+    pmi). The phrase detector of the text-analysis family — what
+    "New York"-style multiword detection runs on before tokenizer
+    retraining.
+
+    Exactness: every count is an integer from the shared whitespace
+    tokenizer; the PMI is one ln() of a quotient of identical integer
+    products both engines cast to double the same way, rounded to 6dp
+    — hash-stable like ql_corr. Ties on pmi break by (w1, w2).
+
+    Scale: pair generation is a flat transform inside the scan (no
+    shuffle); the bigram and unigram counts are two map-side-combined
+    groupBys on (w1,w2)/w; the PMI join hits the unigram table twice —
+    a vocabulary-sized (≈millions of rows at 100 TB) table that AQE
+    broadcasts when it fits and shuffle-joins otherwise, never the
+    corpus. The MIN_PAIR gate runs BEFORE the join, so the joined side
+    is only the surviving bigram heads. Top-k is
+    TakeOrderedAndProject."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(_tokens().alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    # Adjacent pairs via an index transform — t[] subscripts are
+    # 0-based in Spark SQL; sequence stays ascending because size>=2.
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-2),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= COLLOC_MIN_PAIR)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    joined = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cxy") * F.col("n_tokens")).cast("double")
+            / (F.col("c1") * F.col("c2")).cast("double")
+        ),
+        6,
+    )
+    return (
+        joined.select("w1", "w2", "cxy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+    )
+
+
+ORACLE_TEXT_COLLOCATIONS = rf"""
+WITH t AS (
+  SELECT regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+  WHERE LEN(regexp_split_to_array(TRIM(text), '\s+')) >= 2
+),
+uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT UNNEST(toks) AS w FROM t)
+  GROUP BY w
+),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+pairs AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2
+  FROM (
+    SELECT UNNEST(list_transform(range(1, LEN(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+    FROM t
+  )
+),
+big AS (
+  SELECT w1, w2, COUNT(*) AS cxy
+  FROM pairs GROUP BY w1, w2
+  HAVING COUNT(*) >= {COLLOC_MIN_PAIR}
+)
+SELECT b.w1, b.w2, b.cxy,
+       ROUND(LN(CAST(b.cxy * n.n_tokens AS DOUBLE)
+                / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+FROM big b, n, uni u1, uni u2
+WHERE u1.w = b.w1 AND u2.w = b.w2
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT {COLLOC_TOP_K}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -602,6 +710,7 @@ QUERIES = {
     "text_tfidf_top": text_tfidf_top,
     "text_contamination": text_contamination,
     "text_char_entropy": text_char_entropy,
+    "text_collocations": text_collocations,
 }
 
 ORACLE_SQL = {
@@ -615,4 +724,5 @@ ORACLE_SQL = {
     "text_tfidf_top": ORACLE_TEXT_TFIDF_TOP,
     "text_contamination": ORACLE_TEXT_CONTAMINATION,
     "text_char_entropy": ORACLE_TEXT_CHAR_ENTROPY,
+    "text_collocations": ORACLE_TEXT_COLLOCATIONS,
 }

@@ -131,3 +131,48 @@ def test_centroid_classifier_confusion_is_complete(spark, sf_oracle):
     assert sum(r.n for r in rows) == n_total
     assert {r.true_label for r in rows} == labels
     assert {r.pred_label for r in rows} <= labels
+
+
+def test_collocations_counts_and_bounds(spark, sf_oracle):
+    """Every reported collocation meets the MIN_PAIR support gate, the
+    report is capped at TOP_K, and PMI is finite (the support gate
+    makes zero-denominator impossible: a surviving bigram implies both
+    unigrams occur)."""
+    from distributed_graph_database_spark.pipeline import text as pl_text
+
+    rows = pl_text.text_collocations(spark, sf_oracle).collect()
+    assert 0 < len(rows) <= pl_text.COLLOC_TOP_K
+    assert all(r.cxy >= pl_text.COLLOC_MIN_PAIR for r in rows)
+    assert all(r.pmi == r.pmi and abs(r.pmi) < 50 for r in rows)
+    # descending-PMI report with the (w1, w2) tie-break
+    key = [(-r.pmi, r.w1, r.w2) for r in rows]
+    assert key == sorted(key)
+
+
+def test_pattern_match_bounded_by_purchases(spark, sf_oracle):
+    """Per user: seq_len equals the user's event count, and each
+    non-overlapping v[ce]*p match consumes one purchase AND one view,
+    so n_matches <= min(#purchases, #views)."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline import events as pl_events
+
+    got = {
+        r.user_id: r
+        for r in pl_events.events_pattern_match(spark, sf_oracle).collect()
+    }
+    truth = {
+        r.user_id: r
+        for r in table(spark, sf_oracle, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("np"),
+            F.sum((F.col("event_type") == "view").cast("int")).alias("nv"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for uid, r in got.items():
+        t = truth[uid]
+        assert r.seq_len == t.n
+        assert 0 <= r.n_matches <= min(t.np, t.nv)
