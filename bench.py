@@ -110,6 +110,8 @@ def main() -> int:
     from distributed_graph_database_spark.graph import analytics as g_an
     from distributed_graph_database_spark.pipeline import dedup as pl_dedup
     from distributed_graph_database_spark.pipeline import similarity as pl_sim
+    from distributed_graph_database_spark.pipeline import text as pl_text
+    from distributed_graph_database_spark.cache import shared as _shared
 
     from distributed_graph_database_spark.streaming import (
         events_stream as streaming,
@@ -125,6 +127,10 @@ def main() -> int:
         ("sim_topk_result", lambda: pl_sim.sim_topk(spark, sf_dir)),
         ("sim_topk_ivf_result", lambda: pl_sim.sim_topk_ivf(spark, sf_dir)),
         ("sim_knn_graph_result", lambda: pl_sim.sim_knn_graph(spark, sf_dir)),
+        ("colloc_unigram_counts", lambda: _shared(
+            spark, sf_dir, "colloc_unigrams",
+            lambda: pl_text._colloc_unigrams(spark, sf_dir))),
+        ("ml_confusion_matrix", lambda: pl_sim.ml_centroid_classify(spark, sf_dir)),
     ]
     for name, fill in cache_fills:
         t0 = time.perf_counter()

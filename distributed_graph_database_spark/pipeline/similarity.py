@@ -834,6 +834,15 @@ WHERE e.vec_id <> w.w_id
 
 
 def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry point (see cache.shared): the confusion matrix is
+    reused by ml_confusion_metrics within a session."""
+    return shared(
+        spark, sf_dir, "ml_confusion",
+        lambda: _ml_centroid_classify(spark, sf_dir),
+    )
+
+
+def _ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification of the whole corpus against the
     labeled embeddings (the `label` column's first consumer) → the
     confusion matrix (true_label, pred_label, n). The shape of every
@@ -924,6 +933,80 @@ FROM pred GROUP BY 1, 2
 """
 
 
+def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class evaluation over the centroid classifier's confusion
+    matrix → (label, support, predicted, tp, prec, rec, f1): the
+    model-eval step every curation classifier ships with. Reads the
+    session-shared confusion matrix (cache.shared — classes², a few
+    dozen rows), so the corpus is not re-scored.
+
+    Exactness: support/predicted/tp are integer marginals of the
+    hash-checked confusion matrix; precision, recall and
+    f1 = 2·tp/(support+predicted) are single divisions of identical
+    integers, nullif-guarded for classes never predicted. Cost is a
+    driver-trivial aggregate over a tiny table — the expensive part
+    (scoring) already happened once."""
+    conf = ml_centroid_classify(spark, sf_dir)
+    t = conf.groupBy(F.col("true_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("support"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), F.col("n")).otherwise(0)
+        ).cast("bigint").alias("tp"),
+    )
+    p = conf.groupBy(F.col("pred_label").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("predicted")
+    )
+    m = t.join(p, "label", "full").select(
+        "label",
+        F.coalesce("support", F.lit(0)).alias("support"),
+        F.coalesce("predicted", F.lit(0)).alias("predicted"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+    )
+    prec = F.col("tp").cast("double") / F.nullif(
+        F.col("predicted").cast("double"), F.lit(0.0)
+    )
+    rec = F.col("tp").cast("double") / F.nullif(
+        F.col("support").cast("double"), F.lit(0.0)
+    )
+    f1 = (F.lit(2.0) * F.col("tp").cast("double")) / F.nullif(
+        (F.col("support") + F.col("predicted")).cast("double"), F.lit(0.0)
+    )
+    return m.select(
+        "label", "support", "predicted", "tp",
+        F.round(prec, 6).alias("prec"),
+        F.round(rec, 6).alias("rec"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+ORACLE_ML_CONFUSION_METRICS = f"""
+WITH conf AS ({ORACLE_ML_CENTROID_CLASSIFY}),
+t AS (
+  SELECT true_label AS label,
+         CAST(SUM(n) AS BIGINT) AS support,
+         CAST(SUM(CASE WHEN pred_label = true_label THEN n ELSE 0 END)
+              AS BIGINT) AS tp
+  FROM conf GROUP BY true_label
+),
+p AS (
+  SELECT pred_label AS label, CAST(SUM(n) AS BIGINT) AS predicted
+  FROM conf GROUP BY pred_label
+)
+SELECT COALESCE(t.label, p.label) AS label,
+       COALESCE(t.support, 0) AS support,
+       COALESCE(p.predicted, 0) AS predicted,
+       COALESCE(t.tp, 0) AS tp,
+       ROUND(CAST(COALESCE(t.tp, 0) AS DOUBLE)
+               / NULLIF(CAST(COALESCE(p.predicted, 0) AS DOUBLE), 0.0), 6) AS prec,
+       ROUND(CAST(COALESCE(t.tp, 0) AS DOUBLE)
+               / NULLIF(CAST(COALESCE(t.support, 0) AS DOUBLE), 0.0), 6) AS rec,
+       ROUND((2.0 * CAST(COALESCE(t.tp, 0) AS DOUBLE))
+               / NULLIF(CAST(COALESCE(t.support, 0) + COALESCE(p.predicted, 0)
+                             AS DOUBLE), 0.0), 6) AS f1
+FROM t FULL JOIN p ON t.label = p.label
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
@@ -935,6 +1018,7 @@ QUERIES = {
     "ml_kmeans_step": ml_kmeans_step,
     "ml_score": ml_score,
     "ml_centroid_classify": ml_centroid_classify,
+    "ml_confusion_metrics": ml_confusion_metrics,
 }
 
 # Every key exact-oracled: IVF blocking is deterministic algebra,
@@ -950,4 +1034,5 @@ ORACLE_SQL = {
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
     "ml_score": ORACLE_ML_SCORE,
     "ml_centroid_classify": ORACLE_ML_CENTROID_CLASSIFY,
+    "ml_confusion_metrics": ORACLE_ML_CONFUSION_METRICS,
 }

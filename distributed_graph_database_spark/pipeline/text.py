@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import shared
 from ..catalog import table
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
@@ -613,17 +614,46 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair generation is a flat transform inside the scan (no
     shuffle); the bigram and unigram counts are two map-side-combined
-    groupBys on (w1,w2)/w; the PMI join hits the unigram table twice —
-    a vocabulary-sized (≈millions of rows at 100 TB) table that AQE
-    broadcasts when it fits and shuffle-joins otherwise, never the
-    corpus. The MIN_PAIR gate runs BEFORE the join, so the joined side
-    is only the surviving bigram heads. Top-k is
-    TakeOrderedAndProject."""
-    toks = (
+    groupBys on (w1,w2)/w. The unigram table has THREE consumers (both
+    join sides + the corpus total), so it is materialized once via
+    cache.shared — without that, each reference re-scans the corpus; at
+    100 TB it's the ingest-time vocabulary table. It is
+    vocabulary-sized (≈millions of rows), so AQE broadcasts it when it
+    fits and shuffle-joins otherwise — never the corpus. The MIN_PAIR
+    gate runs BEFORE the join, so the joined side is only the
+    surviving bigram heads. Top-k is TakeOrderedAndProject."""
+    uni = shared(
+        spark, sf_dir, "colloc_unigrams",
+        lambda: _colloc_unigrams(spark, sf_dir),
+    )
+    return _text_collocations(spark, sf_dir, uni)
+
+
+def _colloc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         table(spark, sf_dir, "documents")
         .select(_tokens().alias("t"))
         .filter(F.size("t") >= 2)
     )
+
+
+def _colloc_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _colloc_tokens(spark, sf_dir)
+        .select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _text_collocations(
+    spark: SparkSession, sf_dir: str, uni: DataFrame | None = None
+) -> DataFrame:
+    """Uncached core (PLAN_QUERIES exposes this so the plan audit sees
+    the real lineage, not a checkpoint scan)."""
+    toks = _colloc_tokens(spark, sf_dir)
+    if uni is None:
+        uni = _colloc_unigrams(spark, sf_dir)
     # Adjacent pairs via an index transform — t[] subscripts are
     # 0-based in Spark SQL; sequence stays ascending because size>=2.
     pairs = toks.select(
@@ -634,9 +664,6 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c")
-    )
     total = uni.agg(F.sum("c").alias("n_tokens"))
     big = (
         pairs.groupBy("w1", "w2")

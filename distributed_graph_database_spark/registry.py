@@ -245,6 +245,8 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "sim_topk": pl_sim._sim_topk,
     "sim_topk_ivf": pl_sim._sim_topk_ivf,
     "sim_knn_graph": pl_sim._sim_knn_graph,
+    "text_collocations": pl_text._text_collocations,
+    "ml_centroid_classify": pl_sim._ml_centroid_classify,
     "graph_copurchase": g_analytics._copurchase_impl,
     "graph_triangles": g_analytics._triangles_plan,
     "graph_jaccard": g_analytics._jaccard_plan,

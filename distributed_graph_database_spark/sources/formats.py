@@ -509,6 +509,119 @@ FROM o""")
     )
 
 
+# store_cdc_apply changelog synthesis: which keys receive later
+# versions (mods chosen so the v2/v3/v4 sets overlap — a key can be
+# updated twice and then deleted, exercising true last-writer-wins).
+CDC_UPD2_MOD = 3
+CDC_UPD3_MOD = 5
+CDC_DEL_MOD = 7
+
+
+def store_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced-changelog replay (log compaction): materialize the
+    final snapshot from a multi-version CDC log — several ops per key,
+    last-writer-wins by sequence number, delete tombstones dropped —
+    then the per-status audit aggregate → (o_orderstatus, n_rows,
+    sum_cents, n_from_v2, n_from_v3). store_merge_upsert is the
+    one-shot MERGE; this is its streaming-ingest complement, the
+    semantics a Kafka→lake materializer (Hudi/Paimon compaction)
+    applies continuously.
+
+    The log is derived deterministically from orders: v1 inserts every
+    key; v2 re-prices keys %CDC_UPD2_MOD==0; v3 re-prices keys
+    %CDC_UPD3_MOD==0 (keys hit by both take v3 — later seq wins); v4
+    deletes keys %CDC_DEL_MOD==0 regardless of earlier versions.
+
+    Scale shape: compaction is ONE map-side-combined groupBy on the
+    primary key taking max(struct(seq, ...)) — no window, no sort, no
+    second shuffle; the audit groupBy runs on the tiny status key. The
+    oracle replays the same log through a ROW_NUMBER window — a
+    different algorithm, so parity checks the last-writer-wins
+    semantics, not the implementation."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def version(df, seq, op, cents_col):
+        return df.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            cents_col.alias("cents"),
+        )
+
+    log = (
+        version(o, 1, "I", cents)
+        .unionByName(
+            version(
+                o.filter(F.col("o_orderkey") % CDC_UPD2_MOD == 0),
+                2, "U", F.round(F.col("o_totalprice") * 110).cast("bigint"),
+            )
+        )
+        .unionByName(
+            version(
+                o.filter(F.col("o_orderkey") % CDC_UPD3_MOD == 0),
+                3, "U", F.round(F.col("o_totalprice") * 90).cast("bigint"),
+            )
+        )
+        .unionByName(
+            version(
+                o.filter(F.col("o_orderkey") % CDC_DEL_MOD == 0),
+                4, "D", F.lit(None).cast("bigint"),
+            )
+        )
+    )
+    last = log.groupBy("o_orderkey").agg(
+        F.max(F.struct("seq", "op", "o_orderstatus", "cents")).alias("v")
+    )
+    snap = last.filter(F.col("v.op") != "D").select(
+        "o_orderkey",
+        F.col("v.o_orderstatus").alias("o_orderstatus"),
+        F.col("v.seq").alias("seq"),
+        F.col("v.cents").alias("cents"),
+    )
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum((F.col("seq") == 2).cast("bigint")).cast("bigint").alias("n_from_v2"),
+        F.sum((F.col("seq") == 3).cast("bigint")).cast("bigint").alias("n_from_v3"),
+    )
+
+
+ORACLE_STORE_CDC_APPLY = f"""
+WITH log AS (
+  SELECT o_orderkey, o_orderstatus, 1 AS seq, 'I' AS op,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, 2, 'U',
+         CAST(ROUND(o_totalprice * 110) AS BIGINT)
+  FROM orders WHERE o_orderkey % {CDC_UPD2_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, 3, 'U',
+         CAST(ROUND(o_totalprice * 90) AS BIGINT)
+  FROM orders WHERE o_orderkey % {CDC_UPD3_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, 4, 'D', NULL
+  FROM orders WHERE o_orderkey % {CDC_DEL_MOD} = 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY seq DESC) AS rn
+  FROM log
+),
+snap AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'D')
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(CASE WHEN seq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_from_v2,
+       CAST(SUM(CASE WHEN seq = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_from_v3
+FROM snap GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
@@ -519,6 +632,7 @@ QUERIES = {
     "store_sorted_prune": store_sorted_prune,
     "store_stats_collect": store_stats_collect,
     "store_stats_approx": store_stats_approx,
+    "store_cdc_apply": store_cdc_apply,
 }
 
 ORACLE_SQL = {
@@ -530,6 +644,7 @@ ORACLE_SQL = {
     "store_schema_evolve": ORACLE_STORE_SCHEMA_EVOLVE,
     "store_sorted_prune": ORACLE_STORE_SORTED_PRUNE,
     "store_stats_collect": _oracle_store_stats(),
+    "store_cdc_apply": ORACLE_STORE_CDC_APPLY,
     # store_stats_approx intentionally absent: HLL sketch values differ
     # across engines by design → rows-only check + ±5% property test.
 }

@@ -176,3 +176,44 @@ def test_pattern_match_bounded_by_purchases(spark, sf_oracle):
         t = truth[uid]
         assert r.seq_len == t.n
         assert 0 <= r.n_matches <= min(t.np, t.nv)
+
+
+def test_cdc_apply_counts_reconcile(spark, sf_oracle):
+    """The compacted snapshot's totals must reconcile with the raw
+    key arithmetic: every key not deleted survives exactly once, keys
+    hit by %5 win over %3 (later seq), and deletes beat everything."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.sources import formats
+
+    rows = formats.store_cdc_apply(spark, sf_oracle).collect()
+    o = table(spark, sf_oracle, "orders").select("o_orderkey").collect()
+    keys = [r.o_orderkey for r in o]
+    alive = [k for k in keys if k % formats.CDC_DEL_MOD != 0]
+    exp_v3 = sum(1 for k in alive if k % formats.CDC_UPD3_MOD == 0)
+    exp_v2 = sum(
+        1 for k in alive
+        if k % formats.CDC_UPD2_MOD == 0 and k % formats.CDC_UPD3_MOD != 0
+    )
+    assert sum(r.n_rows for r in rows) == len(alive)
+    assert sum(r.n_from_v3 for r in rows) == exp_v3
+    assert sum(r.n_from_v2 for r in rows) == exp_v2
+
+
+def test_confusion_metrics_consistent_with_matrix(spark, sf_oracle):
+    """Marginals of the metrics table must equal the confusion
+    matrix's totals, and every metric lies in [0, 1] with
+    f1 = 2tp/(support+predicted)."""
+    from distributed_graph_database_spark.pipeline import similarity as pl_sim
+
+    conf = pl_sim.ml_centroid_classify(spark, sf_oracle).collect()
+    met = pl_sim.ml_confusion_metrics(spark, sf_oracle).collect()
+    n_total = sum(r.n for r in conf)
+    assert sum(r.support for r in met) == n_total
+    assert sum(r.predicted for r in met) == n_total
+    diag = {r.true_label: r.n for r in conf if r.true_label == r.pred_label}
+    for r in met:
+        assert r.tp == diag.get(r.label, 0)
+        for v in (r.prec, r.rec, r.f1):
+            assert v is None or 0.0 <= v <= 1.0
+        if r.support + r.predicted > 0:
+            assert abs(r.f1 - 2 * r.tp / (r.support + r.predicted)) < 1e-6

@@ -141,6 +141,26 @@ HEADLINERS: dict[str, str] = {
         "tables, their product broadcast left-joins onto the one "
         "map-side-combined rollup."
     ),
+    "ql_sql_q18": (
+        "HAVING-gated aggregate-join from a bare ANSI string: lineitem "
+        "aggregates ON its join key so the groupBy exchange doubles as "
+        "the join exchange, the HAVING filter shrinks the key set before "
+        "orders joins, customer broadcasts, and the LIMIT becomes "
+        "TakeOrderedAndProject — no full sort."
+    ),
+    "events_pattern_match": (
+        "CEP over timelines in one user-keyed shuffle: the ordered "
+        "type-initial string is built by array_sort over collect_list "
+        "(deterministic on the unique (ts,event_id) key) and the regex "
+        "count is a codegen'd linear scan — no per-event window, no "
+        "self-join, no Python."
+    ),
+    "text_collocations": (
+        "Bigram generation is a flat array transform inside the scan "
+        "(zero extra shuffle); the support gate runs BEFORE the "
+        "vocabulary join so only surviving bigram heads join; the "
+        "final report is TakeOrderedAndProject top-K."
+    ),
 }
 
 
