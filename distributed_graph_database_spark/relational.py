@@ -381,6 +381,43 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def ql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of ql_pivot: the wide
+    (priority, n_O, n_F, n_P) rollup back to long
+    (o_orderpriority, o_orderstatus, n) form, zero rows dropped
+    (includeNulls semantics don't arise: the pivot coalesced to 0).
+    Round-trip law pinned in tests: unpivot(pivot(x)) ≡ groupBy(x).
+
+    Scale: unpivot is a zero-shuffle Expand over the already-tiny wide
+    table — each input row fans to |statuses| rows map-side. Melting a
+    wide FACT table at 100 TB is the same plan: one Expand inside the
+    scan stage, no exchange until something aggregates."""
+    wide = ql_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["o_orderpriority"],
+        [f"n_{s}" for s in PIVOT_STATUSES],
+        "status_col",
+        "n",
+    ).select(
+        "o_orderpriority",
+        F.expr("substring(status_col, 3)").alias("o_orderstatus"),
+        "n",
+    )
+
+
+ORACLE_UNPIVOT = f"""
+WITH wide AS ({ORACLE_PIVOT}),
+long AS (
+  UNPIVOT wide ON {", ".join(f"n_{s}" for s in PIVOT_STATUSES)}
+  INTO NAME status_col VALUE n
+)
+SELECT o_orderpriority,
+       SUBSTRING(status_col, 3) AS o_orderstatus,
+       CAST(n AS BIGINT) AS n
+FROM long
+"""
+
+
 def ql_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all four grouping sets in
     one pass (partial aggregation handles each set map-side); NULL
@@ -1334,6 +1371,7 @@ QUERIES = {
     "ql_cube": ql_cube,
     "ql_grouping_sets": ql_grouping_sets,
     "ql_pivot": ql_pivot,
+    "ql_unpivot": ql_unpivot,
     "ql_window_rank": ql_window_rank,
     "ql_window_running": ql_window_running,
     "ql_window_range": ql_window_range,
@@ -1374,6 +1412,7 @@ ORACLE_SQL = {
     "ql_cube": ORACLE_CUBE,
     "ql_grouping_sets": GROUPING_SETS_SQL,
     "ql_pivot": ORACLE_PIVOT,
+    "ql_unpivot": ORACLE_UNPIVOT,
     "ql_window_rank": ORACLE_WINDOW_RANK,
     "ql_window_running": ORACLE_WINDOW_RUNNING,
     "ql_window_range": ORACLE_WINDOW_RANGE,

@@ -66,6 +66,35 @@ def tumbling_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def enrich_stream(
+    spark: SparkSession, src_dir: str, customers: DataFrame
+) -> DataFrame:
+    """Stream-static join: each streaming event is enriched with the
+    (static, broadcast) customer dimension before the windowed rollup
+    — the canonical streaming-ETL shape (facts stream, dims don't).
+    The join is stateless (static side is just a broadcast lookup per
+    micro-batch); only the downstream windowed agg carries state."""
+    ev = _events_stream(spark, src_dir).withWatermark("ts", WATERMARK)
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("hour"),
+            "segment",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
 def hopping_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming twin of events_hopping: same sliding window expression
     under a watermark. State is one row per (window, event_type) with
@@ -395,6 +424,36 @@ SELECT event_type, COUNT(*) AS n_kept FROM k GROUP BY event_type
 """
 
 
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the STREAM-STATIC JOIN — streaming
+    events enriched against the static customer dimension (broadcast
+    lookup per micro-batch, stateless) before the watermarked windowed
+    rollup → (hour, segment, n_events, sum_value_cents). The canonical
+    streaming-ETL topology: facts stream, dimensions are a table.
+    Exact oracle under the one-batch drain contract: final state ≡ the
+    batch join+rollup. Inner join semantics — events without a
+    matching customer (none in the testdata: user_ids ⊂ custkeys,
+    asserted by the oracle parity itself) would be dropped identically
+    in both engines."""
+    from ..catalog import table as _table
+
+    src = _events_src_dir(spark, sf_dir)
+    name = f"stream_enrich_{next(_STREAM_SEQ)}"
+    cust = _table(spark, sf_dir, "customer")
+    return run_available_now(enrich_stream(spark, src, cust), name)
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT CAST(DATE_TRUNC('hour', e.ts) AS VARCHAR) AS hour,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECLARED streaming key: the DURABLE-SINK path — the tumbling
     rollup drained through `foreachBatch` into a parquet store under a
@@ -445,6 +504,7 @@ QUERIES = {
     "stream_hopping": stream_hopping,
     "stream_sessionize": stream_sessionize,
     "stream_sink_parquet": stream_sink_parquet,
+    "stream_enrich": stream_enrich,
 }
 
 ORACLE_SQL = {
@@ -455,6 +515,7 @@ ORACLE_SQL = {
     "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
     # the sink's CONTENT equals the tumbling rollup — same oracle
     "stream_sink_parquet": ORACLE_STREAM_TUMBLING,
+    "stream_enrich": ORACLE_STREAM_ENRICH,
 }
 
 

@@ -217,3 +217,27 @@ def test_confusion_metrics_consistent_with_matrix(spark, sf_oracle):
             assert v is None or 0.0 <= v <= 1.0
         if r.support + r.predicted > 0:
             assert abs(r.f1 - 2 * r.tp / (r.support + r.predicted)) < 1e-6
+
+
+def test_unpivot_roundtrip_law(spark, sf_oracle):
+    """unpivot(pivot(orders)) must equal the plain long-form groupBy
+    (keeping explicit zero cells for absent combinations)."""
+    from distributed_graph_database_spark import relational
+    from distributed_graph_database_spark.catalog import table
+
+    got = {
+        (r.o_orderpriority, r.o_orderstatus): r.n
+        for r in relational.ql_unpivot(spark, sf_oracle).collect()
+    }
+    base = {
+        (r.o_orderpriority, r.o_orderstatus): r.n
+        for r in table(spark, sf_oracle, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # every real combination matches; pivoted-in zeros are only zeros
+    for k, v in base.items():
+        assert got[k] == v
+    for k, v in got.items():
+        assert v == base.get(k, 0)
