@@ -51,7 +51,29 @@ tree_parents AS (
 )
 """
 
+# Double-sweep diameter estimate: farthest-from-start (max level, max
+# vid tiebreak — mirroring the Spark orderBy) seeds a second walk;
+# its eccentricity is the reported lower bound.
+_DIAMETER_CTE = f"""{_GRAPH_CTE},
+far AS (SELECT vid FROM lvl ORDER BY level DESC, vid DESC LIMIT 1),
+walk2(vid, level) AS (
+    SELECT vid, 0 FROM far
+    UNION
+    SELECT s.dst, w.level + 1
+    FROM walk2 w JOIN sym s ON s.src = w.vid
+    WHERE w.level < {MAX_LEVELS_DEFAULT}
+),
+lvl2 AS (SELECT vid, MIN(level) AS level FROM walk2 GROUP BY vid)
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "graph_diameter": f"""
+WITH RECURSIVE {_DIAMETER_CTE}
+SELECT (SELECT CAST(vid AS BIGINT) FROM far) AS sweep_start,
+       CAST(MAX(level) AS INT) AS diameter_lb,
+       COUNT(*) AS n_reached
+FROM lvl2
+""",
     "bfs_levels": f"""
 WITH RECURSIVE {_GRAPH_CTE}
 SELECT CAST(vid AS BIGINT) AS vid, CAST(level AS INT) AS level FROM lvl

@@ -120,6 +120,36 @@ def q_vertex_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound → one row (sweep_start,
+    diameter_lb, n_reached): BFS from the canonical start finds the
+    farthest vertex (max level, max vid tiebreak), a second BFS from
+    there yields the eccentricity of that periphery vertex — the
+    classic 2-sweep estimate, exact on trees and within a small factor
+    on general graphs. The component-size/latency summary a graph
+    service reports before anyone runs an O(V·E) exact diameter.
+
+    Cost: the first sweep is the session-shared BFS cache; only the
+    second sweep's O(diameter) checkpointed rounds run per call. The
+    1-row collect for the sweep-start vertex is the same sanctioned
+    class as derive.default_start."""
+    from pyspark.sql import functions as F
+
+    edges, _ = _graph_ctx(spark, sf_dir)
+    lv = _bfs_levels_cached(spark, sf_dir)
+    far = lv.orderBy(F.col("level").desc(), F.col("vid").desc()).limit(1).collect()
+    far_vid = int(far[0].vid)
+    lv2 = traversal.bfs_levels(spark, edges, far_vid, cache_edges=False)
+    return lv2.agg(
+        F.max("level").cast("int").alias("diameter_lb"),
+        F.count(F.lit(1)).alias("n_reached"),
+    ).select(
+        F.lit(far_vid).cast("bigint").alias("sweep_start"),
+        "diameter_lb",
+        "n_reached",
+    )
+
+
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, _ = _graph_ctx(spark, sf_dir)
     return traversal.connected_components(spark, edges)
@@ -143,6 +173,7 @@ _CORE_GRAPH: dict[str, QueryFn] = {
     "vertex_degree": q_vertex_degree,
     "vertex_degree_hist": q_vertex_degree_hist,
     "graph_components": q_graph_components,
+    "graph_diameter": q_graph_diameter,
     "graph_stats": q_graph_stats,
 }
 

@@ -241,3 +241,57 @@ def test_unpivot_roundtrip_law(spark, sf_oracle):
         assert got[k] == v
     for k, v in got.items():
         assert v == base.get(k, 0)
+
+
+def test_pattern_regex_count_cross_engine_adversarial(spark):
+    """The funnel pattern's match COUNT must agree across Java regex
+    (Spark), RE2 (DuckDB) and Python re on adversarial sequences —
+    overlaps, backtracking traps, runs of class chars, empty-ish
+    inputs. Pins the leftmost non-overlapping counting semantics
+    events_pattern_match's exact oracle relies on."""
+    import re as _re
+
+    import duckdb
+
+    from distributed_graph_database_spark.pipeline.events import (
+        PATTERN_FUNNEL_RE,
+    )
+
+    seqs = [
+        "", "p", "v", "vp", "vcp", "vcvcp", "vpvp", "vcpp", "vvp",
+        "vcecep", "vcecp" * 3, "vp" * 10, "v" * 5 + "c" * 5 + "p",
+        "pvpcv", "vcv" * 4 + "p", "sveccp", "vecpvecp", "vc" * 8,
+        "vpv", "cpv", "vcpvcp", "v" + "ce" * 6 + "p" + "vp",
+    ]
+    py = [len(_re.findall(PATTERN_FUNNEL_RE, s)) for s in seqs]
+    sdf = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    from pyspark.sql import functions as F2
+
+    got_spark = [
+        r.n for r in sdf.select(
+            F2.regexp_count("seq", F2.lit(PATTERN_FUNNEL_RE)).alias("n")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT LEN(REGEXP_EXTRACT_ALL(?, ?))", [s, PATTERN_FUNNEL_RE]
+        ).fetchone()[0]
+        for s in seqs
+    ]
+    assert got_spark == py, (seqs, got_spark, py)
+    assert got_duck == py, (seqs, got_duck, py)
+
+
+def test_diameter_double_sweep_dominates_first_ecc(spark, sf_oracle):
+    """ecc(periphery) >= dist(periphery, start) = ecc(start): the
+    second sweep's bound must dominate the first sweep's max level,
+    and both sweeps must cover the identical component."""
+    from distributed_graph_database_spark import registry
+
+    lv = registry._bfs_levels_cached(spark, sf_oracle)
+    first_ecc = lv.agg(F.max("level")).collect()[0][0]
+    n_comp = lv.count()
+    row = registry.q_graph_diameter(spark, sf_oracle).collect()[0]
+    assert row.diameter_lb >= first_ecc
+    assert row.n_reached == n_comp

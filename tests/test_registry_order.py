@@ -14,7 +14,7 @@ from distributed_graph_database_spark import oracles, registry
 DRIVER_WINDOW = 50
 
 FAMILY_PATTERNS = {
-    "core-graph": r"^(bfs_|dfs_|reachable|neighbors|vertex_|graph_components|graph_stats)",
+    "core-graph": r"^(bfs_|dfs_|reachable|neighbors|vertex_|graph_components|graph_diameter|graph_stats)",
     "relational": r"^ql_",
     "ops": r"^(route_|validate_|ops_)",
     "matrix": r"^graph_(from|store|export)_",
