@@ -573,20 +573,29 @@ def store_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    last = log.groupBy("o_orderkey").agg(
-        F.max(F.struct("seq", "op", "o_orderstatus", "cents")).alias("v")
-    )
-    snap = last.filter(F.col("v.op") != "D").select(
-        "o_orderkey",
-        F.col("v.o_orderstatus").alias("o_orderstatus"),
-        F.col("v.seq").alias("seq"),
-        F.col("v.cents").alias("cents"),
-    )
+    snap = cdc_compact_frame(log)
     return snap.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
         F.sum((F.col("seq") == 2).cast("bigint")).cast("bigint").alias("n_from_v2"),
         F.sum((F.col("seq") == 3).cast("bigint")).cast("bigint").alias("n_from_v3"),
+    )
+
+
+def cdc_compact_frame(log: DataFrame) -> DataFrame:
+    """The compaction core of store_cdc_apply over any changelog frame
+    with (o_orderkey, o_orderstatus, seq, op, cents) — split out so
+    property tests can drive it with random logs. seq must be unique
+    per key (the CDC transport's total order); max(struct) then picks
+    the last writer in one map-side-combined aggregate."""
+    last = log.groupBy("o_orderkey").agg(
+        F.max(F.struct("seq", "op", "o_orderstatus", "cents")).alias("v")
+    )
+    return last.filter(F.col("v.op") != "D").select(
+        "o_orderkey",
+        F.col("v.o_orderstatus").alias("o_orderstatus"),
+        F.col("v.seq").alias("seq"),
+        F.col("v.cents").alias("cents"),
     )
 
 
