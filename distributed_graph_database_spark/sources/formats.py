@@ -533,8 +533,10 @@ def store_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes keys %CDC_DEL_MOD==0 regardless of earlier versions.
 
     Scale shape: compaction is ONE map-side-combined groupBy on the
-    primary key taking max(struct(seq, ...)) — no window, no sort, no
-    second shuffle; the audit groupBy runs on the tiny status key. The
+    primary key taking max(struct(seq, ...)) — no window over the raw
+    log, no join, one exchange carrying a combined row per key (see
+    cdc_compact_frame for the SortAggregate physical note); the audit
+    groupBy runs on the tiny status key. The
     oracle replays the same log through a ROW_NUMBER window — a
     different algorithm, so parity checks the last-writer-wins
     semantics, not the implementation."""
@@ -586,8 +588,17 @@ def cdc_compact_frame(log: DataFrame) -> DataFrame:
     """The compaction core of store_cdc_apply over any changelog frame
     with (o_orderkey, o_orderstatus, seq, op, cents) — split out so
     property tests can drive it with random logs. seq must be unique
-    per key (the CDC transport's total order); max(struct) then picks
-    the last writer in one map-side-combined aggregate."""
+    per key (the CDC transport's total order); max(struct) picks the
+    last writer in one aggregate.
+
+    Physical shape: no window over the raw log, no join, ONE exchange
+    that carries a single combined row per (map partition, key).
+    Spark executes the struct-max as a map-side-combined SortAggregate
+    (composite buffers don't fit HashAggregate's fixed-width row — a
+    packed-string max hits the same limit); the per-partition sort is
+    the engine's buffer restriction, not an algorithmic extra, and the
+    partial-combine before the shuffle is what keeps the plan viable
+    when the changelog is 100 TB."""
     last = log.groupBy("o_orderkey").agg(
         F.max(F.struct("seq", "op", "o_orderstatus", "cents")).alias("v")
     )

@@ -161,6 +161,19 @@ HEADLINERS: dict[str, str] = {
         "vocabulary join so only surviving bigram heads join; the "
         "final report is TakeOrderedAndProject top-K."
     ),
+    "store_cdc_apply": (
+        "Log compaction as ONE map-side-combined aggregate: "
+        "max(struct(seq,…)) picks the last writer per key with partial "
+        "combine before the single key exchange — no window over the "
+        "raw log, no join; the SortAggregate is Spark's composite-"
+        "buffer restriction (per-partition sort), not an extra pass, "
+        "and the exchange still carries one row per key."
+    ),
+    "ql_unpivot": (
+        "Melt via a zero-shuffle Expand: each wide row fans to "
+        "|statuses| long rows map-side, stacked on top of the pivot's "
+        "single aggregate exchange — no new shuffle for the reshape."
+    ),
 }
 
 
