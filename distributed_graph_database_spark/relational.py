@@ -1186,6 +1186,72 @@ def ql_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q18_SQL)
 
 
+# TPC-H Q7, volume shipping: the TWO-ROLE dimension join — nation
+# joins twice under different aliases (supplier's vs customer's
+# nation), with a symmetric pair filter and per-year revenue. The
+# year comes from EXTRACT (identical integer on both engines).
+TPCH_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def ql_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #8, TPC-H Q7: the self-referencing dimension —
+    nation participates TWICE under different join roles, and Catalyst
+    must broadcast both aliases independently while keeping the
+    symmetric pair predicate above the joins it can't push. The
+    plan to want at 100 TB: both nation aliases broadcast, lineitem
+    never shuffles for either, and the residual OR filter runs on the
+    joined row — which is exactly what the string produces."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q7_SQL)
+
+
+# TPC-H Q14, promo revenue share: the conditional-aggregate ratio —
+# one join, one pass, a FILTERed sum divided by the total. Share is a
+# division of identical integer cents, so the doubles match bitwise.
+TPCH_Q14_SQL = """
+SELECT l_year,
+       ROUND(CAST(100 * promo_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6) AS promo_pct,
+       promo_cents, total_cents
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS promo_cents,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY EXTRACT(YEAR FROM l_shipdate)
+) g
+ORDER BY l_year
+"""
+
+
+def ql_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #9, TPC-H Q14: conditional-aggregate ratio over
+    a fact⋈dim join — the promo-share report. part is the broadcast
+    side; both sums come out of ONE pass (a CASE inside the aggregate,
+    not two scans); the percentage divides identical bigint cents so
+    the hash is engine-stable."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q14_SQL)
+
+
 def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-linestatus ordinary-least-squares fit of line price against
     quantity → (l_linestatus, n, slope_cents, intercept_cents): the
@@ -1389,6 +1455,8 @@ QUERIES = {
     "ql_sql_q6": ql_sql_q6,
     "ql_sql_q4": ql_sql_q4,
     "ql_sql_q18": ql_sql_q18,
+    "ql_sql_q7": ql_sql_q7,
+    "ql_sql_q14": ql_sql_q14,
     "ql_regr": ql_regr,
     "ql_window_misc": ql_window_misc,
     "ql_percentiles_exact": ql_percentiles_exact,
@@ -1430,6 +1498,8 @@ ORACLE_SQL = {
     "ql_sql_q6": TPCH_Q6_SQL,
     "ql_sql_q4": TPCH_Q4_SQL,
     "ql_sql_q18": TPCH_Q18_SQL,
+    "ql_sql_q7": TPCH_Q7_SQL,
+    "ql_sql_q14": TPCH_Q14_SQL,
     "ql_regr": ORACLE_QL_REGR,
     "ql_window_misc": ORACLE_QL_WINDOW_MISC,
     "ql_percentiles_exact": ORACLE_QL_PERCENTILES_EXACT,
