@@ -1252,6 +1252,70 @@ def ql_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q14_SQL)
 
 
+# TPC-H Q13, customer distribution: the OUTER-join aggregate — every
+# customer counts, including the zero-order ones a plain join would
+# drop, with the filter INSIDE the join condition (pushing it to a
+# WHERE would turn the left join back into an inner one). The testdata
+# carries no o_comment, so the exclusion predicate is priority-based.
+TPCH_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def ql_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #10, TPC-H Q13: left-join double aggregation.
+    The semantic trap the string pins: the priority filter lives in
+    the JOIN CONDITION, so customers whose every order is urgent still
+    appear with c_count = 0 — Catalyst must NOT push it below the
+    outer join as a WHERE. Plan: one equi-shuffle (orders on custkey;
+    customer broadcasts), COUNT(o_orderkey) skips the nulls the outer
+    join manufactures, then a tiny histogram aggregate."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q13_SQL)
+
+
+# TPC-H Q17, small-quantity revenue: the CORRELATED SCALAR SUBQUERY —
+# each line compares against 0.5× the average quantity OF ITS OWN
+# PART. Exactness: quantities are integral doubles (pinned by the
+# probe below and the oracle itself), so AVG = exact-integer-sum /
+# count is order-independent and the 0.5× threshold compares
+# identically across engines.
+TPCH_Q17_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def ql_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #11, TPC-H Q17: correlated scalar subquery with
+    an aggregate. Catalyst decorrelates the per-part AVG into ONE
+    grouped aggregate over lineitem joined back on l_partkey — the
+    subquery never executes per outer row, which is the difference
+    between one extra aggregation and |lineitem| of them at 100 TB.
+    The declared scalar-subquery complement to ql_sql_q4's EXISTS."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q17_SQL)
+
+
 def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-linestatus ordinary-least-squares fit of line price against
     quantity → (l_linestatus, n, slope_cents, intercept_cents): the
@@ -1457,6 +1521,8 @@ QUERIES = {
     "ql_sql_q18": ql_sql_q18,
     "ql_sql_q7": ql_sql_q7,
     "ql_sql_q14": ql_sql_q14,
+    "ql_sql_q13": ql_sql_q13,
+    "ql_sql_q17": ql_sql_q17,
     "ql_regr": ql_regr,
     "ql_window_misc": ql_window_misc,
     "ql_percentiles_exact": ql_percentiles_exact,
@@ -1500,6 +1566,8 @@ ORACLE_SQL = {
     "ql_sql_q18": TPCH_Q18_SQL,
     "ql_sql_q7": TPCH_Q7_SQL,
     "ql_sql_q14": TPCH_Q14_SQL,
+    "ql_sql_q13": TPCH_Q13_SQL,
+    "ql_sql_q17": TPCH_Q17_SQL,
     "ql_regr": ORACLE_QL_REGR,
     "ql_window_misc": ORACLE_QL_WINDOW_MISC,
     "ql_percentiles_exact": ORACLE_QL_PERCENTILES_EXACT,
