@@ -1252,6 +1252,106 @@ def ql_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q14_SQL)
 
 
+# TPC-H Q8, national market share: the EIGHT-table join (nation twice)
+# with a conditional share — the join-ordering stress case one step
+# past Q5/Q7, and a second two-role nation (customer's nation places
+# the order in the region's market; supplier's nation claims the
+# share). Share divides identical integer cents (the Q14 rule).
+TPCH_Q8_SQL = """
+SELECT o_year,
+       ROUND(CAST(100 * nation_cents AS DOUBLE)
+               / CAST(total_cents AS DOUBLE), 6) AS mkt_share_pct,
+       nation_cents, total_cents
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                       THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS nation_cents,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA'
+    AND s_nationkey = n2.n_nationkey
+    AND p_type = 'STANDARD'
+  GROUP BY EXTRACT(YEAR FROM o_orderdate)
+) g
+ORDER BY o_year
+"""
+
+
+def ql_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #12, TPC-H Q8: eight relations from one bare
+    comma-join string — Catalyst derives the dim broadcasts (part,
+    supplier, both nation roles, region), keeps the share CASE out of
+    the join tree, and shuffles only the two fact tables. The widest
+    declared proof that join ordering is the optimizer's job, not the
+    query author's."""
+    for t in ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q8_SQL)
+
+
+# TPC-H Q15, top supplier: the CTE-REUSE case — `revenue` is consumed
+# twice (rows + its own MAX). Integer cents make the MAX frontier
+# exact; ties (all rows at the max) surface identically on both
+# engines and order by s_suppkey.
+TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def ql_sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #13, TPC-H Q15: a CTE consumed twice (the rows
+    AND the scalar max over them). Catalyst plans the second reference
+    as a subquery over the same aggregate; AQE's exchange reuse dedups
+    the physical scan where the subtrees canonicalize equal. The
+    argmax-via-scalar-subquery shape every leaderboard query uses."""
+    for t in ("supplier", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q15_SQL)
+
+
+# TPC-H Q19, discounted revenue: DISJUNCTIVE predicates — three
+# brand/size/quantity conjunction arms OR'd together. What the plan
+# must show: the common l_partkey = p_partkey equi-key is still
+# extracted as the join condition, with the OR evaluated as a residual
+# filter — a naive planner degrades this to a cross product.
+TPCH_Q19_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def ql_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #14, TPC-H Q19: disjunctive multi-arm predicates
+    over an equi-join. Catalyst keeps p_partkey = l_partkey as the
+    hash-join key and evaluates the OR as a residual on the joined row
+    — never a cartesian; the single-side arms (p_brand/p_size,
+    l_quantity ranges) are also OR-factored down to their scans where
+    extractable."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q19_SQL)
+
+
 # TPC-H Q13, customer distribution: the OUTER-join aggregate — every
 # customer counts, including the zero-order ones a plain join would
 # drop, with the filter INSIDE the join condition (pushing it to a
@@ -1523,6 +1623,9 @@ QUERIES = {
     "ql_sql_q14": ql_sql_q14,
     "ql_sql_q13": ql_sql_q13,
     "ql_sql_q17": ql_sql_q17,
+    "ql_sql_q8": ql_sql_q8,
+    "ql_sql_q15": ql_sql_q15,
+    "ql_sql_q19": ql_sql_q19,
     "ql_regr": ql_regr,
     "ql_window_misc": ql_window_misc,
     "ql_percentiles_exact": ql_percentiles_exact,
@@ -1568,6 +1671,9 @@ ORACLE_SQL = {
     "ql_sql_q14": TPCH_Q14_SQL,
     "ql_sql_q13": TPCH_Q13_SQL,
     "ql_sql_q17": TPCH_Q17_SQL,
+    "ql_sql_q8": TPCH_Q8_SQL,
+    "ql_sql_q15": TPCH_Q15_SQL,
+    "ql_sql_q19": TPCH_Q19_SQL,
     "ql_regr": ORACLE_QL_REGR,
     "ql_window_misc": ORACLE_QL_WINDOW_MISC,
     "ql_percentiles_exact": ORACLE_QL_PERCENTILES_EXACT,
