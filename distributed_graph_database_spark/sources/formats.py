@@ -584,6 +584,62 @@ def store_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLUP_SPLIT_DATE = "1998-01-01"  # old partitions vs the newly arrived delta
+
+
+def store_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-status revenue rollup
+    computed as merge(partial(old partitions), partial(new delta)) —
+    NOT by re-scanning everything as one job — then proven equal to
+    the full rollup by the oracle, which computes it directly →
+    (o_orderstatus, n_orders, sum_cents, max_cents).
+
+    This is the contract that makes 100 TB rollups maintainable: all
+    four aggregates are MERGEABLE (count/sum add, max maxes), so a
+    nightly delta only aggregates its own partition and merges with
+    the stored partial — O(delta), not O(table). The key materializes
+    both partials from their date slices (at deployment the old
+    partial is a stored table, not a re-scan) and merges with a
+    second tiny aggregate; the oracle's direct single-pass rollup
+    checking hash-equal IS the maintenance-correctness proof."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    old = partial(o.filter(F.col("o_orderdate") < ROLLUP_SPLIT_DATE))
+    delta = partial(o.filter(F.col("o_orderdate") >= ROLLUP_SPLIT_DATE))
+    return (
+        old.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+            F.max("max_cents").cast("bigint").alias("max_cents"),
+        )
+    )
+
+
+# The oracle computes the rollup DIRECTLY in one pass — a different
+# algorithm than the merge-of-partials, so the hash check proves the
+# incremental maintenance identity, not the implementation.
+ORACLE_STORE_ROLLUP_MERGE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def cdc_compact_frame(log: DataFrame) -> DataFrame:
     """The compaction core of store_cdc_apply over any changelog frame
     with (o_orderkey, o_orderstatus, seq, op, cents) — split out so
@@ -653,6 +709,7 @@ QUERIES = {
     "store_stats_collect": store_stats_collect,
     "store_stats_approx": store_stats_approx,
     "store_cdc_apply": store_cdc_apply,
+    "store_rollup_merge": store_rollup_merge,
 }
 
 ORACLE_SQL = {
@@ -665,6 +722,7 @@ ORACLE_SQL = {
     "store_sorted_prune": ORACLE_STORE_SORTED_PRUNE,
     "store_stats_collect": _oracle_store_stats(),
     "store_cdc_apply": ORACLE_STORE_CDC_APPLY,
+    "store_rollup_merge": ORACLE_STORE_ROLLUP_MERGE,
     # store_stats_approx intentionally absent: HLL sketch values differ
     # across engines by design → rows-only check + ±5% property test.
 }
