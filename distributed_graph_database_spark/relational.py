@@ -1252,6 +1252,47 @@ def ql_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q14_SQL)
 
 
+def ql_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested-types surface: per-priority top-3 order values as an
+    ARRAY built with collect_list → sort_array → slice → transform →
+    concat_ws → (o_orderpriority, top3_cents, n_orders, max_cents).
+    Declared because a 100 TB pipeline leans on array columns
+    constantly (token lists, embeddings, probe cells) and the engine
+    must aggregate INTO and compute OVER them JVM-side.
+
+    Determinism: the array sorts by VALUE, so duplicate cents across
+    orders can't reorder the result — the sorted multiset is unique;
+    serialization to a '|'-joined string keeps the cross-engine hash a
+    plain string compare. Scale: one groupBy shuffle; per-group state
+    is the group's value list — bounded here by group cardinality (5
+    priorities), and the same shape is bounded-per-key wherever a real
+    pipeline collects per-entity lists (a global top-k would use
+    ql_topk's TakeOrdered instead)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    arr = F.slice(F.sort_array(F.collect_list("cents"), asc=False), 1, 3)
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            "|", F.transform(arr, lambda x: x.cast("string"))
+        ).alias("top3_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+ORACLE_QL_ARRAY_FUNCS = """
+SELECT o_orderpriority,
+       array_to_string((list(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC))[1:3],
+                       '|') AS top3_cents,
+       COUNT(*) AS n_orders,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # TPC-H Q8, national market share: the EIGHT-table join (nation twice)
 # with a conditional share — the join-ordering stress case one step
 # past Q5/Q7, and a second two-role nation (customer's nation places
@@ -1602,6 +1643,7 @@ QUERIES = {
     "ql_grouping_sets": ql_grouping_sets,
     "ql_pivot": ql_pivot,
     "ql_unpivot": ql_unpivot,
+    "ql_array_funcs": ql_array_funcs,
     "ql_window_rank": ql_window_rank,
     "ql_window_running": ql_window_running,
     "ql_window_range": ql_window_range,
@@ -1650,6 +1692,7 @@ ORACLE_SQL = {
     "ql_grouping_sets": GROUPING_SETS_SQL,
     "ql_pivot": ORACLE_PIVOT,
     "ql_unpivot": ORACLE_UNPIVOT,
+    "ql_array_funcs": ORACLE_QL_ARRAY_FUNCS,
     "ql_window_rank": ORACLE_WINDOW_RANK,
     "ql_window_running": ORACLE_WINDOW_RUNNING,
     "ql_window_range": ORACLE_WINDOW_RANGE,
