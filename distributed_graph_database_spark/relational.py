@@ -1457,6 +1457,319 @@ def ql_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q17_SQL)
 
 
+# --- the remaining TPC-H patterns (Q2/Q9/Q11/Q12/Q16/Q20/Q21/Q22) ---------
+#
+# The testdata carries no partsupp table, no l_shipmode /
+# l_commitdate / l_receiptdate, and no c_phone — so these eight keep
+# every STRUCTURAL element of their TPC-H original (the correlated-min
+# subquery, the HAVING-over-scalar-subquery, the EXISTS/NOT-EXISTS
+# pair, the windowed anti-join) while substituting observable columns:
+#   * partsupp        := per-(partkey, suppkey) aggregate of lineitem —
+#                        min unit price as supplycost, Σ quantity as
+#                        availqty (a CTE both engines derive identically)
+#   * receipt lateness:= l_shipdate vs o_orderdate + fixed interval
+#   * phone country   := c_nationkey
+# All money flows in integer cents (the Q1 rule), so cross-engine
+# hashes are exact.
+
+# TPC-H Q2, min-cost supplier: the CORRELATED-MIN subquery — for each
+# part, only the supplier(s) achieving the minimum cost OVER THE SAME
+# FILTERED REGION survive. The classic argmin-per-group as pure SQL.
+TPCH_Q2_SQL = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS ps_supplycost_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name, p_partkey, ps_supplycost_cents
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15 AND p_type = 'MEDIUM'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND ps_supplycost_cents = (
+    SELECT MIN(ps2.ps_supplycost_cents)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'ASIA'
+  )
+ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+"""
+
+
+def ql_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #15, TPC-H Q2: correlated MIN subquery — argmin
+    supplier per part within a region. Catalyst decorrelates the inner
+    min into one grouped aggregate over the shared partsupp CTE joined
+    back on p_partkey (never a per-row re-execution), and the region
+    restriction appears in BOTH the outer tree and the decorrelated
+    aggregate — the correlation-under-filter case one step past
+    ql_sql_q17's single-table correlation."""
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q2_SQL)
+
+
+# TPC-H Q9, product-type profit: five-table join grouped by a
+# TWO-ROLE derived key (nation × order year) with a composed profit
+# expression. Cost side is the retailprice proxy (no ps_supplycost in
+# the testdata); both terms round to cents BEFORE the subtraction so
+# the aggregate sums exact integers.
+TPCH_Q9_SQL = """
+SELECT nation, o_year, sum_profit_cents
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                - CAST(ROUND(p_retailprice * l_quantity * 10) AS BIGINT)) AS BIGINT) AS sum_profit_cents
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%gear%'
+  GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+) profit
+ORDER BY nation, o_year DESC
+"""
+
+
+def ql_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #16, TPC-H Q9: the profit rollup — five
+    relations, a LIKE-filtered part dimension, and a group key built
+    from two different relations (supplier nation × order year).
+    Catalyst pushes the LIKE to the part scan, broadcasts
+    part/supplier/nation, and shuffles only lineitem⋈orders; the
+    profit difference stays in exact integer cents end-to-end."""
+    for t in ("lineitem", "part", "supplier", "orders", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q9_SQL)
+
+
+# TPC-H Q11, important stock: HAVING against a SCALAR SUBQUERY over
+# the same CTE the group-by consumes. The spec's fixed fraction
+# (0.0001/SF) scales with data size; the scale-free equivalent here is
+# "parts worth more than 2× the mean part value" — all-integer
+# arithmetic (value × n_parts > 2 × total), so the threshold predicate
+# is exact on both engines at every SF.
+TPCH_Q11_SQL = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS ps_supplycost_cents,
+         CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+natsupp AS (
+  SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_5'
+)
+SELECT ps_partkey, CAST(SUM(value_cents) AS BIGINT) AS value_cents
+FROM natsupp
+GROUP BY ps_partkey
+HAVING SUM(value_cents) * (SELECT COUNT(DISTINCT ps_partkey) FROM natsupp)
+       > 2 * (SELECT SUM(value_cents) FROM natsupp)
+ORDER BY value_cents DESC, ps_partkey
+"""
+
+
+def ql_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #17, TPC-H Q11: HAVING over scalar subqueries —
+    the per-group value competes against aggregates of the WHOLE CTE
+    it came from. Catalyst plans natsupp once, feeds the two
+    uncorrelated scalar subqueries (count, sum) as broadcast
+    one-row plans, and the threshold compare is pure int64 — no
+    float fraction, so it cannot jitter across engines or scales."""
+    for t in ("lineitem", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q11_SQL)
+
+
+# TPC-H Q12, shipping priority by mode: conditional (pivot-style)
+# counts inside one aggregate. l_linestatus stands in for the absent
+# l_shipmode; "late receipt" is ship-lag > 60 days against the order
+# date (no commit/receipt dates in the testdata).
+TPCH_Q12_SQL = """
+SELECT l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def ql_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #18, TPC-H Q12: conditional-count aggregation
+    with a cross-table row predicate (ship date vs order date + lag).
+    The date-range filter pushes to the lineitem scan; the lag
+    predicate evaluates post-join as a residual; the CASE counts are
+    one map-side-combined aggregate — never two passes."""
+    for t in ("orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q12_SQL)
+
+
+# TPC-H Q16, parts/supplier relationship: COUNT(DISTINCT) under a
+# NOT-IN exclusion. Negative account balance stands in for the spec's
+# complaint-comment supplier blacklist.
+TPCH_Q16_SQL = """
+WITH partsupp AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+  FROM lineitem
+)
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def ql_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #19, TPC-H Q16: distinct-count per wide group
+    key under a NOT IN anti-join. Catalyst turns the NOT IN into a
+    null-aware broadcast anti-join against the (tiny) blacklisted
+    supplier set, the IN-list and NOT LIKE push to the part scan, and
+    COUNT(DISTINCT) plans as the two-level Expand aggregate — partial
+    per partition, exact after the group shuffle."""
+    for t in ("lineitem", "part", "supplier"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q16_SQL)
+
+
+# TPC-H Q20, excess-stock promotion: nested IN subqueries with a
+# CORRELATED aggregate threshold — total quantity supplied must beat
+# half of what shipped in 1997 for that exact (part, supplier) pair.
+# An empty 1997 window yields a NULL threshold → row excluded, the
+# identical three-valued-logic outcome on both engines.
+TPCH_Q20_SQL = """
+SELECT s_name, s_suppkey
+FROM supplier, nation
+WHERE s_suppkey IN (
+  SELECT ps_suppkey
+  FROM (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           SUM(l_quantity) AS qty_total
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+  ) ps
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+    AND qty_total > (
+      SELECT 0.5 * SUM(l_quantity)
+      FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    )
+)
+AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+ORDER BY s_name
+"""
+
+
+def ql_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #20, TPC-H Q20: three nesting levels — an IN
+    over a derived aggregate, which itself filters by an IN (part
+    prefix) AND a correlated scalar aggregate on the SAME base table
+    with extra predicates. Catalyst decorrelates the 1997-window sum
+    into a filtered grouped aggregate joined on (partkey, suppkey);
+    quantities are integral doubles, so SUM and the 0.5× threshold are
+    exact on both engines."""
+    for t in ("lineitem", "part", "supplier", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q20_SQL)
+
+
+# TPC-H Q21, suppliers who kept orders waiting: the EXISTS / NOT
+# EXISTS pair over the SAME table with opposite predicates — the
+# multi-supplier order where ONLY this supplier shipped late.
+# Lateness is ship-lag > 90 days past the order date (the testdata
+# has no commit/receipt dates).
+TPCH_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+def ql_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #21, TPC-H Q21: EXISTS and NOT EXISTS against
+    the same fact table with opposite late-shipper predicates — the
+    "only offender" pattern. Catalyst plans them as a LeftSemi then a
+    LeftAnti join on l_orderkey (self-joins of lineitem, equi-keyed,
+    with the non-equi lateness term as a residual join condition) —
+    never a per-row re-scan, which is what makes 'sole late supplier'
+    feasible over a 100 TB fact table."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q21_SQL)
+
+
+# TPC-H Q22, global sales opportunity: rich-but-inactive customers.
+# c_nationkey stands in for the phone country code; "no orders" is
+# windowed (no orders since 2000 — every testdata customer has SOME
+# order, as the spec's 7-year recency window anticipates). The
+# balance threshold compares cents against AVG(cents): exact int sum /
+# count → one IEEE division, bit-identical across engines.
+TPCH_Q22_SQL = """
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(acctbal_cents) AS BIGINT) AS totacctbal_cents
+FROM (
+  SELECT c_nationkey % 5 AS cntrycode,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer c
+  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    AND CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+      SELECT AVG(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+      FROM customer c2
+      WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01')
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+def ql_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door #22, TPC-H Q22: the anti-join finale — an
+    uncorrelated scalar AVG threshold plus a windowed NOT EXISTS
+    against orders. Catalyst broadcasts the one-row average, plans the
+    NOT EXISTS as a LeftAnti with the date filter pushed INTO the
+    orders scan, and the final histogram groups on a derived country
+    code. Completes the declared 22/22 TPC-H pattern coverage."""
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(TPCH_Q22_SQL)
+
+
 def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-linestatus ordinary-least-squares fit of line price against
     quantity → (l_linestatus, n, slope_cents, intercept_cents): the
@@ -1668,6 +1981,14 @@ QUERIES = {
     "ql_sql_q8": ql_sql_q8,
     "ql_sql_q15": ql_sql_q15,
     "ql_sql_q19": ql_sql_q19,
+    "ql_sql_q2": ql_sql_q2,
+    "ql_sql_q9": ql_sql_q9,
+    "ql_sql_q11": ql_sql_q11,
+    "ql_sql_q12": ql_sql_q12,
+    "ql_sql_q16": ql_sql_q16,
+    "ql_sql_q20": ql_sql_q20,
+    "ql_sql_q21": ql_sql_q21,
+    "ql_sql_q22": ql_sql_q22,
     "ql_regr": ql_regr,
     "ql_window_misc": ql_window_misc,
     "ql_percentiles_exact": ql_percentiles_exact,
@@ -1717,6 +2038,14 @@ ORACLE_SQL = {
     "ql_sql_q8": TPCH_Q8_SQL,
     "ql_sql_q15": TPCH_Q15_SQL,
     "ql_sql_q19": TPCH_Q19_SQL,
+    "ql_sql_q2": TPCH_Q2_SQL,
+    "ql_sql_q9": TPCH_Q9_SQL,
+    "ql_sql_q11": TPCH_Q11_SQL,
+    "ql_sql_q12": TPCH_Q12_SQL,
+    "ql_sql_q16": TPCH_Q16_SQL,
+    "ql_sql_q20": TPCH_Q20_SQL,
+    "ql_sql_q21": TPCH_Q21_SQL,
+    "ql_sql_q22": TPCH_Q22_SQL,
     "ql_regr": ORACLE_QL_REGR,
     "ql_window_misc": ORACLE_QL_WINDOW_MISC,
     "ql_percentiles_exact": ORACLE_QL_PERCENTILES_EXACT,
