@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..cache import shared
 from ..catalog import table
+from . import traversal
 
 # Support threshold: a pair must co-occur in at least this many orders
 # to become an edge. Co-occurrence of 1 is sampling noise in a basket
@@ -1028,6 +1029,164 @@ l{k} AS MATERIALIZED (
     )
 
 
+# --- minimum spanning forest (Borůvka) ------------------------------------
+
+# Nation-level trade-affinity graph: nodes = nations, undirected edge
+# (a < b) weighted by total traded cents between a customer of one
+# nation and a supplier of the other. The MAXIMUM spanning tree of
+# this graph is the trade backbone; we compute it as the minimum
+# spanning forest under the total order (w_cents DESC, a, b) — strict,
+# so THE spanning forest is unique and exactly hash-checkable.
+TRADE_EDGES_SQL = """
+SELECT LEAST(c.c_nationkey, s.s_nationkey) AS a,
+       GREATEST(c.c_nationkey, s.s_nationkey) AS b,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS w_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE c.c_nationkey <> s.s_nationkey
+GROUP BY LEAST(c.c_nationkey, s.s_nationkey), GREATEST(c.c_nationkey, s.s_nationkey)
+"""
+
+# Oracle: the minimax/bottleneck characterization — under a strict
+# total edge order, edge e=(u,v) is in the spanning forest iff NO
+# u→v path exists whose maximum edge rank is smaller than e's rank
+# (cycle property), i.e. rank(e) equals the minimax path rank of its
+# endpoints. A recursive CTE computes the (src, dst) → min-over-paths
+# (max-rank-on-path) fixpoint; deliberately a completely different
+# algorithm than Spark's Borůvka, so parity checks MST semantics.
+_ORACLE_GRAPH_MST = f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT a, b, w_cents,
+         ROW_NUMBER() OVER (ORDER BY w_cents DESC, a, b) AS rnk
+  FROM ({TRADE_EDGES_SQL}) t
+),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst, rnk FROM e
+  UNION ALL
+  SELECT b AS src, a AS dst, rnk FROM e
+),
+walk(src, dst, mr) AS (
+  SELECT src, dst, rnk FROM sym
+  UNION
+  SELECT w.src, s.dst, GREATEST(w.mr, s.rnk)
+  FROM walk w JOIN sym s ON s.src = w.dst
+),
+minimax AS (SELECT src, dst, MIN(mr) AS mm FROM walk GROUP BY src, dst)
+SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b, e.w_cents
+FROM e JOIN minimax m ON m.src = e.a AND m.dst = e.b
+WHERE e.rnk = m.mm
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation trade graph (TRADE_EDGES_SQL in DataFrame algebra):
+    supplier broadcasts (tiny dim), lineitem⋈orders is the only real
+    shuffle, and the per-pair aggregate is map-side combined — ≤ n²/2
+    output rows for n nations regardless of fact size."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+    )
+    return (
+        j.select(
+            F.least("c_nationkey", "s_nationkey").cast("bigint").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").cast("bigint").alias("b"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("cents").alias("w_cents"))
+    )
+
+
+def minimum_spanning_forest(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Distributed Borůvka over (a < b, distinct, w_cents) edges →
+    the unique spanning forest under total order (w_cents DESC, a, b).
+
+    Each round: every component picks its best incident cross-
+    component edge — ONE groupBy-min of a struct, no global sort, no
+    sequential union-find (Kruskal's bottleneck) — then components
+    merge by relabeling through the existing large-star/small-star
+    connected-components kernel over the accumulated forest. The
+    component count at least halves per round ⇒ O(log V) rounds, each
+    a bounded number of shuffles over data proportional to the
+    surviving cross-edges; state is checkpointed per round (bounded
+    lineage, the graph_pagerank discipline). This is the textbook
+    MST-at-scale algorithm (Borůvka is the parallel one; Kruskal's
+    sorted sequential scan and Prim's single frontier don't
+    distribute).
+
+    The struct min makes the per-component argmin deterministic
+    (strict total order ⇒ unique forest ⇒ hash-exact oracle), and the
+    driver-side loop probe is a limit(1) existence check, not a
+    collect of data rows."""
+    e = edges.select(
+        "a", "b", "w_cents", (-F.col("w_cents")).alias("negw")
+    ).localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = verts.select("v", F.col("v").alias("comp"))
+    forest: DataFrame | None = None
+    for _ in range(40):  # ≥ log2(any realistic vertex count)
+        j = (
+            e.join(comp.select(F.col("v").alias("a"), F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("v").alias("b"), F.col("comp").alias("cb")), "b")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        cand = j.select(F.col("ca").alias("c"), "negw", "a", "b").union(
+            j.select(F.col("cb").alias("c"), "negw", "a", "b")
+        )
+        chosen = (
+            cand.groupBy("c")
+            .agg(F.min(F.struct("negw", "a", "b")).alias("m"))
+            .select(
+                F.col("m.negw").alias("negw"),
+                F.col("m.a").alias("a"),
+                F.col("m.b").alias("b"),
+            )
+            .distinct()
+        )
+        if chosen.limit(1).count() == 0:
+            break
+        forest = chosen if forest is None else forest.union(chosen).distinct()
+        forest = forest.localCheckpoint(eager=True)
+        sym = forest.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        sym = sym.union(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        labels = traversal.connected_components(spark, sym)
+        comp = verts.join(
+            labels.withColumnRenamed("vid", "v"), "v", "left"
+        ).select("v", F.coalesce("comp", F.col("v")).alias("comp"))
+    if forest is None:
+        return e.select("a", "b", "w_cents").limit(0)
+    return forest.select("a", "b", (-F.col("negw")).alias("w_cents"))
+
+
+def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-weight spanning tree of the nation trade graph via
+    distributed Borůvka → (a, b, w_cents): the backbone-extraction
+    analytics op over the reference's undirected-graph model
+    (secondary_server.c:119-153 stores the adjacency; backbone/forest
+    queries are the natural next question). Unique under the strict
+    (w_cents DESC, a, b) order ⇒ exact oracle via the independent
+    minimax-rank (cycle property) recursive-CTE formulation."""
+    return minimum_spanning_forest(spark, _trade_edges(spark, sf_dir))
+
+
 QUERIES = {
     "graph_copurchase": graph_copurchase,
     "graph_triangles": graph_triangles,
@@ -1039,6 +1198,7 @@ QUERIES = {
     "graph_communities": graph_communities,
     "graph_clustering_coef": graph_clustering_coef,
     "graph_link_predict": graph_link_predict,
+    "graph_mst": graph_mst,
 }
 
 ORACLE_SQL = {
@@ -1052,6 +1212,7 @@ ORACLE_SQL = {
     "graph_communities": _oracle_communities(),
     "graph_clustering_coef": ORACLE_GRAPH_CLUSTERING_COEF,
     "graph_link_predict": ORACLE_GRAPH_LINK_PREDICT,
+    "graph_mst": _ORACLE_GRAPH_MST,
 }
 
 

@@ -171,6 +171,101 @@ def asof_join_frame(ev: DataFrame) -> DataFrame:
     )
 
 
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of join: for every 'click', the NEAREST 'view'
+    by the same user in either time direction → (click_id, user_id,
+    click_ts, view_id, view_ts, lag_seconds, direction). The
+    attribution variant used when instrumentation can log the view
+    after the click (clock skew, batched beacons).
+
+    Same linear merge-scan as events_asof_join — one shuffle on
+    user_id, one sort — but BOTH carries over the sorted run: `last`
+    over the preceding frame (newest view at-or-before) and `first`
+    over the following frame (oldest view strictly after), then an
+    arithmetic argmin picks the nearer side per click. Still O(n log n)
+    per user; a |Δt| range join would be quadratic. Tie rules, pinned
+    identically in the oracle: equal |lag| → backward wins; equal-ts
+    backward views → max event_id; equal-ts forward views → min
+    event_id. lag_seconds is SIGNED (click − view; ≥0 backward,
+    <0 forward); clicks whose user has no views keep sentinels
+    (-1 / '' / 0 / '')."""
+    return asof_nearest_frame(table(spark, sf_dir, "events"))
+
+
+def asof_nearest_frame(ev: DataFrame) -> DataFrame:
+    """The dual-carry merge-scan core of events_asof_nearest — split
+    out so property tests can drive it with random event sets."""
+    ev = ev.filter(F.col("event_type").isin("click", "view"))
+    order = Window.partitionBy("user_id").orderBy(
+        "ts", (F.col("event_type") == "click").cast("int"), "event_id"
+    )
+    back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    is_view = F.col("event_type") == "view"
+    carried = (
+        ev.withColumn(
+            "b_id", F.last(F.when(is_view, F.col("event_id")), ignorenulls=True).over(back)
+        )
+        .withColumn("b_ts", F.last(F.when(is_view, F.col("ts")), ignorenulls=True).over(back))
+        .withColumn(
+            "f_id", F.first(F.when(is_view, F.col("event_id")), ignorenulls=True).over(fwd)
+        )
+        .withColumn("f_ts", F.first(F.when(is_view, F.col("ts")), ignorenulls=True).over(fwd))
+    )
+    clicks = carried.filter(F.col("event_type") == "click")
+    # distance argmin runs at FULL microsecond precision (event ts are
+    # sub-second); only the reported lag flooring is per-second
+    b_lag = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    f_lag = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    # backward wins when present and not strictly farther than forward
+    use_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (b_lag <= f_lag)
+    )
+    view_id = F.when(use_back, F.col("b_id")).otherwise(F.col("f_id"))
+    view_ts = F.when(use_back, F.col("b_ts")).otherwise(F.col("f_ts"))
+    return clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("string").alias("click_ts"),
+        F.coalesce(view_id, F.lit(-1)).alias("view_id"),
+        F.coalesce(view_ts.cast("string"), F.lit("")).alias("view_ts"),
+        F.coalesce(
+            F.col("ts").cast("long") - view_ts.cast("long"), F.lit(0)
+        ).alias("lag_seconds"),
+        F.when(view_id.isNull(), F.lit(""))
+        .when(use_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )
+
+
+# Nearest-view oracle: a LATERAL top-1 ordered by |Δt| with the exact
+# tie cascade the merge-scan implements — backward beats forward at
+# equal distance, backward ties take the max event_id, forward ties
+# the min. A different algorithm on purpose: parity checks semantics.
+ORACLE_EVENTS_ASOF_NEAREST = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       CAST(c.ts AS VARCHAR) AS click_ts,
+       COALESCE(v.event_id, -1) AS view_id,
+       COALESCE(CAST(v.ts AS VARCHAR), '') AS view_ts,
+       COALESCE(CAST(FLOOR(EPOCH(c.ts)) AS BIGINT)
+                  - CAST(FLOOR(EPOCH(v.ts)) AS BIGINT), 0) AS lag_seconds,
+       COALESCE(CASE WHEN v.ts <= c.ts THEN 'back' ELSE 'fwd' END, '') AS direction
+FROM events c
+LEFT JOIN LATERAL (
+  SELECT e.event_id, e.ts
+  FROM events e
+  WHERE e.user_id = c.user_id AND e.event_type = 'view'
+  ORDER BY ABS(epoch_us(c.ts) - epoch_us(e.ts)) ASC,
+           (e.ts > c.ts) ASC,
+           CASE WHEN e.ts <= c.ts THEN -e.event_id ELSE e.event_id END ASC
+  LIMIT 1
+) v ON TRUE
+WHERE c.event_type = 'click'
+"""
+
+
 # The oracle states the *semantics* (latest view at-or-before, max
 # event_id tiebreak) as a LATERAL top-1 — deliberately a different
 # algorithm than Spark's merge-scan, so parity actually checks the
@@ -755,6 +850,7 @@ QUERIES = {
     "events_hopping": events_hopping,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
+    "events_asof_nearest": events_asof_nearest,
     "events_funnel": events_funnel,
     "events_range_join": events_range_join,
     "events_retention": events_retention,
@@ -771,6 +867,7 @@ ORACLE_SQL = {
     "events_hopping": ORACLE_EVENTS_HOPPING,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "events_asof_join": ORACLE_EVENTS_ASOF_JOIN,
+    "events_asof_nearest": ORACLE_EVENTS_ASOF_NEAREST,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_retention": ORACLE_EVENTS_RETENTION,

@@ -411,6 +411,98 @@ GROUP BY o_orderpriority
 """
 
 
+# Z-order clustering: 16 bits per dimension, bit-interleaved. A
+# production writer would first normalize each dimension into its
+# 16-bit range from table stats (store_stats_collect feeds exactly
+# this); the testdata's custkey and day-offset ranges already fit.
+ZORDER_BITS = 16
+ZORDER_FILES = 16
+ZORDER_EPOCH = "1995-01-01"
+ZORDER_CUST_FROM, ZORDER_CUST_TO = 100, 400
+ZORDER_DATE_FROM, ZORDER_DATE_TO = "1997-01-01", "1997-07-01"
+
+
+def _zvalue(x, y):
+    """Bit-interleave two non-negative integer columns (16 bits each)
+    into the 32-bit Morton/Z value — pure shift/and algebra, fully
+    whole-stage-codegen'd, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _zorder_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "zorder")
+    hit = _STAGED.get(key)
+    if hit is not None:
+        return hit
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"dgdb_fmt_{spark.sparkContext.applicationId}_zorder_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "_z",
+        _zvalue(
+            F.col("o_custkey"),
+            F.datediff(F.col("o_orderdate"), F.lit(ZORDER_EPOCH)).cast("bigint"),
+        ),
+    )
+    (
+        o.repartitionByRange(ZORDER_FILES, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    _STAGED[key] = d
+    return d
+
+
+def store_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered storage + 2-D skipping: orders
+    written sorted by the bit-interleaved (custkey, day) Z-value, then
+    a rectangle query filtering BOTH dimensions. A single-column sort
+    (store_sorted_prune) gives one dimension tight per-file min/max
+    spans and leaves the other scattered across every file; the Z
+    layout keeps BOTH dimensions locally clustered, so a 2-D window
+    prunes files/row-groups on custkey AND date simultaneously — the
+    multi-dimensional layout decision (Delta/Iceberg OPTIMIZE ZORDER
+    BY) at 100 TB. Both predicates push to the scan; the layout is
+    invisible to results, so the oracle is the plain 2-D filter over
+    orders — and tests/test_zorder_layout.py measures the actual
+    file-level pruning the curve buys over the 1-D sort.
+    Output: (o_orderpriority, n_orders, revenue_cents) for the window."""
+    o = spark.read.parquet(_zorder_dir(spark, sf_dir)).filter(
+        (F.col("o_custkey") >= ZORDER_CUST_FROM)
+        & (F.col("o_custkey") < ZORDER_CUST_TO)
+        & (F.col("o_orderdate") >= ZORDER_DATE_FROM)
+        & (F.col("o_orderdate") < ZORDER_DATE_TO)
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+ORACLE_STORE_ZORDER_PRUNE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_custkey >= {ZORDER_CUST_FROM} AND o_custkey < {ZORDER_CUST_TO}
+  AND o_orderdate >= '{ZORDER_DATE_FROM}' AND o_orderdate < '{ZORDER_DATE_TO}'
+GROUP BY o_orderpriority
+"""
+
+
 def store_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-statistics collection (the ANALYZE TABLE op a warehouse
     runs after ingest — the numbers that feed broadcast decisions,
@@ -706,6 +798,7 @@ QUERIES = {
     "store_merge_upsert": store_merge_upsert,
     "store_schema_evolve": store_schema_evolve,
     "store_sorted_prune": store_sorted_prune,
+    "store_zorder_prune": store_zorder_prune,
     "store_stats_collect": store_stats_collect,
     "store_stats_approx": store_stats_approx,
     "store_cdc_apply": store_cdc_apply,
@@ -720,6 +813,7 @@ ORACLE_SQL = {
     "store_merge_upsert": ORACLE_STORE_MERGE_UPSERT,
     "store_schema_evolve": ORACLE_STORE_SCHEMA_EVOLVE,
     "store_sorted_prune": ORACLE_STORE_SORTED_PRUNE,
+    "store_zorder_prune": ORACLE_STORE_ZORDER_PRUNE,
     "store_stats_collect": _oracle_store_stats(),
     "store_cdc_apply": ORACLE_STORE_CDC_APPLY,
     "store_rollup_merge": ORACLE_STORE_ROLLUP_MERGE,

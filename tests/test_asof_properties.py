@@ -103,3 +103,47 @@ def test_range_join_matches_model_on_random_events(spark, data):
         if t == "view"
     }
     assert got == want
+
+
+def _nearest_model(rows):
+    """Brute force for the bidirectional variant: nearest view by
+    |Δt| at full precision; ties → backward, then max id backward /
+    min id forward."""
+    out = {}
+    for eid, ts, user, kind in rows:
+        if kind != "click":
+            continue
+        views = [
+            (vid, vts)
+            for vid, vts, vuser, vkind in rows
+            if vkind == "view" and vuser == user
+        ]
+        if not views:
+            out[eid] = (-1, 0, "")
+            continue
+        best = None
+        for vid, vts in views:
+            back = vts <= ts
+            key = (abs(ts - vts), 0 if back else 1, -vid if back else vid)
+            if best is None or key < best[0]:
+                best = (key, vid, vts, back)
+        _, vid, vts, back = best
+        lag = int(ts.timestamp()) - int(vts.timestamp())
+        out[eid] = (vid, lag, "back" if back else "fwd")
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=events_case)
+def test_asof_nearest_matches_bruteforce(spark, case):
+    from distributed_graph_database_spark.pipeline.events import asof_nearest_frame
+
+    ev = spark.createDataFrame(
+        case, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {
+        r.click_id: (r.view_id, r.lag_seconds, r.direction)
+        for r in asof_nearest_frame(ev).collect()
+    }
+    assert got == _nearest_model(case)
