@@ -282,6 +282,71 @@ MIX_WEIGHTS_PCT: dict[str, int] = {
 MIX_DEFAULT_PCT = 20            # long tail: 1 in 5
 
 
+# Token-window chunking: the step between packing (corpus_pack bins
+# whole documents) and a context-length-bounded training run — every
+# document is cut into CHUNK_SIZE-token windows advanced by
+# CHUNK_STRIDE (< size ⇒ overlapping windows, the standard long-doc
+# treatment so no boundary context is lost).
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of every document →
+    (doc_id, chunk_id, n_chunk_tokens, chunk_md5): windows of
+    CHUNK_SIZE whitespace tokens every CHUNK_STRIDE, the final window
+    truncating at the document tail; chunk text travels as its md5 so
+    the cross-engine hash pins the exact reconstructed text without
+    shipping it.
+
+    One narrow scan, zero shuffles, zero UDFs: split → posexplode of
+    the arithmetic start sequence → slice + concat_ws + md5, all
+    whole-stage-codegen'd. Work is Σ ceil(n_tokens/stride) — linear in
+    corpus tokens with the overlap factor size/stride, which is the
+    knob a 100 TB run tunes; short docs (≤ size tokens) emit exactly
+    one window, so the op never inflates the common case."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    )
+    n = F.size("arr")
+    starts = docs.select(
+        "doc_id",
+        "arr",
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+        ).alias("chunk_id", "s"),
+    )
+    c = F.slice(F.col("arr"), F.col("s") + 1, CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(c).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", c)).alias("chunk_md5"),
+    )
+
+
+ORACLE_CORPUS_CHUNK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr FROM documents
+),
+starts AS (
+  SELECT doc_id, arr, len(arr) AS n,
+         unnest(range(0, GREATEST(len(arr), 1), {CHUNK_STRIDE})) AS s
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         arr[s + 1 : LEAST(s + {CHUNK_SIZE}, n)] AS c
+  FROM starts
+)
+SELECT doc_id, chunk_id,
+       CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(c, ' ')) AS chunk_md5
+FROM chunks
+"""
+
+
 def _mix_bucket() -> F.Column:
     return F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
@@ -391,6 +456,7 @@ QUERIES = {
     "corpus_sample": corpus_sample,
     "corpus_split": corpus_split,
     "corpus_pack": corpus_pack,
+    "corpus_chunk": corpus_chunk,
     "corpus_mix": corpus_mix,
     "corpus_interleave": corpus_interleave,
 }
@@ -400,6 +466,7 @@ ORACLE_SQL = {
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "corpus_pack": ORACLE_CORPUS_PACK,
+    "corpus_chunk": ORACLE_CORPUS_CHUNK,
     "corpus_mix": _oracle_corpus_mix(),
     "corpus_interleave": ORACLE_CORPUS_INTERLEAVE,
 }

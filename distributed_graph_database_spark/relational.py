@@ -1770,6 +1770,52 @@ def ql_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q22_SQL)
 
 
+def ql_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two daily aggregates (orders placed vs
+    lines shipped per calendar day) → (d, n_orders, n_ships) with
+    zero-filled gaps on both sides — the reconciliation shape
+    (activity A vs activity B, neither side a superset; the testdata
+    has order-only days AND ship-only days, so both null-extension
+    paths are exercised, not vacuous).
+
+    Plan: both sides pre-aggregate BEFORE the join (map-side combined,
+    tiny day-keyed outputs), so the full-outer sort-merge runs on two
+    ~2.5k-row aggregates, never on raw facts — at 100 TB joining the
+    raw tables full-outer on a day key would be the skew disaster;
+    aggregate-then-join makes the join cost O(|days|)."""
+    od = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").cast("string").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    sd = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").cast("string").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_ships"))
+    )
+    return od.join(sd, "d", "full_outer").select(
+        "d",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+    )
+
+
+ORACLE_QL_OUTER_JOIN = """
+WITH od AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+sd AS (
+  SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS d, COUNT(*) AS n_ships
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(od.d, sd.d) AS d,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(sd.n_ships, 0) AS n_ships
+FROM od FULL OUTER JOIN sd ON od.d = sd.d
+"""
+
+
 def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-linestatus ordinary-least-squares fit of line price against
     quantity → (l_linestatus, n, slope_cents, intercept_cents): the
@@ -1949,6 +1995,7 @@ QUERIES = {
     "ql_salted_join": ql_salted_join,
     "ql_salted_agg": ql_salted_agg,
     "ql_semi_anti_join": ql_semi_anti_join,
+    "ql_outer_join": ql_outer_join,
     "ql_agg": ql_agg,
     "ql_distinct": ql_distinct,
     "ql_rollup": ql_rollup,
@@ -2006,6 +2053,7 @@ ORACLE_SQL = {
     "ql_salted_join": ORACLE_SALTED_JOIN,
     "ql_salted_agg": ORACLE_SALTED_AGG,
     "ql_semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
+    "ql_outer_join": ORACLE_QL_OUTER_JOIN,
     "ql_agg": ORACLE_AGG,
     "ql_distinct": ORACLE_DISTINCT,
     "ql_rollup": ORACLE_ROLLUP,
