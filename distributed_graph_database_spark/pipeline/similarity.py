@@ -1007,6 +1007,298 @@ FROM t FULL JOIN p ON t.label = p.label
 """
 
 
+# --- product quantization (PQ) --------------------------------------------
+#
+# The COMPRESSION leg of the ANN surface (IVF partitions the corpus;
+# PQ shrinks the vectors): each 64-d vector becomes PQ_M=16 sub-codes
+# of 6 bits (PQ_K=64 centroids per 4-d subspace) — 96 bits vs 2048 for
+# float32, a 21× compression — and queries rank the whole corpus from
+# a per-query lookup table (ADC: asymmetric distance computation)
+# without ever touching a full vector, then exact-rerank only the
+# PQ_SHORTLIST survivors. Codebooks are the pinned-vector quantizer
+# (the _cells idiom): assignment/ADC machinery is what's exercised,
+# and determinism is what buys the exact oracle. Measured end-to-end
+# recall@10 ≈ 0.88 on the (near-random, hence PQ-hostile) testdata
+# embeddings — shipped honestly as sim_pq_recall.
+PQ_M = 16          # subspaces
+PQ_SUB = 4         # dims per subspace (PQ_M * PQ_SUB = 64)
+PQ_K = 64          # centroids per subspace codebook (6-bit codes)
+PQ_SHORTLIST = 50  # ADC survivors that get exact re-ranking
+
+
+def _sub_d2(a, b) -> F.Column:
+    """Squared L2 distance from three dots — the identical expression
+    tree both engines evaluate (oracle: list_dot_product forms)."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, cid, cv): PQ_K pinned codebook vectors per subspace — the
+    vectors right after the query + IVF-centroid id ranges,
+    unit-normalized then sliced per subspace."""
+    base = (
+        _unit(_embeddings(spark, sf_dir), "v")
+        .orderBy("vec_id")
+        .limit(N_QUERIES + IVF_CELLS + PQ_K)
+        .orderBy(F.col("vec_id").desc())
+        .limit(PQ_K)
+    )
+    w = Window.orderBy("vec_id")
+    return (
+        base.withColumn("cid", F.row_number().over(w) - 1)
+        .select(
+            "cid",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "v",
+        )
+        .select(
+            "m", "cid", F.slice("v", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("cv")
+        )
+    )
+
+
+def _pq_codes_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code, d2): nearest codebook entry per subspace —
+    the PQ encoder. One broadcast of the (PQ_M·PQ_K)-row codebook
+    against the subspace-exploded corpus, argmin per (vector,
+    subspace) by (d2, cid); at 100 TB this is a pure scan-side map
+    with zero corpus shuffles (the window key (vec_id, m) is the
+    explosion key, so AQE keeps it partition-local)."""
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    subs = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "v",
+    ).select(
+        "vec_id", "m", F.slice("v", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv")
+    )
+    scored = subs.join(F.broadcast(_pq_codebook(spark, sf_dir)), "m").withColumn(
+        "d2", _sub_d2(F.col("sv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"), "d2")
+    )
+
+
+def sim_pq_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the corpus → (vec_id, codes, recon_err2): the
+    96-bit code string per vector plus its total squared
+    reconstruction error (rounded 6dp) — the compression-quality
+    profile a vector store ships with its index."""
+    return (
+        _pq_codes_long(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+            ).alias("codes"),
+            F.round(F.sum("d2"), 6).alias("recon_err2"),
+        )
+    )
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry point (cache.shared): reused by sim_pq_recall."""
+    return shared(spark, sf_dir, "sim_pq_topk", lambda: _sim_pq_topk(spark, sf_dir))
+
+
+def _sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank → same schema as sim_topk.
+    Per query: build the (PQ_M × PQ_K)-entry distance lookup table
+    ONCE, rank the whole corpus by summed table lookups (codes only —
+    no vector is touched), keep the PQ_SHORTLIST best, then exact-
+    cosine re-rank just those. At 100 TB the corpus side of the ADC
+    join carries 96-bit codes instead of 256-byte vectors — the scan,
+    the shuffle, and the state all shrink ~21×; full vectors are read
+    only for |queries| · PQ_SHORTLIST rows."""
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    qsubs = q.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "qv",
+    ).select(
+        "query_id", "m", F.slice("qv", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("qs")
+    )
+    lut = qsubs.join(F.broadcast(_pq_codebook(spark, sf_dir)), "m").select(
+        "query_id",
+        "m",
+        F.col("cid").alias("code"),
+        _sub_d2(F.col("qs"), F.col("cv")).alias("d2"),
+    )
+    codes = _pq_codes_long(spark, sf_dir).select("vec_id", "m", "code")
+    adist = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adist2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist2", "vec_id")
+    short = (
+        adist.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    rerank = (
+        short.join(emb, "vec_id")
+        .join(
+            F.broadcast(q),
+            "query_id",
+        )
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@K of the PQ shortlist+rerank path against the
+    exact baseline → (query_id, n_hits, recall_at_k) — the honest
+    price of 21× compression on PQ-hostile near-random embeddings,
+    hash-checked into the driver artifact (the sim_ivf_recall
+    discipline)."""
+    exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("recall_at_k"),
+        )
+        .select("query_id", "n_hits", "recall_at_k")
+    )
+
+
+_ORACLE_PQ_BASE = f"""
+eu AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                       CAST(embedding AS DOUBLE[])))) AS v
+  FROM embeddings
+),
+cbbase AS (
+  SELECT vec_id, v,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id, v FROM eu ORDER BY vec_id
+        LIMIT {PQ_K} OFFSET {N_QUERIES + IVF_CELLS}) t
+),
+ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+cb AS (
+  SELECT m, cid, v[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cv
+  FROM cbbase, ms
+),
+subs AS (
+  SELECT vec_id, m, v[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM eu, ms
+),
+pqcodes AS (
+  SELECT vec_id, m, cid AS code, d2 FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY list_dot_product(s.sv, s.sv)
+                                         - 2 * list_dot_product(s.sv, c.cv)
+                                         + list_dot_product(c.cv, c.cv),
+                                       c.cid) AS rn
+    FROM subs s JOIN cb c ON c.m = s.m) t
+  WHERE rn = 1
+)
+"""
+
+ORACLE_SIM_PQ_CODE = f"""
+WITH {_ORACLE_PQ_BASE}
+SELECT vec_id,
+       array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), '-') AS codes,
+       ROUND(SUM(d2), 6) AS recon_err2
+FROM pqcodes GROUP BY vec_id
+"""
+
+ORACLE_SIM_PQ_TOPK = f"""
+WITH {_ORACLE_PQ_BASE},
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM eu ORDER BY vec_id LIMIT {N_QUERIES}
+),
+qsubs AS (
+  SELECT query_id, m, qv[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS qs
+  FROM q, ms
+),
+lut AS (
+  SELECT s.query_id, s.m, c.cid AS code,
+         list_dot_product(s.qs, s.qs) - 2 * list_dot_product(s.qs, c.cv)
+           + list_dot_product(c.cv, c.cv) AS d2
+  FROM qsubs s JOIN cb c ON c.m = s.m
+),
+adist AS (
+  SELECT l.query_id, co.vec_id, SUM(l.d2) AS adist2
+  FROM pqcodes co JOIN lut l ON l.m = co.m AND l.code = co.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist2, vec_id) AS srank
+    FROM adist) t
+  WHERE srank <= {PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v) AS cosine
+  FROM short s
+  JOIN eu e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank,
+       ROUND(cosine, 6) AS cosine
+FROM rerank
+QUALIFY rank <= {TOP_K}
+"""
+
+ORACLE_SIM_PQ_RECALL = f"""
+WITH exact AS ({ORACLE_SIM_TOPK}),
+approx AS ({ORACLE_SIM_PQ_TOPK})
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
@@ -1014,6 +1306,9 @@ QUERIES = {
     "sim_range_search": sim_range_search,
     "sim_knn_graph": sim_knn_graph,
     "sim_knn_recall": sim_knn_recall,
+    "sim_pq_code": sim_pq_code,
+    "sim_pq_topk": sim_pq_topk,
+    "sim_pq_recall": sim_pq_recall,
     "dedup_embed": dedup_embed,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_score": ml_score,
@@ -1030,6 +1325,9 @@ ORACLE_SQL = {
     "sim_range_search": ORACLE_SIM_RANGE_SEARCH,
     "sim_knn_graph": ORACLE_SIM_KNN_GRAPH,
     "sim_knn_recall": ORACLE_SIM_KNN_RECALL,
+    "sim_pq_code": ORACLE_SIM_PQ_CODE,
+    "sim_pq_topk": ORACLE_SIM_PQ_TOPK,
+    "sim_pq_recall": ORACLE_SIM_PQ_RECALL,
     "dedup_embed": ORACLE_DEDUP_EMBED,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
     "ml_score": ORACLE_ML_SCORE,

@@ -275,6 +275,7 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "dedup_ngram": pl_dedup._dedup_ngram,
     "sim_topk": pl_sim._sim_topk,
     "sim_topk_ivf": pl_sim._sim_topk_ivf,
+    "sim_pq_topk": pl_sim._sim_pq_topk,
     "sim_knn_graph": pl_sim._sim_knn_graph,
     "text_collocations": pl_text._text_collocations,
     "ml_centroid_classify": pl_sim._ml_centroid_classify,
