@@ -726,6 +726,103 @@ LIMIT {COLLOC_TOP_K}
 """
 
 
+# --- BPE merge-table training ----------------------------------------------
+
+BPE_MERGES = 8  # merge rules learned (a real run learns 30k-100k)
+
+
+def _bpe_merge_fold(sym_col: str) -> F.Column:
+    """Apply the current (l, r) merge rule to a symbol array with a
+    left-to-right non-overlapping fold — the exact classical BPE
+    semantics ("aaa" under (a,a) → ["aa","a"]): append each symbol
+    unless it completes the pair with the accumulator's tail, in
+    which case the tail is replaced by the merged symbol."""
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("l"))
+            & (s == F.col("r")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.col("l"), F.col("r"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge-table training over the corpus →
+    (round, left, right, pair_count): the BPE_MERGES highest-count
+    adjacent-symbol merges, learned exactly as the classical algorithm
+    does — the tokenizer-training step of an LLM data pipeline.
+
+    Distribution split mirrors production BPE: the CORPUS-scale work
+    is one distributed word count (scan + map-side-combined groupBy);
+    the merge loop then runs over the word-frequency DICT — itself a
+    DataFrame, so a multi-million-word vocabulary still distributes —
+    with each round one pair count (explode adjacent symbol pairs,
+    weighted by word frequency), one deterministic argmax
+    (count DESC, then lexicographic pair), and one fold-rewrite of
+    the symbol arrays (whole-stage-codegen'd HOF aggregate, the
+    left-to-right non-overlapping merge). Per-round state is a tiny
+    checkpointed dict; the chosen rule is a broadcast 1-row join,
+    never a driver collect.
+
+    Iterative + sequential-by-nature fold ⇒ no single-statement SQL
+    oracle (rows-only contract, like dedup_near); instead
+    tests/test_bpe.py pins the FULL merge table against an
+    independent reference implementation of classical BPE run on the
+    same corpus."""
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = words.select(
+        "cnt", F.split("w", "").alias("sym")
+    ).localCheckpoint(eager=True)
+    rounds = []
+    for rnd in range(BPE_MERGES):
+        pairs = (
+            state.filter(F.size("sym") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sym") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("sym"), i).alias("l"),
+                            F.element_at(F.col("sym"), i + F.lit(1)).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("l"), F.col("r")
+        ).limit(1)
+        rounds.append(
+            best.select(
+                F.lit(rnd).cast("int").alias("round"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.col("pair_count").cast("bigint").alias("pair_count"),
+            )
+        )
+        state = state.crossJoin(F.broadcast(best.select("l", "r"))).select(
+            "cnt", _bpe_merge_fold("sym").alias("sym")
+        ).localCheckpoint(eager=True)
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -738,6 +835,7 @@ QUERIES = {
     "text_contamination": text_contamination,
     "text_char_entropy": text_char_entropy,
     "text_collocations": text_collocations,
+    "text_bpe_train": text_bpe_train,
 }
 
 ORACLE_SQL = {

@@ -201,25 +201,10 @@ MERGE_INS_MOD = 11
 MERGE_INS_OFFSET = 100_000
 
 
-def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC-style MERGE (upsert + delete) applied to `documents`, then a
-    full-state audit aggregate → per-source (n_docs, sum_ids,
-    sum_chars, n_langs) over the MERGED table. The Delta/Iceberg
-    `MERGE INTO` shape expressed in plain DataFrame algebra:
-
-        merged = (base ANTI-JOIN changed_keys) ∪ updates ∪ inserts
-
-    A derived changelog (deletes: doc_id % {13} == 0; updates:
-    doc_id % {7} == 0 with bumped n_chars and lang='xx'; inserts:
-    shifted copies with source='cdc') keeps the key fully
-    deterministic, so the oracle replays the identical merge and the
-    hash checks every surviving row via the all-columns aggregate.
-
-    Scale shape: one equi-shuffle on the primary key for the
-    anti-join (changelog ≪ base ⇒ it broadcasts and even that shuffle
-    disappears); unions are free. This is merge-on-read; a real lake
-    deployment wraps the same plan in copy-on-write of only the
-    affected partitions."""
+def _merged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic CDC-merged state of `documents` (see
+    store_merge_upsert): base ANTI-JOIN changed keys ∪ updates ∪
+    inserts — shared by the merge audit and the time-travel store."""
     base = table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -243,11 +228,33 @@ def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed_keys = (
         dels.unionByName(upds.select("doc_id")).unionByName(ins.select("doc_id"))
     )
-    merged = (
+    return (
         base.join(F.broadcast(changed_keys), "doc_id", "left_anti")
         .unionByName(upds)
         .unionByName(ins)
     )
+
+
+def store_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE (upsert + delete) applied to `documents`, then a
+    full-state audit aggregate → per-source (n_docs, sum_ids,
+    sum_chars, n_langs) over the MERGED table. The Delta/Iceberg
+    `MERGE INTO` shape expressed in plain DataFrame algebra:
+
+        merged = (base ANTI-JOIN changed_keys) ∪ updates ∪ inserts
+
+    A derived changelog (deletes: doc_id % {13} == 0; updates:
+    doc_id % {7} == 0 with bumped n_chars and lang='xx'; inserts:
+    shifted copies with source='cdc') keeps the key fully
+    deterministic, so the oracle replays the identical merge and the
+    hash checks every surviving row via the all-columns aggregate.
+
+    Scale shape: one equi-shuffle on the primary key for the
+    anti-join (changelog ≪ base ⇒ it broadcasts and even that shuffle
+    disappears); unions are free. This is merge-on-read; a real lake
+    deployment wraps the same plan in copy-on-write of only the
+    affected partitions."""
+    merged = _merged_docs(spark, sf_dir)
     return merged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_ids"),
@@ -284,6 +291,96 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM merged GROUP BY source
+"""
+
+
+def _versioned_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Version-partitioned snapshot store: v=1 is the base documents
+    table, v=2 the CDC-merged state — two immutable snapshots in one
+    parquet dir, partitioned by version."""
+    key = (spark.sparkContext.applicationId, sf_dir, "versions")
+    hit = _STAGED.get(key)
+    if hit is not None:
+        return hit
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"dgdb_fmt_{spark.sparkContext.applicationId}_versions_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
+    )
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    (
+        base.withColumn("v", F.lit(1))
+        .unionByName(_merged_docs(spark, sf_dir).withColumn("v", F.lit(2)))
+        .write.mode("overwrite")
+        .partitionBy("v")
+        .parquet(d)
+    )
+    _STAGED[key] = d
+    return d
+
+
+def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: documents stored as immutable
+    version-partitioned snapshots (v=1 pre-CDC, v=2 post-merge), then
+    BOTH versions audited from the one store → (v, source, n_docs,
+    sum_ids, sum_chars, n_langs). The v=1 read proves the historical
+    snapshot is byte-identical to the original table AFTER the v=2
+    write landed — the Delta/Iceberg VERSION AS OF semantics from
+    plain partition pruning: a snapshot read lists one version
+    directory (PartitionFilters), never scans the others, and writers
+    only ever add new version partitions (the dynamic-overwrite
+    discipline of graph_store_roundtrip). At 100 TB the versions are
+    copy-on-write manifests rather than full copies; the read path —
+    prune to one snapshot, audit — is identical."""
+    d = _versioned_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(d)
+        .groupBy("v", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .withColumn("v", F.col("v").cast("int"))
+    )
+
+
+ORACLE_STORE_TIME_TRAVEL = f"""
+WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % {MERGE_DEL_MOD} = 0),
+upds AS (
+  SELECT doc_id, text, 'xx' AS lang, source, n_chars + 1000 AS n_chars
+  FROM documents
+  WHERE doc_id % {MERGE_UPD_MOD} = 0 AND doc_id % {MERGE_DEL_MOD} <> 0
+),
+ins AS (
+  SELECT doc_id + {MERGE_INS_OFFSET} AS doc_id, text, lang,
+         'cdc' AS source, n_chars
+  FROM documents WHERE doc_id % {MERGE_INS_MOD} = 0
+),
+keys AS (
+  SELECT doc_id FROM dels
+  UNION ALL SELECT doc_id FROM upds
+  UNION ALL SELECT doc_id FROM ins
+),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM keys)
+  UNION ALL SELECT * FROM upds
+  UNION ALL SELECT * FROM ins
+),
+vers AS (
+  SELECT 1 AS v, doc_id, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT 2 AS v, doc_id, lang, source, n_chars FROM merged
+)
+SELECT CAST(v AS INT) AS v, source, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM vers GROUP BY v, source
 """
 
 
@@ -799,6 +896,7 @@ QUERIES = {
     "store_schema_evolve": store_schema_evolve,
     "store_sorted_prune": store_sorted_prune,
     "store_zorder_prune": store_zorder_prune,
+    "store_time_travel": store_time_travel,
     "store_stats_collect": store_stats_collect,
     "store_stats_approx": store_stats_approx,
     "store_cdc_apply": store_cdc_apply,
@@ -814,6 +912,7 @@ ORACLE_SQL = {
     "store_schema_evolve": ORACLE_STORE_SCHEMA_EVOLVE,
     "store_sorted_prune": ORACLE_STORE_SORTED_PRUNE,
     "store_zorder_prune": ORACLE_STORE_ZORDER_PRUNE,
+    "store_time_travel": ORACLE_STORE_TIME_TRAVEL,
     "store_stats_collect": _oracle_store_stats(),
     "store_cdc_apply": ORACLE_STORE_CDC_APPLY,
     "store_rollup_merge": ORACLE_STORE_ROLLUP_MERGE,

@@ -1,0 +1,58 @@
+"""text_bpe_train vs an independent reference implementation of
+classical BPE (Sennrich et al.'s algorithm: count adjacent symbol
+pairs weighted by word frequency, merge the argmax left-to-right
+non-overlapping, repeat) run on the same corpus — the rows-only key's
+exactness evidence, same discipline as dedup_near's property suite."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+
+def _reference_bpe(word_counts, n_merges):
+    state = {w: tuple(w) for w in word_counts}
+    merges = []
+    for rnd in range(n_merges):
+        pc = Counter()
+        for w, cnt in word_counts.items():
+            sym = state[w]
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += cnt
+        if not pc:
+            break
+        # argmax: count DESC, then lexicographic pair
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, c))
+        merged = l + r
+        for w in state:
+            sym = state[w]
+            out = []
+            for s in sym:
+                if out and out[-1] == l and s == r:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            state[w] = tuple(out)
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_oracle):
+    from distributed_graph_database_spark.pipeline.text import (
+        BPE_MERGES,
+        text_bpe_train,
+    )
+
+    import duckdb
+
+    words = duckdb.connect().execute(
+        "SELECT w, COUNT(*) FROM (SELECT unnest(string_split_regex(trim(text), "
+        f"'\\s+')) AS w FROM read_parquet('{sf_oracle}/documents.parquet')) "
+        "GROUP BY w"
+    ).fetchall()
+    want = _reference_bpe(dict(words), BPE_MERGES)
+    got = sorted(
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in text_bpe_train(spark, sf_oracle).collect()
+    )
+    assert got == sorted(want)
