@@ -1043,6 +1043,8 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("vec_id").desc())
         .limit(PQ_K)
     )
+    # unpartitioned window is safe HERE only because the input is the
+    # PQ_K-row pinned base (constant-bounded, never data-sized)
     w = Window.orderBy("vec_id")
     return (
         base.withColumn("cid", F.row_number().over(w) - 1)

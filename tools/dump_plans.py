@@ -174,6 +174,35 @@ HEADLINERS: dict[str, str] = {
         "|statuses| long rows map-side, stacked on top of the pivot's "
         "single aggregate exchange — no new shuffle for the reshape."
     ),
+    "ql_sql_q21": (
+        "The EXISTS/NOT-EXISTS sole-late-supplier pair planned as a "
+        "LeftSemi and a LeftAnti self-join of lineitem on l_orderkey, "
+        "with the non-equi lateness term as a residual join condition — "
+        "never a per-row re-scan of the fact table."
+    ),
+    "store_zorder_prune": (
+        "Z-order layout: the scan carries BOTH pushed predicates "
+        "(custkey and date), and the Morton-clustered files give both "
+        "dimensions tight min/max spans — the 2-D window prunes at the "
+        "footer where a 1-D sort clusters only one dimension."
+    ),
+    "graph_mst": (
+        "One Borůvka round: components pick their best cross edge with a "
+        "single groupBy-min of a struct (no global edge sort, no "
+        "sequential union-find), then merge through the checkpointed "
+        "large-star/small-star CC kernel — O(log V) such rounds total."
+    ),
+    "sim_pq_topk": (
+        "PQ-ADC ranking: the per-query lookup table broadcasts into a "
+        "join against 96-bit codes — no full vector is touched until the "
+        "50-element shortlist is exact-reranked; corpus-side I/O and "
+        "shuffle shrink ~21× vs float32 vectors."
+    ),
+    "corpus_chunk": (
+        "Token-window chunking entirely inside one scan stage: split → "
+        "posexplode of an arithmetic start sequence → slice/md5, zero "
+        "exchanges anywhere in the plan."
+    ),
 }
 
 
