@@ -1029,6 +1029,103 @@ l{k} AS MATERIALIZED (
     )
 
 
+# --- deterministic random walks -------------------------------------------
+
+WALK_LEN = 4  # steps per walk (one walk per vertex)
+
+
+def graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic pseudo-random walk of WALK_LEN steps from
+    EVERY vertex of the co-purchase graph → (start_vid, walk) with the
+    walk serialized 'v0>v1>…>vL' — the sampling primitive under
+    node2vec/DeepWalk-style graph embeddings and under Monte-Carlo
+    graph estimators.
+
+    Next-hop choice is argmin of md5(cur ∥ step ∥ neighbor) — a
+    hash-seeded uniform choice that is REPRODUCIBLE, so (a) task
+    retries and re-runs sample identical walks (the corpus_sample
+    rand()-ban, applied to graphs), and (b) the DuckDB oracle can
+    replay every walk exactly (unrolled per-step argmin CTE). Each
+    step is one equi-join of the walk frontier against the edge table
+    plus a per-walk struct-min — |V| walks advance together, the
+    Pregel discipline; nothing is sequential per-walk."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2")))
+    state = (
+        sym.select(F.col("p1").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.col("start").alias("cur"),
+            F.col("start").cast("string").alias("walk"),
+        )
+    )
+    for step in range(WALK_LEN):
+        h = F.md5(
+            F.concat(
+                F.col("cur").cast("string"),
+                F.lit(f"_{step}_"),
+                F.col("p2").cast("string"),
+            )
+        )
+        cand = state.join(sym, state.cur == sym.p1).select(
+            "start", "walk", h.alias("h"), "p2"
+        )
+        state = (
+            cand.groupBy("start", "walk")
+            .agg(F.min(F.struct("h", "p2")).alias("m"))
+            .select(
+                "start",
+                F.col("m.p2").alias("cur"),
+                F.concat(
+                    F.col("walk"), F.lit(">"), F.col("m.p2").cast("string")
+                ).alias("walk"),
+            )
+        )
+    return state.select(F.col("start").alias("start_vid"), "walk")
+
+
+def _oracle_walks() -> str:
+    base = f"""
+WITH li0 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS MATERIALIZED (SELECT p1, p2 FROM e
+        UNION ALL SELECT p2 AS p1, p1 AS p2 FROM e),
+s0 AS (SELECT DISTINCT p1 AS start, p1 AS cur, CAST(p1 AS VARCHAR) AS walk
+       FROM sym)"""
+    steps = []
+    for k in range(WALK_LEN):
+        prev = f"s{k}"
+        steps.append(f""",
+s{k + 1} AS (
+  SELECT start, cur, walk FROM (
+    SELECT s.start, y.p2 AS cur,
+           s.walk || '>' || CAST(y.p2 AS VARCHAR) AS walk,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.start
+             ORDER BY md5(CAST(s.cur AS VARCHAR) || '_{k}_'
+                            || CAST(y.p2 AS VARCHAR)), y.p2) AS rn
+    FROM {prev} s JOIN sym y ON y.p1 = s.cur) t
+  WHERE rn = 1
+)""")
+    return (
+        base
+        + "".join(steps)
+        + f"\nSELECT start AS start_vid, walk FROM s{WALK_LEN}"
+    )
+
+
 # --- minimum spanning forest (Borůvka) ------------------------------------
 
 # Nation-level trade-affinity graph: nodes = nations, undirected edge
@@ -1199,6 +1296,7 @@ QUERIES = {
     "graph_clustering_coef": graph_clustering_coef,
     "graph_link_predict": graph_link_predict,
     "graph_mst": graph_mst,
+    "graph_walks": graph_walks,
 }
 
 ORACLE_SQL = {
@@ -1213,6 +1311,7 @@ ORACLE_SQL = {
     "graph_clustering_coef": ORACLE_GRAPH_CLUSTERING_COEF,
     "graph_link_predict": ORACLE_GRAPH_LINK_PREDICT,
     "graph_mst": _ORACLE_GRAPH_MST,
+    "graph_walks": _oracle_walks(),
 }
 
 

@@ -1816,6 +1816,83 @@ FROM od FULL OUTER JOIN sd ON od.d = sd.d
 """
 
 
+# Skyline block width: prices bucket into ranges of this many cents
+# for the two-level prefix scan; block count = price-range / width
+# (≈60 on the testdata) — a constant knob, so no window ever spans
+# more than one block of rows or the tiny block list itself.
+SKYLINE_BLOCK_CENTS = 10_000
+
+
+def ql_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of urgent orders minimizing (price,
+    date) jointly → (o_orderkey, price_cents, d): orders no other
+    urgent order beats on both dimensions (ties on both coords keep
+    both rows — neither strictly dominates).
+
+    The multi-objective "best tradeoffs" query engines don't ship as
+    an operator. Implemented as the 2-D sort-scan, NOT the quadratic
+    all-pairs dominance join: a point is dominated iff the minimum
+    date among strictly-cheaper orders is ≤ its date, or a same-price
+    order has a strictly earlier date. The strict-prefix minimum is
+    computed WITHOUT a global window (the corpus_interleave
+    discipline): per-price mins → per-block mins over
+    SKYLINE_BLOCK_CENTS price ranges → running min over the tiny
+    block list (bounded by the constant, not the data) broadcast back
+    — plus a within-block window partitioned by block. Every shuffle
+    key is price-derived; nothing ever single-partitions the data."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("p"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+    )
+    pm = o.groupBy("p").agg(F.min("d").alias("pmd"))
+    pm = pm.withColumn("b", F.floor(F.col("p") / SKYLINE_BLOCK_CENTS))
+    blocks = pm.groupBy("b").agg(F.min("pmd").alias("bmin"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # running min over the ≤ ~60-row block list (constant-bounded)
+    blocks = blocks.withColumn("prev_blocks_min", F.min("bmin").over(wb))
+    wp = Window.partitionBy("b").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pm = (
+        pm.join(F.broadcast(blocks.select("b", "prev_blocks_min")), "b")
+        .withColumn("in_block_min", F.min("pmd").over(wp))
+        .withColumn("strict_min", F.least(
+            F.coalesce("prev_blocks_min", F.lit("9999-12-31").cast("date")),
+            F.coalesce("in_block_min", F.lit("9999-12-31").cast("date")),
+        ))
+    )
+    joined = o.join(pm.select("p", "pmd", "strict_min"), "p")
+    dominated = (F.col("strict_min") <= F.col("d")) | (F.col("pmd") < F.col("d"))
+    return joined.filter(~dominated).select(
+        "o_orderkey",
+        F.col("p").alias("price_cents"),
+        F.col("d").cast("string").alias("d"),
+    )
+
+
+# Oracle: the DEFINITION — no other row is ≤ on both coords with one
+# strict. Quadratic NOT EXISTS is fine at oracle scale (the urgent
+# filter bounds it); the Spark side is the O(n log n) scan.
+ORACLE_QL_SKYLINE = """
+WITH o AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o_orderkey, p AS price_cents, CAST(d AS VARCHAR) AS d
+FROM o b
+WHERE NOT EXISTS (
+  SELECT 1 FROM o a
+  WHERE a.p <= b.p AND a.d <= b.d AND (a.p < b.p OR a.d < b.d)
+)
+"""
+
+
 def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-linestatus ordinary-least-squares fit of line price against
     quantity → (l_linestatus, n, slope_cents, intercept_cents): the
@@ -1996,6 +2073,7 @@ QUERIES = {
     "ql_salted_agg": ql_salted_agg,
     "ql_semi_anti_join": ql_semi_anti_join,
     "ql_outer_join": ql_outer_join,
+    "ql_skyline": ql_skyline,
     "ql_agg": ql_agg,
     "ql_distinct": ql_distinct,
     "ql_rollup": ql_rollup,
@@ -2054,6 +2132,7 @@ ORACLE_SQL = {
     "ql_salted_agg": ORACLE_SALTED_AGG,
     "ql_semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "ql_outer_join": ORACLE_QL_OUTER_JOIN,
+    "ql_skyline": ORACLE_QL_SKYLINE,
     "ql_agg": ORACLE_AGG,
     "ql_distinct": ORACLE_DISTINCT,
     "ql_rollup": ORACLE_ROLLUP,
