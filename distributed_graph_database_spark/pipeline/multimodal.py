@@ -447,12 +447,123 @@ WHERE win_offset < n
 """
 
 
+# --- perceptual hashing -----------------------------------------------------
+
+PHASH_GRID = 4  # 4×4 block grid → 16-bit average-hash
+
+
+def _phash_bits(payload: bytes) -> int:
+    """Average-hash of a P6 PPM: parse the header, sum RGB per pixel
+    (grayscale up to a constant factor), split into a PHASH_GRID²
+    block grid, and set bit (by·G+bx) iff the block is brighter than
+    the image — compared in EXACT integer cross-multiplication
+    (block_sum · n_pixels > total_sum · block_pixels), never float
+    means, so the SQL oracle reproduces every bit."""
+    import numpy as np
+
+    _, w, h, _ = decode_image_real(payload)
+    off = len(payload) - 3 * w * h
+    arr = (
+        np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=off)
+        .astype(np.int64)
+        .reshape(h, w, 3)
+    )
+    gray = arr.sum(axis=2)
+    total = int(gray.sum())
+    n = w * h
+    bits = 0
+    g = PHASH_GRID
+    for by in range(g):
+        for bx in range(g):
+            y0, y1 = (by * h) // g, ((by + 1) * h) // g
+            x0, x1 = (bx * w) // g, ((bx + 1) * w) // g
+            blk = gray[y0:y1, x0:x1]
+            if int(blk.sum()) * n > total * blk.size:
+                bits |= 1 << (by * g + bx)
+    return bits
+
+
+def phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: PPM payloads → 16-bit average-hash. The
+    perceptual-feature extraction stage of an image dedup pipeline;
+    BMP (odd ids) would dispatch here once a row-order-aware reader
+    lands, JPEG/PNG once a codec library ships in the executor
+    image."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if b[:2] != b"P6":
+                continue
+            rows.append((int(doc_id), _phash_bits(b)))
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: perceptual average-hash of every synthesized
+    PPM image → (doc_id, phash) — the feature that turns image dedup
+    into dedup_exact's hash-groupBy (identical phash ⇒ near-identical
+    image; Hamming-near phash pairs feed a banded join exactly like
+    dedup_simhash's bit votes). Payload bytes never shuffle: synthesis
+    and hashing are back-to-back map-only Arrow stages; only the
+    16-bit hash leaves the kernel. The oracle recomputes every bit
+    from the synthesis arithmetic (pixel j = (doc_id + j) mod 256)
+    with exact integer block-vs-image cross-multiplication."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        synthesize_images, "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(phash_kernel, "doc_id bigint, phash bigint")
+
+
+# Every even doc_id's PPM: w=4+id%13, h=4+id%11, pixel byte j of the
+# body is (doc_id + j) % 256; gray(x,y) = Σ_c (doc_id + 3(yw+x) + c) % 256.
+# Block membership replays the same floor boundaries via a theta-join
+# against the tiny 0..G-1 block lists.
+ORACLE_MM_PHASH = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 13 AS BIGINT) AS w,
+         CAST(4 + doc_id % 11 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT doc_id, w, h,
+         i % w AS x, i // w AS y,
+         (doc_id + 3 * i) % 256 + (doc_id + 3 * i + 1) % 256
+           + (doc_id + 3 * i + 2) % 256 AS gray
+  FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d) t
+),
+bxs AS (SELECT unnest(range(0, {PHASH_GRID})) AS bx),
+bys AS (SELECT unnest(range(0, {PHASH_GRID})) AS by),
+blocks AS (
+  SELECT p.doc_id, b.bx, c.by,
+         SUM(p.gray) AS bsum, COUNT(*) AS bn,
+         MAX(p.w * p.h) AS n
+  FROM px p
+  JOIN bxs b ON p.x >= (b.bx * p.w) // {PHASH_GRID}
+            AND p.x < ((b.bx + 1) * p.w) // {PHASH_GRID}
+  JOIN bys c ON p.y >= (c.by * p.h) // {PHASH_GRID}
+            AND p.y < ((c.by + 1) * p.h) // {PHASH_GRID}
+  GROUP BY p.doc_id, b.bx, c.by
+),
+tot AS (SELECT doc_id, SUM(gray) AS tsum FROM px GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(SUM(CASE WHEN b.bsum * b.n > t.tsum * b.bn
+                     THEN 1 << (b.by * {PHASH_GRID} + b.bx)
+                     ELSE 0 END) AS BIGINT) AS phash
+FROM blocks b JOIN tot t ON t.doc_id = b.doc_id
+GROUP BY b.doc_id
+"""
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_decode_real": mm_decode_real,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
     "mm_audio_windows": mm_audio_windows,
+    "mm_phash": mm_phash,
 }
 
 ORACLE_SQL = {
@@ -461,4 +572,5 @@ ORACLE_SQL = {
     "mm_frame_sample": ORACLE_MM_FRAME_SAMPLE,
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_audio_windows": ORACLE_MM_AUDIO_WINDOWS,
+    "mm_phash": ORACLE_MM_PHASH,
 }
