@@ -127,6 +127,7 @@ def main() -> int:
         ("sim_topk_result", lambda: pl_sim.sim_topk(spark, sf_dir)),
         ("sim_topk_ivf_result", lambda: pl_sim.sim_topk_ivf(spark, sf_dir)),
         ("sim_knn_graph_result", lambda: pl_sim.sim_knn_graph(spark, sf_dir)),
+        ("pq_corpus_encode", lambda: pl_sim._pq_codes_long(spark, sf_dir)),
         ("colloc_unigram_counts", lambda: _shared(
             spark, sf_dir, "colloc_unigrams",
             lambda: pl_text._colloc_unigrams(spark, sf_dir))),

@@ -276,6 +276,7 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "sim_topk": pl_sim._sim_topk,
     "sim_topk_ivf": pl_sim._sim_topk_ivf,
     "sim_pq_topk": pl_sim._sim_pq_topk,
+    "sim_pq_code": lambda spark, sf: pl_sim._pq_codes_impl(spark, sf),
     "sim_knn_graph": pl_sim._sim_knn_graph,
     "text_collocations": pl_text._text_collocations,
     "ml_centroid_classify": pl_sim._ml_centroid_classify,

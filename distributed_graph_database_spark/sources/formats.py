@@ -192,6 +192,78 @@ GROUP BY source
 """
 
 
+# Corrupt-record handling: every doc_id % CORRUPT_MOD == CORRUPT_REM
+# line of the staged JSONL is made unparseable (prefixed garbage), so
+# the quarantine counts are fully deterministic.
+CORRUPT_MOD = 10
+CORRUPT_REM = 3
+
+
+def _corrupt_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "jsonl_corrupt")
+    hit = _STAGED.get(key)
+    if hit is not None:
+        return hit
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"dgdb_fmt_{spark.sparkContext.applicationId}_jsonlcorrupt_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
+    )
+    docs = table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    is_bad = F.col("doc_id") % CORRUPT_MOD == CORRUPT_REM
+    (
+        docs.select(
+            F.when(is_bad, F.concat(F.lit("CORRUPT"), line))
+            .otherwise(line)
+            .alias("value")
+        )
+        .write.mode("overwrite")
+        .text(d)
+    )
+    _STAGED[key] = d
+    return d
+
+
+def source_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine — the ingest-robustness contract:
+    a JSONL feed where a deterministic subset of lines is garbage is
+    read in PERMISSIVE mode with `_corrupt_record`, good rows flow
+    through, bad rows are counted into quarantine instead of failing
+    the job → one row (n_good, n_corrupt, sum_ids_good,
+    sum_chars_good).
+
+    The mode choice IS the operator: FAILFAST kills a 100 TB ingest
+    on the first bad byte, DROPMALFORMED silently loses data —
+    PERMISSIVE + quarantine is the only shape that both completes and
+    accounts for every input line (the count is the alerting metric a
+    real feed monitors). Corruption is derived from doc_id, so the
+    oracle predicts the exact quarantine split."""
+    d = _corrupt_jsonl_dir(spark, sf_dir)
+    read = (
+        spark.read.schema(DOC_SCHEMA + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return read.agg(
+        F.sum((~bad).cast("bigint")).alias("n_good"),
+        F.sum(bad.cast("bigint")).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("doc_id"))).cast("bigint").alias("sum_ids_good"),
+        F.sum(F.when(~bad, F.col("n_chars"))).cast("bigint").alias("sum_chars_good"),
+    )
+
+
+ORACLE_SOURCE_JSONL_CORRUPT = f"""
+SELECT CAST(SUM(CASE WHEN doc_id % {CORRUPT_MOD} <> {CORRUPT_REM} THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN doc_id % {CORRUPT_MOD} = {CORRUPT_REM} THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % {CORRUPT_MOD} <> {CORRUPT_REM} THEN doc_id END) AS BIGINT) AS sum_ids_good,
+       CAST(SUM(CASE WHEN doc_id % {CORRUPT_MOD} <> {CORRUPT_REM} THEN n_chars END) AS BIGINT) AS sum_chars_good
+FROM documents
+"""
+
+
 # CDC changelog derivation (deterministic, from the base table itself):
 # deletes, updates, and inserts keyed by doc_id modulus — disjoint op
 # sets, with inserts offset past the live id range.
@@ -890,6 +962,7 @@ FROM snap GROUP BY o_orderstatus
 QUERIES = {
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
+    "source_jsonl_corrupt": source_jsonl_corrupt,
     "store_compact": store_compact,
     "store_partition_prune": store_partition_prune,
     "store_merge_upsert": store_merge_upsert,
@@ -906,6 +979,7 @@ QUERIES = {
 ORACLE_SQL = {
     "source_jsonl_roundtrip": ORACLE_ROUNDTRIP_AGG,
     "source_csv_roundtrip": ORACLE_ROUNDTRIP_AGG,
+    "source_jsonl_corrupt": ORACLE_SOURCE_JSONL_CORRUPT,
     "store_compact": ORACLE_STORE_COMPACT,
     "store_partition_prune": ORACLE_STORE_PARTITION_PRUNE,
     "store_merge_upsert": ORACLE_STORE_MERGE_UPSERT,

@@ -221,6 +221,46 @@ _STREAM_SEQ = itertools.count()
 _SRC_STAGED: dict[tuple[str, str], str] = {}
 
 
+ATTRIB_WINDOW = "30 minutes"  # view→click attribution bound (batch twin)
+
+
+def interval_join_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: the views stream joined to the
+    clicks stream of the same user with the click inside
+    [view_ts, view_ts + ATTRIB_WINDOW] — the funnel-attribution join
+    run with BOTH sides unbounded. Each side carries its own
+    watermark; with the time-bound condition Spark derives how long a
+    view must be buffered (watermark + window) before no future click
+    can match it, and evicts — the bounded-state contract that makes
+    a stream×stream join feasible at all. (A stream self-join: the
+    engine buffers both sides' state independently.)"""
+    ev = _events_stream(spark, src_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", WATERMARK)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW}")),
+    )
+
+
 def _events_src_dir(spark: SparkSession, sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY (it derives
     basePath); stage the single events parquet into one, once per
@@ -497,6 +537,41 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the stream-stream interval join drained
+    with availableNow (append — joins emit matches as both sides'
+    watermarks permit), then reduced to the per-hour attribution
+    rollup → (hour, n_pairs, n_users). Under the one-file/one-batch
+    staging contract nothing is late, so the drained matches equal the
+    batch interval join exactly — the EIGHTH streaming key, and the
+    first to put two unbounded sides' join state under the hash
+    check."""
+    src = _events_src_dir(spark, sf_dir)
+    name = f"stream_interval_join_{next(_STREAM_SEQ)}"
+    res = run_available_now(
+        interval_join_stream(spark, src), name, mode="append"
+    )
+    return res.groupBy(
+        F.date_trunc("hour", F.col("c_ts")).cast("string").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("c_user").alias("n_users"),
+    )
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT CAST(DATE_TRUNC('hour', c.ts) AS VARCHAR) AS hour,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT c.user_id) AS n_users
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_user_totals": stream_user_totals,
@@ -505,6 +580,7 @@ QUERIES = {
     "stream_sessionize": stream_sessionize,
     "stream_sink_parquet": stream_sink_parquet,
     "stream_enrich": stream_enrich,
+    "stream_interval_join": stream_interval_join,
 }
 
 ORACLE_SQL = {
@@ -516,6 +592,7 @@ ORACLE_SQL = {
     # the sink's CONTENT equals the tumbling rollup — same oracle
     "stream_sink_parquet": ORACLE_STREAM_TUMBLING,
     "stream_enrich": ORACLE_STREAM_ENRICH,
+    "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
 }
 
 
