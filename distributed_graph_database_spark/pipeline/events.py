@@ -290,6 +290,96 @@ WHERE c.event_type = 'click'
 """
 
 
+AB_Z = 2            # two-proportion significance threshold (z > 2 ≈ p < 0.046)
+AB_CONV_MIN = 14    # "converted" = ≥ this many purchase events (≈ the median,
+                    # so both outcomes are populated — an always-true flag
+                    # would make the test vacuous on this testdata)
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout, integer-exact: users split into two
+    deterministic hash arms (the corpus_sample md5 idiom — never
+    rand(), so re-runs and both engines assign identical arms),
+    conversion = "user made ≥ AB_CONV_MIN purchases", compared with the
+    two-proportion z-test → one row (n_a, conv_a, n_b, conv_b,
+    significant).
+
+    Cross-engine exactness: the z² threshold is evaluated with ZERO
+    divisions — (ca·nb − cb·na)²·(na+nb) > Z²·c·(n−c)·na·nb over
+    decimal(38,0) (c = ca+cb, n = na+nb) — the events_anomaly
+    factoring applied to two proportions, so the verdict bit cannot
+    ulp-flip. decimal(38,0) keeps the cross-products exact to ~10¹⁹
+    users per arm.
+
+    Scale: one scan → per-user any-purchase flag (map-side combined),
+    one 2-row arm aggregate; the experiment readout is O(users) work
+    and O(1) output regardless of event volume."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 2
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                >= AB_CONV_MIN
+            ).cast("int").alias("conv")
+        )
+        .select(arm.alias("arm"), "conv")
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("conv").cast("decimal(38,0)").alias("c"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("c").alias("ca")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("c").alias("cb")
+    )
+    j = a.crossJoin(F.broadcast(b))  # 1×1
+    n = F.col("na") + F.col("nb")
+    c = F.col("ca") + F.col("cb")
+    diff = F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    lhs = diff * diff * n
+    rhs = F.lit(AB_Z * AB_Z) * c * (n - c) * F.col("na") * F.col("nb")
+    return j.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        (lhs > rhs).alias("significant"),
+    )
+
+
+ORACLE_EVENTS_AB_TEST = f"""
+WITH u AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2 AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {AB_CONV_MIN} THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(conv) AS HUGEINT) AS c
+  FROM u GROUP BY arm
+),
+j AS (
+  SELECT a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb
+  FROM (SELECT n, c FROM arms WHERE arm = 0) a,
+       (SELECT n, c FROM arms WHERE arm = 1) b
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+       ((ca * nb - cb * na) * (ca * nb - cb * na) * (na + nb))
+         > ({AB_Z * AB_Z} * (ca + cb) * (na + nb - ca - cb) * na * nb)
+         AS significant
+FROM j
+"""
+
+
 FUNNEL_WINDOW_S = 30 * 60  # view→click attribution window
 
 
@@ -855,6 +945,7 @@ QUERIES = {
     "events_range_join": events_range_join,
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
+    "events_ab_test": events_ab_test,
     "events_scrub": events_scrub,
     "events_transitions": events_transitions,
     "events_dedup": events_dedup,
@@ -872,6 +963,7 @@ ORACLE_SQL = {
     "events_range_join": ORACLE_EVENTS_RANGE_JOIN,
     "events_retention": ORACLE_EVENTS_RETENTION,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
+    "events_ab_test": ORACLE_EVENTS_AB_TEST,
     "events_scrub": ORACLE_EVENTS_SCRUB,
     "events_transitions": ORACLE_EVENTS_TRANSITIONS,
     "events_dedup": ORACLE_EVENTS_DEDUP,
