@@ -59,6 +59,8 @@ def _staging_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         docs.write.mode("overwrite").option("header", True).option(
             "quoteAll", True
         ).csv(d)
+    elif fmt == "orc":
+        docs.write.mode("overwrite").orc(d)
     elif fmt == "compact":
         docs.repartition(COMPACT_FILES_BEFORE).write.mode("overwrite").parquet(d)
     else:
@@ -108,6 +110,17 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(
         spark.read.schema(DOC_SCHEMA).option("header", True).csv(d)
     )
+
+
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC → read back (explicit schema) → aggregate;
+    hash-equal off parquet ⇔ lossless roundtrip through the second
+    columnar container (the ORC-shop interchange path — same
+    predicate-pushdown/column-pruning contract as parquet, different
+    encoder; the audit catches any type-mapping drift between the
+    two)."""
+    d = _staging_dir(spark, sf_dir, "orc")
+    return _roundtrip_agg(spark.read.schema(DOC_SCHEMA).orc(d))
 
 
 def store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -963,6 +976,7 @@ QUERIES = {
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_jsonl_corrupt": source_jsonl_corrupt,
+    "source_orc_roundtrip": source_orc_roundtrip,
     "store_compact": store_compact,
     "store_partition_prune": store_partition_prune,
     "store_merge_upsert": store_merge_upsert,
@@ -980,6 +994,7 @@ ORACLE_SQL = {
     "source_jsonl_roundtrip": ORACLE_ROUNDTRIP_AGG,
     "source_csv_roundtrip": ORACLE_ROUNDTRIP_AGG,
     "source_jsonl_corrupt": ORACLE_SOURCE_JSONL_CORRUPT,
+    "source_orc_roundtrip": ORACLE_ROUNDTRIP_AGG,
     "store_compact": ORACLE_STORE_COMPACT,
     "store_partition_prune": ORACLE_STORE_PARTITION_PRUNE,
     "store_merge_upsert": ORACLE_STORE_MERGE_UPSERT,
