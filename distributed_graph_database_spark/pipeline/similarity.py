@@ -1007,6 +1007,101 @@ FROM t FULL JOIN p ON t.label = p.label
 """
 
 
+LOGREG_LR = 0.1  # learning rate of the demonstrated gradient step
+EMBED_DIM = 64
+
+
+def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logistic-regression gradient step over the corpus →
+    (dim, w_old, grad, w_new): the training-loop kernel that pairs
+    with ml_score's inference kernel (ml_kmeans_step's discipline
+    applied to a supervised model). Target y = (label == 1); weights
+    start from the pinned unit vector ml_score scores with.
+
+    The distributed-SGD shape: broadcast w, ONE corpus scan computes
+    the per-row residual σ(w·x) − y inside the projection, posexplode
+    turns the per-dim products into a 64-key map-side-combined
+    groupBy — the shuffle carries 64 partial sums per partition, never
+    rows. This is exactly how a full batch-GD loop distributes; the
+    loop itself would iterate this key's plan with the bfs_levels
+    checkpoint discipline. Outputs round to 6dp — gradient sums
+    reorder across engines at ~1e-12 relative, four orders below the
+    rounding quantum (the ql_corr argument)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        (F.col("label") == 1).cast("int").alias("y"),
+    )
+    e = _unit(e, "v")
+    w = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("w_id"), F.col("v").alias("wv"))
+    )
+    scored = (
+        e.crossJoin(F.broadcast(w))
+        .filter(F.col("vec_id") != F.col("w_id"))
+        .withColumn(
+            "resid",
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot(F.col("wv"), F.col("v"))))
+            - F.col("y"),
+        )
+    )
+    cnt = scored.agg(F.count(F.lit(1)).alias("n"))
+    grads = (
+        scored.select("resid", F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("resid") * F.col("x")).alias("gsum"))
+    )
+    wd = w.select(F.posexplode("wv").alias("dim", "w_old"))
+    g = F.col("gsum") / F.col("n")
+    return (
+        grads.crossJoin(F.broadcast(cnt))
+        .join(F.broadcast(wd), "dim")
+        .select(
+            "dim",
+            F.round("w_old", 6).alias("w_old"),
+            F.round(g, 6).alias("grad"),
+            F.round(F.col("w_old") - F.lit(LOGREG_LR) * g, 6).alias("w_new"),
+        )
+    )
+
+
+ORACLE_ML_LOGREG_STEP = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_dot_product(
+                               CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])))) AS v,
+         CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+w AS (
+  SELECT vec_id AS w_id, v AS wv FROM e ORDER BY vec_id LIMIT 1
+),
+s AS (
+  SELECT e.v,
+         1.0 / (1.0 + exp(-list_dot_product(w.wv, e.v))) - e.y AS resid
+  FROM e, w WHERE e.vec_id <> w.w_id
+),
+n AS (SELECT COUNT(*) AS n FROM s),
+dims AS (SELECT unnest(range(0, {EMBED_DIM})) AS dim),
+g AS (
+  SELECT d.dim, SUM(s.resid * s.v[d.dim + 1]) AS gsum
+  FROM s, dims d GROUP BY d.dim
+),
+wd AS (
+  SELECT d.dim, w.wv[d.dim + 1] AS w_old FROM w, dims d
+)
+SELECT g.dim,
+       ROUND(wd.w_old, 6) AS w_old,
+       ROUND(g.gsum / n.n, 6) AS grad,
+       ROUND(wd.w_old - {LOGREG_LR} * g.gsum / n.n, 6) AS w_new
+FROM g JOIN wd ON wd.dim = g.dim CROSS JOIN n
+"""
+
+
 # --- product quantization (PQ) --------------------------------------------
 #
 # The COMPRESSION leg of the ANN surface (IVF partitions the corpus;
@@ -1324,6 +1419,7 @@ QUERIES = {
     "sim_pq_recall": sim_pq_recall,
     "dedup_embed": dedup_embed,
     "ml_kmeans_step": ml_kmeans_step,
+    "ml_logreg_step": ml_logreg_step,
     "ml_score": ml_score,
     "ml_centroid_classify": ml_centroid_classify,
     "ml_confusion_metrics": ml_confusion_metrics,
@@ -1343,6 +1439,7 @@ ORACLE_SQL = {
     "sim_pq_recall": ORACLE_SIM_PQ_RECALL,
     "dedup_embed": ORACLE_DEDUP_EMBED,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
+    "ml_logreg_step": ORACLE_ML_LOGREG_STEP,
     "ml_score": ORACLE_ML_SCORE,
     "ml_centroid_classify": ORACLE_ML_CENTROID_CLASSIFY,
     "ml_confusion_metrics": ORACLE_ML_CONFUSION_METRICS,
