@@ -1816,6 +1816,46 @@ FROM od FULL OUTER JOIN sd ON od.d = sd.d
 """
 
 
+def ql_setops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set ops — the multiplicity-aware complements of
+    ql_setops' distinct-set algebra: the multiset of urgent-order
+    custkeys INTERSECT ALL / EXCEPT ALL the multiset of high-priority
+    custkeys → (custkey, op). INTERSECT ALL keeps min(multiplicity),
+    EXCEPT ALL subtracts multiplicities — the semantics reconciliation
+    and inventory-diff queries need (a distinct-set EXCEPT of
+    double-entry ledgers silently hides count mismatches).
+
+    Plan: both ALL variants compile to an aggregate-on-key +
+    multiplicity arithmetic (Spark plans them as a join on
+    (value, replicated row-number)), one shuffle per side — never a
+    row-pairing nested loop."""
+    orders = table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersectAll(high).withColumn(
+        "op", F.lit("intersect_all")
+    ).unionByName(
+        urgent.exceptAll(high).withColumn("op", F.lit("except_all"))
+    )
+
+
+ORACLE_QL_SETOPS_BAG = """
+WITH urgent AS (SELECT o_custkey AS custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+     high AS (SELECT o_custkey AS custkey FROM orders
+              WHERE o_orderpriority = '2-HIGH')
+SELECT custkey, 'intersect_all' AS op FROM
+  (SELECT * FROM urgent INTERSECT ALL SELECT * FROM high) t
+UNION ALL
+SELECT custkey, 'except_all' AS op FROM
+  (SELECT * FROM urgent EXCEPT ALL SELECT * FROM high) s
+"""
+
+
 # Skyline block width: prices bucket into ranges of this many cents
 # for the two-level prefix scan; block count = price-range / width
 # (≈60 on the testdata) — a constant knob, so no window ever spans
@@ -2074,6 +2114,7 @@ QUERIES = {
     "ql_semi_anti_join": ql_semi_anti_join,
     "ql_outer_join": ql_outer_join,
     "ql_skyline": ql_skyline,
+    "ql_setops_bag": ql_setops_bag,
     "ql_agg": ql_agg,
     "ql_distinct": ql_distinct,
     "ql_rollup": ql_rollup,
@@ -2133,6 +2174,7 @@ ORACLE_SQL = {
     "ql_semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "ql_outer_join": ORACLE_QL_OUTER_JOIN,
     "ql_skyline": ORACLE_QL_SKYLINE,
+    "ql_setops_bag": ORACLE_QL_SETOPS_BAG,
     "ql_agg": ORACLE_AGG,
     "ql_distinct": ORACLE_DISTINCT,
     "ql_rollup": ORACLE_ROLLUP,
