@@ -347,6 +347,51 @@ FROM chunks
 """
 
 
+# Stratified sampling rates per language stratum (percent kept).
+# Oversample scarce/priority strata, downsample the bulk — the
+# composition-control step distinct from corpus_sample's uniform 10%.
+STRATA_PCT = {"en": 40, "de": 30, "es": 20, "fr": 20, "zh": 10}
+STRATA_DEFAULT_PCT = 5
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sample: each language stratum keeps
+    its own hash-bucket fraction (en 40%, de 30%, … default 5%) →
+    (doc_id, lang, source). The corpus-composition control a training
+    mix needs when uniform sampling (corpus_sample) would starve rare
+    strata: per-stratum rates, still rand()-free — the same md5
+    bucket as sample/split/mix, so one doc's membership across ALL
+    sampling keys derives from one hash and stratum membership is
+    reproducible on any cluster layout.
+
+    Scale: a pure scan-side filter (bucket < rate(lang)); the rate
+    lookup is a CASE over the tiny strata map — no join, no shuffle,
+    pushdown-eligible."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    rate = F.lit(STRATA_DEFAULT_PCT)
+    for lg, pct in STRATA_PCT.items():
+        rate = F.when(F.col("lang") == lg, pct).otherwise(rate)
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(bucket < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _oracle_stratified() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in STRATA_PCT.items()
+    )
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < CASE {branches} ELSE {STRATA_DEFAULT_PCT} END
+"""
+
+
 def _mix_bucket() -> F.Column:
     return F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
@@ -454,6 +499,7 @@ FROM ranked CROSS JOIN n
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "corpus_sample": corpus_sample,
+    "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_split": corpus_split,
     "corpus_pack": corpus_pack,
     "corpus_chunk": corpus_chunk,
@@ -464,6 +510,7 @@ QUERIES = {
 ORACLE_SQL = {
     "pipeline_clean_corpus": _oracle(),
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
+    "corpus_stratified_sample": _oracle_stratified(),
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "corpus_pack": ORACLE_CORPUS_PACK,
     "corpus_chunk": ORACLE_CORPUS_CHUNK,

@@ -290,6 +290,53 @@ WHERE c.event_type = 'click'
 """
 
 
+WINDOW_TOPK = 3  # leaderboard depth per hour
+
+
+def events_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window leaderboard: the top-WINDOW_TOPK spenders of every
+    hour → (hour, rank, user_id, spend_cents) — the windowed top-k
+    every ops dashboard runs (hot keys per interval, top talkers, top
+    sellers).
+
+    Two-level aggregation then rank: events collapse to (hour, user)
+    spend FIRST (map-side combined — the shuffle carries one row per
+    user-hour, not per event), then rank partitions by hour. Ties
+    break by user_id so the leaderboard is deterministic. At 100 TB
+    the rank window's partition is |users active in one hour| — never
+    global; a skewed hour is one partition, handled by AQE."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "user_id",
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("spend_cents")
+    )
+    w = Window.partitionBy("hour").orderBy(
+        F.col("spend_cents").desc(), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WINDOW_TOPK)
+        .select("hour", "rank", "user_id", "spend_cents")
+    )
+
+
+ORACLE_EVENTS_TOPK_WINDOW = f"""
+WITH per_user AS (
+  SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour, user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, rank, user_id, spend_cents FROM (
+  SELECT hour, user_id, spend_cents,
+         ROW_NUMBER() OVER (PARTITION BY hour
+                            ORDER BY spend_cents DESC, user_id) AS rank
+  FROM per_user) t
+WHERE rank <= {WINDOW_TOPK}
+"""
+
+
 AB_Z = 2            # two-proportion significance threshold (z > 2 ≈ p < 0.046)
 AB_CONV_MIN = 14    # "converted" = ≥ this many purchase events (≈ the median,
                     # so both outcomes are populated — an always-true flag
@@ -946,6 +993,7 @@ QUERIES = {
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
     "events_ab_test": events_ab_test,
+    "events_topk_window": events_topk_window,
     "events_scrub": events_scrub,
     "events_transitions": events_transitions,
     "events_dedup": events_dedup,
@@ -964,6 +1012,7 @@ ORACLE_SQL = {
     "events_retention": ORACLE_EVENTS_RETENTION,
     "events_anomaly": ORACLE_EVENTS_ANOMALY,
     "events_ab_test": ORACLE_EVENTS_AB_TEST,
+    "events_topk_window": ORACLE_EVENTS_TOPK_WINDOW,
     "events_scrub": ORACLE_EVENTS_SCRUB,
     "events_transitions": ORACLE_EVENTS_TRANSITIONS,
     "events_dedup": ORACLE_EVENTS_DEDUP,
