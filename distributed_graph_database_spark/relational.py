@@ -1816,6 +1816,64 @@ FROM od FULL OUTER JOIN sd ON od.d = sd.d
 """
 
 
+EQDEPTH_BINS = 16
+
+
+def ql_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of order totals → (bin, n_orders,
+    min_cents, max_cents): ~equal row mass per bucket — the histogram
+    an optimizer actually wants (fixed-width ql_histogram shows value
+    SHAPE; equi-depth shows where the rows are, which is what range
+    partition bounds and join selectivity estimates need).
+
+    NOT an NTILE: a global ranking window would single-partition the
+    table. Instead the exact quantile BOUNDARIES are computed once
+    (15 numbers — the only sort-bearing step, over an aggregate that
+    returns a constant-size array), broadcast, and every row assigns
+    its bucket scan-side as |{b : b < cents}| — one pass, no global
+    window, the same boundaries+assign shape a 100 TB range
+    partitioner uses (there with approx boundaries; exact here keeps
+    the oracle hash-exact, and DuckDB's quantile_cont interpolates
+    bit-identically — the ql_percentiles_exact precedent). Boundary
+    ties go left on both engines by the strict < ."""
+    o = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    fr = ", ".join(str(i / EQDEPTH_BINS) for i in range(1, EQDEPTH_BINS))
+    bnds = o.agg(F.expr(f"percentile(cents, array({fr}))").alias("bnds"))
+    return (
+        o.crossJoin(F.broadcast(bnds))
+        .withColumn(
+            "bin", F.size(F.filter("bnds", lambda b: b < F.col("cents")))
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+ORACLE_QL_HISTOGRAM_EQDEPTH = f"""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+b AS (
+  SELECT quantile_cont(cents,
+           [{", ".join(str(i / EQDEPTH_BINS) for i in range(1, EQDEPTH_BINS))}])
+         AS bnds
+  FROM c
+)
+SELECT CAST(len(list_filter(b.bnds, x -> x < c.cents)) AS INT) AS bin,
+       COUNT(*) AS n_orders,
+       MIN(c.cents) AS min_cents,
+       MAX(c.cents) AS max_cents
+FROM c, b
+GROUP BY 1
+"""
+
+
 def ql_setops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BAG-semantics set ops — the multiplicity-aware complements of
     ql_setops' distinct-set algebra: the multiset of urgent-order
@@ -2115,6 +2173,7 @@ QUERIES = {
     "ql_outer_join": ql_outer_join,
     "ql_skyline": ql_skyline,
     "ql_setops_bag": ql_setops_bag,
+    "ql_histogram_eqdepth": ql_histogram_eqdepth,
     "ql_agg": ql_agg,
     "ql_distinct": ql_distinct,
     "ql_rollup": ql_rollup,
@@ -2175,6 +2234,7 @@ ORACLE_SQL = {
     "ql_outer_join": ORACLE_QL_OUTER_JOIN,
     "ql_skyline": ORACLE_QL_SKYLINE,
     "ql_setops_bag": ORACLE_QL_SETOPS_BAG,
+    "ql_histogram_eqdepth": ORACLE_QL_HISTOGRAM_EQDEPTH,
     "ql_agg": ORACLE_AGG,
     "ql_distinct": ORACLE_DISTINCT,
     "ql_rollup": ORACLE_ROLLUP,
