@@ -92,3 +92,26 @@ def test_window_misc_values_are_consistent(spark, sf_oracle):
         assert cur.cume >= prev.cume
         assert cur.prev_cents == prev.cents
         assert prev.next_cents == cur.cents
+
+
+def test_eqdepth_histogram_masses_are_balanced(spark, sf_oracle):
+    """Equi-depth law: every bucket holds ~n/16 rows — deviations only
+    from value-tie mass at boundaries (ties go left). On the order
+    totals (near-unique cents) the spread must stay tight, and bucket
+    ids must be exactly 0..15 with min/max ranges non-overlapping in
+    order."""
+    from distributed_graph_database_spark.relational import (
+        EQDEPTH_BINS,
+        ql_histogram_eqdepth,
+    )
+
+    rows = sorted(
+        ql_histogram_eqdepth(spark, sf_oracle).collect(), key=lambda r: r.bin
+    )
+    assert [r.bin for r in rows] == list(range(EQDEPTH_BINS))
+    n = sum(r.n_orders for r in rows)
+    target = n / EQDEPTH_BINS
+    for r in rows:
+        assert abs(r.n_orders - target) <= max(2, 0.02 * target), r
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_cents <= b.min_cents
