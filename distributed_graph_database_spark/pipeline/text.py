@@ -168,6 +168,69 @@ FROM scored
 """
 
 
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-class precision/recall of the lang-ID
+    heuristic against the ground-truth label → one row per true
+    language: (lang, n_docs, n_correct, recall, precision) — the
+    eval-the-classifier discipline ml_confusion_metrics applies to the
+    centroid classifier, applied to the text heuristic (every
+    production filter ships its measured error, not just its output).
+
+    Ratios divide exact integers (identical doubles cross-engine);
+    precision joins the per-PREDICTED-class totals back onto the
+    per-true-class rollup — two tiny aggregates over an
+    already-aggregated 5×5 space, nothing rescans text."""
+    scored = text_lang_id(spark, sf_dir).select("lang", "lang_pred")
+    cm = scored.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_true = cm.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("lang_pred") == F.col("lang"), F.col("n"))).alias(
+            "n_correct_raw"
+        ),
+    )
+    per_pred = cm.groupBy("lang_pred").agg(F.sum("n").alias("n_predicted"))
+    return (
+        per_true.withColumn("n_correct", F.coalesce("n_correct_raw", F.lit(0)))
+        .join(
+            F.broadcast(per_pred),
+            per_true.lang == per_pred.lang_pred,
+            "left",
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_correct").cast("bigint").alias("n_correct"),
+            F.round(F.col("n_correct") / F.col("n_docs"), 6).alias("recall"),
+            # never-predicted class → NULL precision on BOTH engines
+            # (the left join's null propagates; no 0-division branch)
+            F.round(F.col("n_correct") / F.col("n_predicted"), 6).alias(
+                "precision"
+            ),
+        )
+    )
+
+
+def _oracle_langid_eval() -> str:
+    inner = _oracle_lang_id()
+    return f"""
+WITH scored AS ({inner}),
+cm AS (SELECT lang, lang_pred, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+per_true AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN lang_pred = lang THEN n END), 0) AS BIGINT)
+           AS n_correct
+  FROM cm GROUP BY lang
+),
+per_pred AS (SELECT lang_pred, SUM(n) AS n_predicted FROM cm GROUP BY 1)
+SELECT t.lang, t.n_docs, t.n_correct,
+       ROUND(t.n_correct / CAST(t.n_docs AS DOUBLE), 6) AS recall,
+       ROUND(t.n_correct / CAST(p.n_predicted AS DOUBLE), 6) AS precision
+FROM per_true t LEFT JOIN per_pred p ON p.lang_pred = t.lang
+"""
+
+
 # Quality thresholds (deterministic ints/ratios; weights sum to 4).
 QUALITY_MIN_CHARS = 100
 QUALITY_MAX_CHARS = 2000
@@ -828,6 +891,7 @@ QUERIES = {
     "text_length_quantiles": text_length_quantiles,
     "text_tokens": text_tokens,
     "text_lang_id": text_lang_id,
+    "text_langid_eval": text_langid_eval,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_ngrams_top": text_ngrams_top,
@@ -843,6 +907,7 @@ ORACLE_SQL = {
     "text_length_quantiles": _oracle_length_quantiles(),
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_lang_id": _oracle_lang_id(),
+    "text_langid_eval": _oracle_langid_eval(),
     "text_quality": _oracle_quality(),
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "text_ngrams_top": ORACLE_TEXT_NGRAMS_TOP,
