@@ -149,16 +149,29 @@ def main() -> int:
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"bench: {key} FAILED: {failures[key]}", file=sys.stderr)
 
+    # Key order is deliberate: the driver captures only the LAST ~2000
+    # chars of stdout, and at 174 keys the per-query map alone is ~8 KB
+    # — so the bulky `queries`/`setup_seconds` maps go FIRST and the
+    # headline metric/value/sf/n_queries/failures go LAST, where the
+    # tail capture keeps them (VERDICT r6 item 2: BENCH_r06.json had
+    # "parsed": null because the headline fields led and got truncated).
     result = {
-        "metric": "total_query_seconds",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
         "queries": timings,
+        "setup_seconds": setup,
+        "unit": "sec",
         "sf": _sf_from_dir(sf_dir),
         "n_queries": len(timings),
         "failures": failures,
-        "setup_seconds": setup,
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 4),
     }
+    # The full artifact is also committed verbatim so the bench stays
+    # self-describing regardless of any capture window.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+        f.write("\n")
     print(json.dumps(result))
     return 1 if failures else 0
 

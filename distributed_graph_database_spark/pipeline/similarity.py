@@ -490,7 +490,15 @@ KNN_K = 5          # neighbors per vector in the kNN graph
 # honest knob setting where the measured recall key stays >0.5 while
 # candidate work is still N²·(PROBES/CELLS) = N²/4, not N².
 KNN_PROBES = 4
-KNN_SAMPLE_MOD = 10  # recall key: measure every 10th vec_id
+# Absolute exact-query budget for the recall audit — the 100 TB knob
+# (VERDICT r6 item 4): a modulus sample (`vec_id % 10 == 0`) scales
+# WITH the corpus (1e8 exact queries at 1e9 vectors); an absolute cap
+# keeps the audit O(CAP × corpus) no matter the scale. Membership is
+# the corpus_sample idiom: the CAP vec_ids with the smallest
+# md5(vec_id) — deterministic, engine-portable, and planned as a
+# distributed partial top-N (TakeOrderedAndProject), never a global
+# sort.
+KNN_SAMPLE_CAP = 64
 
 
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,21 +618,34 @@ FROM ranked WHERE rank <= {KNN_K}
 
 def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@K of the kNN graph against per-vector EXACT
-    top-k on a deterministic sample (every KNN_SAMPLE_MOD-th vec_id) →
+    top-k on a deterministic ABSOLUTE-size sample (the KNN_SAMPLE_CAP
+    vec_ids with the smallest md5 — the corpus_sample idiom) →
     (src_id, n_hits, recall_at_k). The quality metric that turns
     sim_knn_graph from "an ANN join" into a deployable index: the
     probe-count knob is only tunable against a measured recall, and
     hash-checking the recall VALUE puts the approximation quality
     itself under the driver's gate (the sim_ivf_recall pattern).
 
-    Cost: the exact side is |sample| × corpus (broadcast sample, one
-    corpus scan) — the sample mod bounds it to corpus²/MOD, the same
-    budget trade a production recall monitor makes."""
-    knn = sim_knn_graph(spark, sf_dir).filter(
-        F.col("src_id") % KNN_SAMPLE_MOD == 0
-    ).select("src_id", "neighbor_id", F.lit(1).alias("hit"))
+    Cost: the exact side is CAP × corpus (broadcast sample, one
+    corpus scan) — constant query count regardless of corpus size,
+    the same budget trade a production recall monitor makes
+    (VERDICT r6 item 4: the old `% 10` sample was 1e8 exact queries
+    at 1e9 vectors)."""
     emb = _unit(_embeddings(spark, sf_dir), "v")
-    q = emb.filter(F.col("vec_id") % KNN_SAMPLE_MOD == 0).select(
+    sample = (
+        emb.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(KNN_SAMPLE_CAP)
+        .select("vec_id")
+    )
+    knn = sim_knn_graph(spark, sf_dir).join(
+        F.broadcast(sample.select(F.col("vec_id").alias("src_id"))),
+        "src_id",
+        "left_semi",
+    ).select("src_id", "neighbor_id", F.lit(1).alias("hit"))
+    q = emb.join(F.broadcast(sample), "vec_id", "left_semi").select(
         F.col("vec_id").alias("src_id"), F.col("v").alias("qv")
     )
     scored = (
@@ -654,10 +675,14 @@ def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SIM_KNN_RECALL = f"""
-WITH knn_all AS ({ORACLE_SIM_KNN_GRAPH}),
+WITH samp AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KNN_SAMPLE_CAP}
+),
+knn_all AS ({ORACLE_SIM_KNN_GRAPH}),
 knn AS (
   SELECT src_id, neighbor_id FROM knn_all
-  WHERE src_id % {KNN_SAMPLE_MOD} = 0
+  WHERE src_id IN (SELECT vec_id FROM samp)
 ),
 e0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -668,7 +693,8 @@ e AS (
   FROM e0
 ),
 q AS (
-  SELECT vec_id AS src_id, v AS qv FROM e WHERE vec_id % {KNN_SAMPLE_MOD} = 0
+  SELECT vec_id AS src_id, v AS qv FROM e
+  WHERE vec_id IN (SELECT vec_id FROM samp)
 ),
 scored AS (
   SELECT q.src_id, e.vec_id AS neighbor_id,

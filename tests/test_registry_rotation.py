@@ -69,6 +69,35 @@ def test_window_prefers_stale_keys():
     )
 
 
+def test_global_lru_order():
+    """QUERIES iteration order must be globally non-decreasing in
+    driver-last-seen round (never-seen = -1 first) — the guarantee
+    that the driver's ~50-key window always takes the globally stalest
+    keys, even when they concentrate in a single family (VERDICT r6
+    item 1: 28 of 55 never-seen keys were relational, and per-family
+    rotation + interleave alone fit only 27 into the window)."""
+    ls = registry._LAST_SEEN
+    ranks = [ls.get(k, -1) for k in registry.QUERIES]
+    assert ranks == sorted(ranks)
+
+
+def test_never_seen_keys_fill_window_first():
+    """Every key with no driver row ever must precede every key that
+    has one, up to the window size — so a 50-key window is spent
+    entirely on never-signed keys while any remain."""
+    ls = registry._LAST_SEEN
+    keys = list(registry.QUERIES)
+    never = [k for k in keys if ls.get(k, -1) < 0]
+    if not never:
+        return
+    n_lead = min(len(never), DRIVER_WINDOW)
+    head = keys[: len(never)]
+    assert all(ls.get(k, -1) < 0 for k in head[:n_lead]), (
+        f"window head contains driver-seen keys ahead of "
+        f"{len(never)} never-seen ones"
+    )
+
+
 def test_never_seen_keys_lead_their_families():
     """Any key with no driver row ever must precede every
     already-verified key of its own family."""
