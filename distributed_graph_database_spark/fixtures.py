@@ -48,7 +48,24 @@ OPS_LOG: list[tuple[int, int, str]] = [
     (6, 5, "G1"),   # rejected: op out of range
     (7, 1, "G1"),   # rejected: already exists
     (8, 3, "G9"),   # rejected: does not exist
+    (9, 2, "G1"),   # valid modify of a PRE-EXISTING fixture graph
+    (10, 4, "G7"),  # valid read; even seq -> secondary_2
+    (11, 2, "G7"),  # second modify of G7 (third snapshot version)
+    (12, 2, "G9"),  # rejected: does not exist
 ]
+
+# seq -> (n_vertices, full replacement edge set) for every VALID write
+# in OPS_LOG. Reference semantics (primary_server.c:111-152): both add
+# (op 1) and modify (op 2) receive the ENTIRE new adjacency matrix
+# over shared memory and rewrite the graph file wholesale — a write's
+# payload IS the complete next state, so each one is an immutable
+# snapshot version, not a delta.
+WRITE_PAYLOADS: dict[int, tuple[int, list[tuple[int, int]]]] = {
+    1: (3, [(1, 2), (2, 3)]),
+    4: (4, [(1, 2), (1, 3), (3, 4)]),
+    9: (4, [(1, 2), (1, 4), (2, 3), (2, 4)]),
+    11: (4, [(1, 4), (3, 4)]),
+}
 
 
 def fixture_vertices_rows() -> list[tuple[str, int]]:
@@ -114,6 +131,25 @@ def fixture_edges_values_sql() -> str:
 
 def ops_log_values_sql() -> str:
     return _values(OPS_LOG)
+
+
+def write_payload_rows() -> list[tuple[int, int, int]]:
+    """(seq, src, dst) — one row per edge of each write payload."""
+    return [
+        (seq, s, d)
+        for seq, (_, edges) in sorted(WRITE_PAYLOADS.items())
+        for (s, d) in edges
+    ]
+
+
+def write_payloads_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        write_payload_rows(), "seq bigint, src bigint, dst bigint"
+    )
+
+
+def write_payloads_values_sql() -> str:
+    return _values(write_payload_rows())
 
 
 def existing_graphs_values_sql() -> str:

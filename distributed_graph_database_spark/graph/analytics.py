@@ -1036,7 +1036,9 @@ TRUSS_MAX_ROUNDS = 50   # safety bound on the Spark peel loop
 TRUSS_ORACLE_ROUNDS = 5  # oracle peel depth (idempotent past convergence)
 
 
-def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_ktruss(
+    spark: SparkSession, sf_dir: str, max_rounds: int = TRUSS_MAX_ROUNDS
+) -> DataFrame:
     """k-truss decomposition (k = TRUSS_K) of the co-purchase graph:
     iteratively drop every edge supported by fewer than k-2 triangles
     OF THE SURVIVING SUBGRAPH until fixpoint → (p1, p2, support) for
@@ -1062,7 +1064,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_prev = e.count()
     supp = None
-    for _ in range(TRUSS_MAX_ROUNDS):
+    for _ in range(max_rounds):
         tri = _closed_triangles(_oriented_edges(e))
         pairs = (
             tri.select(
@@ -1091,7 +1093,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_prev = n
     else:
         raise RuntimeError(
-            f"k-truss did not converge within {TRUSS_MAX_ROUNDS} rounds"
+            f"k-truss did not converge within {max_rounds} rounds"
         )
     return supp.filter(F.col("support") >= TRUSS_K - 2)
 
@@ -1134,10 +1136,22 @@ e{i} AS MATERIALIZED (SELECT p1, p2 FROM s{i}),
 sym{i} AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e{i}
                         UNION ALL SELECT p2, p1 FROM e{i})""")
     last = TRUSS_ORACLE_ROUNDS
+    # Convergence guard (ADVICE r6): the unrolled depth is only valid
+    # if the peel reached fixpoint by the second-to-last round (the
+    # last round then idempotently recomputes support over the fixed
+    # edge set). If data ever needs a deeper peel, fail LOUDLY with
+    # this message instead of hash-mismatching for a non-bug reason.
+    guard = (
+        f"\nWHERE (SELECT CASE WHEN (SELECT COUNT(*) FROM e{last - 1})"
+        f" = (SELECT COUNT(*) FROM e{last}) THEN TRUE"
+        f" ELSE error('ktruss oracle unconverged at {last} rounds:"
+        f" raise TRUSS_ORACLE_ROUNDS') END)"
+    )
     return (
         base
         + "".join(rounds)
         + f"\nSELECT p1, p2, c AS support FROM s{last}"
+        + guard
     )
 
 

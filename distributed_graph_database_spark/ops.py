@@ -22,6 +22,9 @@ logic is expressible verbatim in the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -133,11 +136,92 @@ def ops_request_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAP_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _snapshot_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-level snapshot history of every graph the ops log writes:
+    each VALID write (op 1 add / op 2 modify) carries a full
+    replacement edge set (primary_server.c:111-152 rewrites the whole
+    graph file), so versions are (initial fixture state if the graph
+    pre-existed) + one per valid write, ranked by seq."""
+    writes = _annotated_log(spark).filter(
+        (F.col("status") == "valid") & (F.col("op") <= 2)
+    ).select("graph_id", "seq")
+    # Loud-fail coupling: every valid write must have a payload row —
+    # a silent inner-join drop here would fake an empty version.
+    pay = fixtures.write_payloads_df(spark)
+    n_orphan = writes.join(
+        pay.select("seq").distinct(), "seq", "left_anti"
+    ).count()
+    assert n_orphan == 0, f"{n_orphan} valid write(s) with no payload"
+    written = writes.select("graph_id").distinct()
+    initial = (
+        fixtures.fixture_edges_df(spark)
+        .join(F.broadcast(written), "graph_id", "left_semi")
+        .withColumn("seq", F.lit(0).cast("bigint"))
+        .select("graph_id", "seq", "src", "dst")
+    )
+    from_log = writes.join(pay, "seq").select("graph_id", "seq", "src", "dst")
+    snaps = initial.unionByName(from_log)
+    return snaps.withColumn(
+        "version",
+        F.dense_rank()
+        .over(Window.partitionBy("graph_id").orderBy("seq"))
+        .cast("int"),
+    )
+
+
+def _snapshot_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SNAP_STAGED.get(key)
+    if hit is not None:
+        return hit
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"dgdb_ops_{spark.sparkContext.applicationId}_graphsnap",
+    )
+    (
+        _snapshot_edges(spark, sf_dir)
+        .write.mode("overwrite")
+        .partitionBy("graph_id", "version")
+        .parquet(d)
+    )
+    _SNAP_STAGED[key] = d
+    return d
+
+
+def graph_ops_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/R3 write path × snapshot time travel: replay the ops log's
+    valid graph writes (each a full-state payload, the reference's
+    whole-file rewrite semantics, primary_server.c:111-152; routed to
+    the primary by load_balancer.c:78-84) into an immutable
+    version-partitioned parquet store, then read EVERY version back →
+    (graph_id, version, seq, src, dst). Version 1 of a pre-existing
+    graph is its fixture state (seq 0); each valid write appends the
+    next version — nothing is updated in place, the
+    store_time_travel discipline applied to the graph store. A
+    VERSION-AS-OF read of any single version is a partition-pruned
+    scan of one (graph_id, version) directory; writers only ever add
+    new version partitions, so readers never block (the reference
+    needed a readers-writers lock for exactly this; the snapshot
+    store dissolves the problem)."""
+    d = _snapshot_dir(spark, sf_dir)
+    return spark.read.parquet(d).select(
+        "graph_id",
+        F.col("version").cast("int").alias("version"),
+        "seq",
+        "src",
+        "dst",
+    )
+
+
 QUERIES = {
     "route_requests": route_requests,
     "validate_requests": validate_requests,
     "ops_log_replay": ops_log_replay,
     "ops_request_stats": ops_request_stats,
+    "ops_graph_snapshot": graph_ops_snapshot,
 }
 
 
@@ -195,6 +279,30 @@ SELECT graph_id,
        CAST(ARG_MAX(op, seq) AS INT) AS last_op,
        COUNT(*) AS n_writes
 FROM writes GROUP BY graph_id
+""",
+    "ops_graph_snapshot": f"""
+WITH {_oracle_cte()},
+pay(seq, src, dst) AS (VALUES {fixtures.write_payloads_values_sql()}),
+fe(graph_id, src, dst) AS (VALUES {fixtures.fixture_edges_values_sql()}),
+writes AS (
+    SELECT graph_id, seq FROM ann WHERE reason IS NULL AND op <= 2
+),
+snap_edges AS (
+    SELECT w.graph_id, w.seq, p.src, p.dst
+    FROM writes w JOIN pay p USING (seq)
+    UNION ALL
+    SELECT fe.graph_id, 0 AS seq, fe.src, fe.dst
+    FROM fe
+    WHERE fe.graph_id IN (SELECT graph_id FROM pre)
+      AND fe.graph_id IN (SELECT graph_id FROM writes)
+)
+SELECT graph_id,
+       CAST(DENSE_RANK() OVER (PARTITION BY graph_id ORDER BY seq) AS INT)
+         AS version,
+       CAST(seq AS BIGINT) AS seq,
+       CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst
+FROM snap_edges
 """,
     "ops_request_stats": f"""
 WITH {_oracle_cte()},

@@ -355,8 +355,13 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions — (ca·nb − cb·na)²·(na+nb) > Z²·c·(n−c)·na·nb over
     decimal(38,0) (c = ca+cb, n = na+nb) — the events_anomaly
     factoring applied to two proportions, so the verdict bit cannot
-    ulp-flip. decimal(38,0) keeps the cross-products exact to ~10¹⁹
-    users per arm.
+    ulp-flip. Both sides are degree-5 in the counts, so decimal(38,0)
+    is exact only to ~4·10⁷ total users (38/5 ≈ 7.6 digits per
+    factor, ADVICE r6); under non-ANSI Spark a decimal overflow
+    yields NULL, so the verdict COALESCEs to the same comparison in
+    double — beyond the exact bound the bit is float-accurate
+    (~15 significant digits on z², flippable only when z ≈ Z to 1
+    ulp), never silently NULL.
 
     Scale: one scan → per-user any-purchase flag (map-side combined),
     one 2-row arm aggregate; the experiment readout is O(users) work
@@ -392,12 +397,25 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
     lhs = diff * diff * n
     rhs = F.lit(AB_Z * AB_Z) * c * (n - c) * F.col("na") * F.col("nb")
+    # Double-precision shadow of the same division-free comparison:
+    # COALESCE target when the decimal(38,0) products overflow to NULL
+    # (> ~4e7 total users under non-ANSI mode, see docstring).
+    nd, cd = n.cast("double"), c.cast("double")
+    diff_d = (
+        F.col("ca").cast("double") * F.col("nb").cast("double")
+        - F.col("cb").cast("double") * F.col("na").cast("double")
+    )
+    lhs_d = diff_d * diff_d * nd
+    rhs_d = (
+        F.lit(float(AB_Z * AB_Z)) * cd * (nd - cd)
+        * F.col("na").cast("double") * F.col("nb").cast("double")
+    )
     return j.select(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("ca").cast("bigint").alias("conv_a"),
         F.col("nb").cast("bigint").alias("n_b"),
         F.col("cb").cast("bigint").alias("conv_b"),
-        (lhs > rhs).alias("significant"),
+        F.coalesce(lhs > rhs, lhs_d > rhs_d).alias("significant"),
     )
 
 

@@ -1826,21 +1826,51 @@ def ql_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHAPE; equi-depth shows where the rows are, which is what range
     partition bounds and join selectivity estimates need).
 
-    NOT an NTILE: a global ranking window would single-partition the
-    table. Instead the exact quantile BOUNDARIES are computed once
-    (15 numbers — the only sort-bearing step, over an aggregate that
-    returns a constant-size array), broadcast, and every row assigns
-    its bucket scan-side as |{b : b < cents}| — one pass, no global
-    window, the same boundaries+assign shape a 100 TB range
-    partitioner uses (there with approx boundaries; exact here keeps
-    the oracle hash-exact, and DuckDB's quantile_cont interpolates
-    bit-identically — the ql_percentiles_exact precedent). Boundary
-    ties go left on both engines by the strict < ."""
+    NOT an NTILE over rows: a global per-row ranking window would
+    single-partition the table. The quantile BOUNDARIES are TYPE-1
+    (lower-nearest) order statistics computed by pure integer rank
+    arithmetic — boundary_i = min cents whose cumulative row count
+    reaches ceil(i·n/BINS) — so no float interpolation ever touches
+    the comparison (ADVICE r6: interpolated `percentile` vs DuckDB
+    `quantile_cont` could 1-ulp-diverge at a boundary equal to a data
+    value and flip a row's bucket). The cumulative count runs over
+    the DISTINCT cents domain (bounded by the price range — a few
+    1e7 values at ANY row scale, and two-level coarse-bucket cumsum
+    extends it), the 15 boundaries broadcast, and every row assigns
+    its bucket scan-side as |{b : b < cents}| — one pass over rows,
+    the boundaries+assign shape a 100 TB range partitioner uses.
+    Boundary ties go left on both engines by the strict < ."""
     o = table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
     )
-    fr = ", ".join(str(i / EQDEPTH_BINS) for i in range(1, EQDEPTH_BINS))
-    bnds = o.agg(F.expr(f"percentile(cents, array({fr}))").alias("bnds"))
+    cum = (
+        o.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("cents").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        spark.range(1, EQDEPTH_BINS)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"(i * n + {EQDEPTH_BINS - 1}) div {EQDEPTH_BINS}").alias("r")
+        )
+    )
+    bnds = (
+        F.broadcast(ranks)
+        .join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("r")
+        .agg(F.min("cents").alias("b"))
+        .agg(F.array_sort(F.collect_list("b")).alias("bnds"))
+    )
     return (
         o.crossJoin(F.broadcast(bnds))
         .withColumn(
@@ -1859,12 +1889,20 @@ ORACLE_QL_HISTOGRAM_EQDEPTH = f"""
 WITH c AS (
   SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
 ),
-b AS (
-  SELECT quantile_cont(cents,
-           [{", ".join(str(i / EQDEPTH_BINS) for i in range(1, EQDEPTH_BINS))}])
-         AS bnds
-  FROM c
-)
+tot AS (SELECT COUNT(*) AS n FROM c),
+cum AS (
+  SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS cum
+  FROM (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY cents)
+),
+ranks AS (
+  SELECT (t.i * tot.n + {EQDEPTH_BINS - 1}) // {EQDEPTH_BINS} AS r
+  FROM range(1, {EQDEPTH_BINS}) t(i), tot
+),
+bn AS (
+  SELECT r, MIN(cents) AS bv FROM ranks JOIN cum ON cum.cum >= ranks.r
+  GROUP BY r
+),
+b AS (SELECT list_sort(list(bv)) AS bnds FROM bn)
 SELECT CAST(len(list_filter(b.bnds, x -> x < c.cents)) AS INT) AS bin,
        COUNT(*) AS n_orders,
        MIN(c.cents) AS min_cents,

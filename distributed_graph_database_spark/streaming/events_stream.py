@@ -30,15 +30,29 @@ from ..pipeline.events import DEDUP_UNIT, SESSION_GAP_MIN
 WATERMARK = "2 hours"
 
 
-def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over a directory of events parquet. The
     static read supplies the schema (file sources require one); the
     TIMESTAMP_NTZ → session-TZ timestamp normalization mirrors
     catalog.table (UTC session pin included, so watermarks and window
-    boundaries agree with the batch contract)."""
+    boundaries agree with the batch contract).
+
+    max_files_per_trigger: the file-source batching knob a production
+    stream sets for bounded per-batch work; the multi-batch semantics
+    tests (tests/test_streaming_recovery.py) use it to force each
+    staged file into its own micro-batch. The DECLARED keys leave it
+    unset — their exact-oracle contract is the one-file/one-batch
+    drain (see _events_src_dir)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(src_dir).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -47,10 +61,16 @@ def _events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     return stream
 
 
-def tumbling_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def tumbling_stream(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming twin of events_tumbling (no countDistinct — not
     supported in streaming aggs; the batch contract keeps it)."""
-    ev = _events_stream(spark, src_dir).withWatermark("ts", WATERMARK)
+    ev = _events_stream(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", WATERMARK)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(

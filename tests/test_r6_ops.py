@@ -295,3 +295,36 @@ def test_diameter_double_sweep_dominates_first_ecc(spark, sf_oracle):
     row = registry.q_graph_diameter(spark, sf_oracle).collect()[0]
     assert row.diameter_lb >= first_ecc
     assert row.n_reached == n_comp
+
+
+def test_ktruss_spark_converges_within_oracle_depth(spark, sf_oracle):
+    """ADVICE r6: the unrolled TRUSS_ORACLE_ROUNDS oracle is only
+    valid while the Spark peel reaches fixpoint within that depth.
+    Pin the coupling from BOTH sides: (a) the Spark loop, capped at
+    the oracle depth, converges rather than raising; (b) the oracle
+    SQL's own error() convergence guard passes on this data (and is
+    live — a depth-1 unroll must trip it)."""
+    import duckdb
+
+    df = analytics.graph_ktruss(
+        spark, sf_oracle, max_rounds=analytics.TRUSS_ORACLE_ROUNDS
+    )
+    assert df.count() > 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_oracle}/lineitem.parquet')"
+    )
+    assert len(con.execute(analytics._oracle_ktruss()).fetchall()) > 0
+    orig = analytics.TRUSS_ORACLE_ROUNDS
+    analytics.TRUSS_ORACLE_ROUNDS = 1
+    try:
+        try:
+            con.execute(analytics._oracle_ktruss()).fetchall()
+            fired = False
+        except duckdb.Error as exc:
+            fired = "unconverged" in str(exc)
+    finally:
+        analytics.TRUSS_ORACLE_ROUNDS = orig
+    assert fired, "depth-1 oracle unroll did not trip the guard"

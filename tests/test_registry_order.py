@@ -30,17 +30,31 @@ FAMILY_PATTERNS = {
 }
 
 
-def test_every_family_lands_in_the_driver_window():
-    prefix = list(registry.QUERIES)[:DRIVER_WINDOW]
-    missing = {
-        fam: pat
-        for fam, pat in FAMILY_PATTERNS.items()
-        if not any(re.match(pat, k) for k in prefix)
-    }
-    assert not missing, (
-        f"families invisible to the driver's {DRIVER_WINDOW}-key window: "
-        f"{sorted(missing)}; first keys: {prefix[:15]}…"
-    )
+def test_driver_window_maximizes_new_coverage():
+    """r7 supersession of the r4 'every family in every window' rule:
+    the registry now sorts GLOBALLY stalest-first (VERDICT r6 item 1 —
+    per-family rotation + interleave left 28 never-signed relational
+    keys outside the window), so the binding contract is that the
+    window spends every slot on maximally-stale keys. Family diversity
+    re-emerges via the interleave tie-break whenever staleness is
+    uniform — asserted in the steady-state branch."""
+    ls = registry._LAST_SEEN
+    keys = list(registry.QUERIES)
+    prefix = keys[:DRIVER_WINDOW]
+    ranks = sorted(ls.get(k, -1) for k in keys)
+    cutoff = ranks[min(DRIVER_WINDOW, len(ranks)) - 1]
+    # Every window slot holds a key at least as stale as the stalest
+    # key left outside — no wasted slot.
+    assert all(ls.get(k, -1) <= cutoff for k in prefix)
+    if len(set(ranks)) == 1:
+        # Steady state: uniform staleness → the interleave tie-break
+        # must make every family visible in the window again.
+        missing = {
+            fam
+            for fam, pat in FAMILY_PATTERNS.items()
+            if not any(re.match(pat, k) for k in prefix)
+        }
+        assert not missing, f"families invisible at uniform staleness: {missing}"
 
 
 def test_every_key_matches_exactly_one_family():

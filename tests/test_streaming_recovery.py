@@ -83,3 +83,126 @@ def test_file_sink_checkpoint_recovery(spark, tmp_path_factory):
     assert got.count() == 300
     assert got.select("id").distinct().count() == 300
     assert got.agg(F.sum("doubled")).first()[0] == 2 * sum(range(300))
+
+
+def _stage_events(spark, stage, src, name, rows, mtime):
+    import glob
+
+    d = str(stage / name)
+    spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, user_id long, value double,"
+        " ts timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    part = glob.glob(f"{d}/part-*.parquet")[0]
+    dst = str(src / f"{name}.parquet")
+    shutil.copy(part, dst)
+    os.utime(dst, (mtime, mtime))
+
+
+def _drain_tumbling_update(spark, src_dir, name):
+    """Drain the DECLARED tumbling builder across micro-batches
+    (maxFilesPerTrigger=1) in update mode; final state per key is its
+    max-n_events row (counts are monotone — the stream_user_totals
+    selection idiom)."""
+    from pyspark.sql import Window
+    from distributed_graph_database_spark.streaming.events_stream import (
+        tumbling_stream,
+    )
+
+    df = tumbling_stream(spark, src_dir, max_files_per_trigger=1)
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    w = Window.partitionBy("hour", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return {
+        (r.hour, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .collect()
+    }
+
+
+def test_tumbling_multibatch_equals_batch_when_no_late_rows(
+    spark, tmp_path_factory
+):
+    """VERDICT r6 item 6, arm A: the declared stream_tumbling builder
+    driven across TWO micro-batches (maxFilesPerTrigger=1) must still
+    equal the batch aggregate when no row arrives behind the
+    watermark — the one-batch exact-oracle contract extends to any
+    split with in-order data."""
+    import datetime as dt
+
+    src = tmp_path_factory.mktemp("mb_src")
+    stage = tmp_path_factory.mktemp("mb_stage")
+    T = dt.datetime(2000, 1, 1, 0, 30)
+    rows_a = [
+        (1, "click", 1, 1.25, T),
+        (2, "view", 1, 2.50, T),
+        (3, "click", 2, 0.75, T),
+    ]
+    rows_b = [  # strictly later event times — nothing is late
+        (4, "click", 3, 1.00, T.replace(hour=1)),
+        (5, "purchase", 3, 9.99, T.replace(hour=5)),
+    ]
+    _stage_events(spark, stage, src, "a", rows_a, 1_000_000_000)
+    _stage_events(spark, stage, src, "b", rows_b, 1_000_000_100)
+
+    got = _drain_tumbling_update(spark, str(src), "mb_tumbling_a")
+
+    batch = {}
+    for _, et, _, v, ts in rows_a + rows_b:
+        k = (str(ts.replace(minute=0)), et)
+        n, s = batch.get(k, (0, 0))
+        batch[k] = (n + 1, s + round(v * 100))
+    assert got == batch
+
+
+def test_tumbling_multibatch_diverges_by_exactly_the_late_rows(
+    spark, tmp_path_factory
+):
+    """VERDICT r6 item 6, arm B: with a row behind the watermark, the
+    multi-batch drain must diverge from batch by EXACTLY that row.
+    The late file lands two batches after the watermark driver —
+    Spark admits rows against the previous batch's watermark
+    (pinned in test_watermark_drops_late_rows), so the next-batch
+    slot would still be admitted."""
+    import datetime as dt
+
+    src = tmp_path_factory.mktemp("mb_late_src")
+    stage = tmp_path_factory.mktemp("mb_late_stage")
+    T = dt.datetime(2000, 1, 1, 0, 30)
+    rows_a = [
+        (1, "click", 1, 1.25, T),
+        (2, "click", 2, 0.75, T),
+        # watermark driver: 05:00 - 2h watermark => wm 03:00
+        (3, "view", 3, 1.00, T.replace(hour=5, minute=0)),
+    ]
+    rows_b = [(4, "view", 4, 2.00, T.replace(hour=6))]  # spacer batch
+    late = (5, "click", 5, 4.00, T.replace(minute=45))  # behind 03:00 wm
+    _stage_events(spark, stage, src, "a", rows_a, 1_000_000_000)
+    _stage_events(spark, stage, src, "b", rows_b, 1_000_000_100)
+    _stage_events(spark, stage, src, "c", [late], 1_000_000_200)
+
+    got = _drain_tumbling_update(spark, str(src), "mb_tumbling_b")
+
+    batch_all = {}
+    for _, et, _, v, ts in rows_a + rows_b + [late]:
+        k = (str(ts.replace(minute=0)), et)
+        n, s = batch_all.get(k, (0, 0))
+        batch_all[k] = (n + 1, s + round(v * 100))
+    # Streaming must NOT equal full batch…
+    assert got != batch_all
+    # …and adding the late row back reconciles them exactly.
+    k = (str(late[4].replace(minute=0)), late[1])
+    n, s = got[k]
+    got_plus_late = {**got, k: (n + 1, s + round(late[3] * 100))}
+    assert got_plus_late == batch_all
