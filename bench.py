@@ -32,18 +32,7 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("dgdb-bench")
-    # Bench artifacts must be noise-free (VERDICT r2 #4): the known
-    # WARNs here are intentional (bounded global-window formatters,
-    # single-JVM local mode), so only ERRORs are worth the stderr.
-    spark.sparkContext.setLogLevel("ERROR")
-
-    import __spark_entry__ as entry_mod
-
-    queries = entry_mod.queries()
-
+def warm_up(spark) -> None:
     # Warm up the JVM outside any timing: codegen + shuffle + broadcast
     # machinery on synthetic data (no real tables touched), so the
     # first timed query measures the query, not first-use JIT cost.
@@ -81,6 +70,8 @@ def main() -> int:
         ).alias("d")
     ).write.mode("overwrite").format("noop").save()
 
+
+def run_setup(spark, sf_dir: str) -> dict[str, float]:
     # One-time ingest-style costs, timed as named setup line items so
     # per-query timings measure steady state (VERDICT r2 #7): the
     # bucketed-table write behind ql_bucketed_join (at 100 TB an
@@ -137,10 +128,18 @@ def main() -> int:
         t0 = time.perf_counter()
         fill()  # cache.shared materializes eagerly (localCheckpoint)
         setup[name] = round(time.perf_counter() - t0, 4)
+    return setup
 
+
+def time_keys(
+    spark, sf_dir: str, keys
+) -> tuple[dict[str, float], dict[str, str]]:
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for key in queries:
+    for key in keys:
         t0 = time.perf_counter()
         try:
             _materialize(queries[key](spark, sf_dir))
@@ -148,6 +147,23 @@ def main() -> int:
         except Exception as exc:  # a broken query must not sink the run
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"bench: {key} FAILED: {failures[key]}", file=sys.stderr)
+    return timings, failures
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("dgdb-bench")
+    # Bench artifacts must be noise-free (VERDICT r2 #4): the known
+    # WARNs here are intentional (bounded global-window formatters,
+    # single-JVM local mode), so only ERRORs are worth the stderr.
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    warm_up(spark)
+    setup = run_setup(spark, sf_dir)
+    timings, failures = time_keys(spark, sf_dir, list(queries))
 
     # Key order is deliberate: the driver captures only the LAST ~2000
     # chars of stdout, and at 174 keys the per-query map alone is ~8 KB

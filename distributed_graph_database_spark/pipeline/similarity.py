@@ -509,7 +509,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_knn_graph(
+    spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS
+) -> DataFrame:
     """ALL-corpus approximate kNN graph (VERDICT r5 item 3): every
     vector's top-KNN_K cosine neighbors among candidates sharing a
     probed IVF cell → (src_id, neighbor_id, rank, cosine). This is the
@@ -535,9 +537,18 @@ def _sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment knob is KNN_PROBES.
 
     Deterministic end-to-end (pinned centroids, rank tie-breaks on
-    cell_id/vec_id) ⇒ EXACT DuckDB oracle, like sim_topk_ivf."""
+    cell_id/vec_id) ⇒ EXACT DuckDB oracle, like sim_topk_ivf.
+
+    n_cells parametrizes the coarse quantizer for scale probing: the
+    candidate work is N²·PROBES/cells, so FIXED cells go quadratic
+    (measured exp 1.51 at the sf0.1→sf1 10× step, SCALE_PROBE.json)
+    while cells ∝ √N restores ~linear build cost — the measured basis
+    for the "cell count scales ~sqrt(N)" ingest contract above. The
+    DECLARED key keeps the pinned IVF_CELLS default (the exact-oracle
+    contract); a deployment re-pins the constant at ingest per corpus
+    size."""
     emb = _unit(_embeddings(spark, sf_dir), "v")
-    cells = _unit(_cells(spark, sf_dir), "cv")
+    cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cell_id")
     )

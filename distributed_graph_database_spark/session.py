@@ -26,9 +26,17 @@ def get_spark(app_name: str = "distributed-graph-database-spark") -> SparkSessio
     shuffle_parts = os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
     )
+    # Local-mode driver = the whole "cluster"; PySpark's 1g default
+    # heap evicts localCheckpoint blocks under sf1-scale probes, which
+    # forces lineage recompute over already-cleaned shuffles
+    # (FileNotFoundException). 8g on a 128 GiB host is conservative;
+    # only effective when this process launches the JVM (a session
+    # built earlier in-process keeps its own setting, harmless).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         # AQE: runtime shuffle-partition coalescing, skew-join handling,
         # broadcast-join conversion from runtime stats. Essential at scale.
         .config("spark.sql.adaptive.enabled", "true")
