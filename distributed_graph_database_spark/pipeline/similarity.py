@@ -1444,6 +1444,221 @@ GROUP BY e.query_id
 """
 
 
+# --- PCA power iteration ----------------------------------------------------
+
+
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-eigenvector estimate of the corpus second-moment
+    matrix by TWO unrolled power-iteration steps → (dim, component):
+    v = normalize(C·C·1) where C_ij = Σ_n x_i·x_j over unit-normalized
+    embeddings. The PCA primitive under whitening / dimensionality
+    reduction / spectral diagnostics of an embedding corpus — the
+    ml_kmeans_step discipline (one deterministic iteration of an
+    iterative fit, exact-oracled) applied to linear algebra.
+
+    Scale shape: the ONLY corpus-sized work is the C build — one
+    self-join of the position-exploded vectors on vec_id (d² products
+    per row, map-side combined into d² = 4096 partial sums; the
+    shuffle carries (i, j, partial), never vectors). Everything after
+    operates on the d×d matrix — constant-size frames regardless of
+    corpus rows, with the norm riding a broadcast 1-row frame. At
+    100 TB: identical plan; d² partials per partition is the textbook
+    distributed Gram-matrix construction.
+
+    Cross-engine exactness: C is ROUNDED to 6dp (the
+    ml_centroid_classify centroid discipline) so both engines iterate
+    from identical matrices; the remaining float divergence is
+    64-term sums over identical inputs (~1e-13), absorbed by the
+    round(6) output. Starting vector 1 fixes the eigenvector's sign
+    convention deterministically."""
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    pos = emb.select("vec_id", F.posexplode("v").alias("i", "x"))
+    pos2 = pos.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("i").alias("j"),
+        F.col("x").alias("y"),
+    )
+    cmat = (
+        pos.join(pos2, pos.vec_id == pos2.vid2)
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("x") * F.col("y")), 6).alias("c"))
+    )
+    u1 = cmat.groupBy("i").agg(F.sum("c").alias("u")).select(
+        F.col("i").alias("k"), "u"
+    )
+    u2 = (
+        cmat.join(u1, cmat.j == u1.k)
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("u")).alias("u"))
+    )
+    nrm = u2.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("n"))
+    return (
+        u2.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("i").alias("dim"),
+            F.round(F.col("u") / F.col("n"), 6).alias("component"),
+        )
+    )
+
+
+ORACLE_ML_PCA_POWER = """
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM e0
+),
+pos AS (
+  SELECT vec_id, UNNEST(range(LEN(v))) AS i, UNNEST(v) AS x FROM e
+),
+c AS MATERIALIZED (
+  SELECT a.i, b.i AS j, ROUND(SUM(a.x * b.x), 6) AS c
+  FROM pos a JOIN pos b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+u1 AS (SELECT i AS k, SUM(c) AS u FROM c GROUP BY i),
+u2 AS (
+  SELECT c.i, SUM(c.c * u1.u) AS u FROM c JOIN u1 ON u1.k = c.j GROUP BY c.i
+),
+nrm AS (SELECT SQRT(SUM(u * u)) AS n FROM u2)
+SELECT CAST(i AS INT) AS dim, ROUND(u / n, 6) AS component
+FROM u2 CROSS JOIN nrm
+"""
+
+
+# --- multinomial naive Bayes over document tokens ---------------------------
+
+
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, fit AND applied
+    distributed in one plan → (doc_id, lang, pred_lang, pred_score,
+    correct): per-class token likelihoods with add-one smoothing,
+    p(lang|doc) ∝ ln(prior) + Σ_w ln((c_{lang,w}+1)/(t_lang+V)).
+    The generative-text sibling of ml_centroid_classify's geometric
+    classifier — the shape of every cheap corpus-routing model (domain
+    tagging, quality tiering) where features are tokens, not vectors.
+
+    Scale shape: fit = one (lang, token) count aggregate (map-side
+    combined — the model IS a table, never a driver-side object, so a
+    100M-token vocabulary distributes); apply = exploded tokens ×
+    |classes| (a 5-row broadcast) left-joined against the model on the
+    (lang, token) key, then one per-(doc, class) sum and a per-doc
+    argmax window. No state bigger than a shuffle partition anywhere.
+
+    Cross-engine exactness: the log-likelihood sum is genuinely float,
+    so the argmax ranks by ROUND(score, 6) with the class label as
+    tie-break (the ml_centroid_classify rounding discipline); the
+    in-sample `correct` bit and all counts are exact."""
+    from .text import _tokens
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(_tokens()).alias("w")
+    )
+    model = toks.groupBy(F.col("lang").alias("m_lang"), "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    class_tot = model.groupBy("m_lang").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    priors = docs.groupBy(F.col("lang").alias("m_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    consts = toks.agg(
+        F.count_distinct("w").alias("v"),
+        F.count_distinct("doc_id").cast("bigint").alias("d"),
+    )
+    classes = (
+        class_tot.join(priors, "m_lang")
+        .crossJoin(F.broadcast(consts))
+    )
+    scored = (
+        toks.select("doc_id", "w")
+        .join(F.broadcast(classes), F.lit(True))
+        .join(model, ["m_lang", "w"], "left")
+        .groupBy("doc_id", "m_lang")
+        .agg(
+            F.round(
+                F.first(F.log(F.col("n_docs") / F.col("d")))
+                + F.sum(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                        / (F.col("t") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("pred_score")
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("pred_score").desc(), F.col("m_lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("m_lang").alias("pred_lang"),
+            "pred_score",
+            (F.col("m_lang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+ORACLE_ML_NAIVE_BAYES = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+  FROM documents
+),
+model AS (
+  SELECT lang AS m_lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w
+),
+class_tot AS (
+  SELECT m_lang, CAST(SUM(c) AS BIGINT) AS t FROM model GROUP BY m_lang
+),
+priors AS (
+  SELECT lang AS m_lang, COUNT(*) AS n_docs
+  FROM documents GROUP BY lang
+),
+consts AS (
+  SELECT COUNT(DISTINCT w) AS v,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+  FROM toks
+),
+classes AS (
+  SELECT ct.m_lang, ct.t, p.n_docs, c.v, c.d
+  FROM class_tot ct JOIN priors p USING (m_lang) CROSS JOIN consts c
+),
+scored AS (
+  SELECT tk.doc_id, cl.m_lang,
+         ROUND(
+           ANY_VALUE(LN(cl.n_docs / CAST(cl.d AS DOUBLE)))
+           + SUM(LN((COALESCE(m.c, 0) + 1)
+                    / CAST(cl.t + cl.v AS DOUBLE))),
+           6) AS pred_score
+  FROM (SELECT doc_id, w FROM toks) tk
+  CROSS JOIN classes cl
+  LEFT JOIN model m ON m.m_lang = cl.m_lang AND m.w = tk.w
+  GROUP BY tk.doc_id, cl.m_lang
+),
+pred AS (
+  SELECT doc_id, m_lang, pred_score FROM (
+    SELECT doc_id, m_lang, pred_score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY pred_score DESC, m_lang) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, p.m_lang AS pred_lang, p.pred_score,
+       p.m_lang = d.lang AS correct
+FROM pred p JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
@@ -1460,6 +1675,8 @@ QUERIES = {
     "ml_score": ml_score,
     "ml_centroid_classify": ml_centroid_classify,
     "ml_confusion_metrics": ml_confusion_metrics,
+    "ml_naive_bayes": ml_naive_bayes,
+    "ml_pca_power": ml_pca_power,
 }
 
 # Every key exact-oracled: IVF blocking is deterministic algebra,
@@ -1480,4 +1697,6 @@ ORACLE_SQL = {
     "ml_score": ORACLE_ML_SCORE,
     "ml_centroid_classify": ORACLE_ML_CENTROID_CLASSIFY,
     "ml_confusion_metrics": ORACLE_ML_CONFUSION_METRICS,
+    "ml_naive_bayes": ORACLE_ML_NAIVE_BAYES,
+    "ml_pca_power": ORACLE_ML_PCA_POWER,
 }

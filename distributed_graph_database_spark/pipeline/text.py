@@ -886,6 +886,69 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- unigram language-model quality score ----------------------------------
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM negative log-likelihood → (doc_id,
+    n_tokens, avg_neg_logprob): the CCNet-style perplexity-proxy
+    quality filter of an LLM data pipeline — documents whose tokens
+    are improbable under the corpus's own unigram model (gibberish,
+    boilerplate soup, wrong-language fragments) score HIGH and get culled.
+    Uses add-one smoothing: p(w) = (c_w + 1) / (T + V).
+
+    Scale shape: one token-count aggregate builds the vocabulary
+    (map-side combined; shuffle carries (token, count) partials, never
+    text), one equi-join of exploded tokens against the vocab on the
+    token key (hash-partitioned both sides — at 100 TB the vocab is a
+    table, not a broadcast), the (T, V) totals ride a broadcast 1-row
+    frame, and the per-doc score is one more map-side-combined
+    aggregate. Three shuffles total, all on keys with natural
+    cardinality; no global state.
+
+    Float contract: ln/avg are genuinely real-valued — round(6) on the
+    output, the cosine-key precedent; counts stay exact bigints."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(
+                    F.log((F.col("c") + 1) / (F.col("t") + F.col("v")))
+                ),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+ORACLE_TEXT_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM vocab
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(-AVG(LN((c + 1) / CAST(t + v AS DOUBLE))), 6)
+         AS avg_neg_logprob
+FROM toks JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -900,6 +963,7 @@ QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_collocations": text_collocations,
     "text_bpe_train": text_bpe_train,
+    "text_unigram_logprob": text_unigram_logprob,
 }
 
 ORACLE_SQL = {
@@ -915,4 +979,5 @@ ORACLE_SQL = {
     "text_contamination": ORACLE_TEXT_CONTAMINATION,
     "text_char_entropy": ORACLE_TEXT_CHAR_ENTROPY,
     "text_collocations": ORACLE_TEXT_COLLOCATIONS,
+    "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
 }

@@ -972,6 +972,63 @@ FROM snap GROUP BY o_orderstatus
 """
 
 
+VACUUM_KEEP = 1  # snapshot versions retained by the vacuum
+
+
+def store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot retention (VACUUM): stage a PRIVATE copy of the
+    version-partitioned snapshot store, physically delete every
+    version older than the newest VACUUM_KEEP, then audit what a
+    reader sees → (v, source, n_docs, sum_ids, sum_chars, n_langs)
+    for the surviving versions only. Completes the snapshot
+    lifecycle the store already ships (write → time travel → CDC →
+    compact → VACUUM) — immutable version partitions make retention a
+    partition-directory delete, never a rewrite, and readers of the
+    retained versions are untouched throughout (the Delta/Iceberg
+    VACUUM contract from plain parquet layout).
+
+    The staged copy is deliberately separate from _versioned_dir:
+    store_time_travel's contract is that BOTH versions stay readable,
+    and a vacuum on the shared store would silently break it."""
+    import shutil as _sh
+
+    key = (spark.sparkContext.applicationId, sf_dir, "vacuum")
+    d = _STAGED.get(key)
+    if d is None:
+        src = _versioned_dir(spark, sf_dir)
+        d = src + "_vacuum"
+        if os.path.exists(d):
+            _sh.rmtree(d)
+        _sh.copytree(src, d)
+        versions = sorted(
+            int(p.split("=", 1)[1])
+            for p in os.listdir(d)
+            if p.startswith("v=")
+        )
+        for v in versions[:-VACUUM_KEEP]:
+            _sh.rmtree(os.path.join(d, f"v={v}"))
+        _STAGED[key] = d
+    return (
+        spark.read.parquet(d)
+        .groupBy("v", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .withColumn("v", F.col("v").cast("int"))
+    )
+
+
+# The vacuum audit = the time-travel audit restricted to the newest
+# VACUUM_KEEP versions (v=2 is the CDC-merged snapshot).
+ORACLE_STORE_VACUUM = (
+    "WITH tt AS (" + ORACLE_STORE_TIME_TRAVEL + ")\n"
+    f"SELECT * FROM tt WHERE v > 2 - {VACUUM_KEEP}"
+)
+
+
 QUERIES = {
     "source_jsonl_roundtrip": source_jsonl_roundtrip,
     "source_csv_roundtrip": source_csv_roundtrip,
@@ -988,6 +1045,7 @@ QUERIES = {
     "store_stats_approx": store_stats_approx,
     "store_cdc_apply": store_cdc_apply,
     "store_rollup_merge": store_rollup_merge,
+    "store_vacuum": store_vacuum,
 }
 
 ORACLE_SQL = {
@@ -1005,6 +1063,7 @@ ORACLE_SQL = {
     "store_stats_collect": _oracle_store_stats(),
     "store_cdc_apply": ORACLE_STORE_CDC_APPLY,
     "store_rollup_merge": ORACLE_STORE_ROLLUP_MERGE,
+    "store_vacuum": ORACLE_STORE_VACUUM,
     # store_stats_approx intentionally absent: HLL sketch values differ
     # across engines by design → rows-only check + ±5% property test.
 }

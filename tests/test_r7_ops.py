@@ -1,0 +1,109 @@
+"""Property tests for the r7-added operators (oracle parity is covered
+by test_oracle_parity.py / the sweep; these pin semantic invariants
+that survive testdata regeneration)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_graph_database_spark.pipeline import similarity, text
+from distributed_graph_database_spark.sources import formats
+
+
+def test_unigram_logprob_bounds_and_token_consistency(spark, sf_oracle):
+    """Scores are positive and finite (−ln of a probability < 1), and
+    the per-doc token count agrees with text_stats' — the two keys
+    must share one tokenizer."""
+    lp = text.text_unigram_logprob(spark, sf_oracle)
+    rows = lp.collect()
+    assert rows and all(r.avg_neg_logprob > 0 for r in rows)
+    st = text.text_stats(spark, sf_oracle).select("doc_id", "n_tokens")
+    mismatch = (
+        lp.select("doc_id", F.col("n_tokens").alias("lp_n"))
+        .join(st, "doc_id")
+        .filter(F.col("lp_n") != F.col("n_tokens"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    """The quality-filter semantics: a doc of corpus-rare tokens must
+    score strictly above a doc of corpus-common tokens."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "the the the the the the the the"),
+            (3, "the the the the the the the the"),
+            (4, "zyzzyva qwertyuiop the the the the the the"),
+        ],
+        "doc_id bigint, text string",
+    )
+    import distributed_graph_database_spark.catalog as catalog
+
+    orig = catalog.table
+    try:
+        catalog.table = lambda spark_, sf_, name: docs
+        # re-bind the module-level import inside text.py too
+        text.table = catalog.table
+        scores = {
+            r.doc_id: r.avg_neg_logprob
+            for r in text.text_unigram_logprob(spark, "ignored").collect()
+        }
+    finally:
+        catalog.table = orig
+        text.table = orig
+    assert scores[4] > scores[1]
+
+
+def test_naive_bayes_beats_chance_and_is_complete(spark, sf_oracle):
+    """Every document gets exactly one prediction; in-sample accuracy
+    beats the 5-class chance floor (0.2) with margin."""
+    nb = similarity.ml_naive_bayes(spark, sf_oracle)
+    rows = nb.collect()
+    n_docs = (
+        similarity.table(spark, sf_oracle, "documents").count()
+    )
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    acc = sum(r.correct for r in rows) / len(rows)
+    assert acc > 0.3, f"NB in-sample accuracy collapsed: {acc}"
+
+
+def test_pca_power_unit_norm_and_rayleigh_dominance(spark, sf_oracle):
+    """The output is unit-norm, and its Rayleigh quotient under the
+    (reconstructed) second-moment matrix dominates a fixed probe
+    direction's — i.e. two power steps actually moved toward the
+    dominant eigenvector."""
+    import numpy as np
+
+    comp = {
+        r.dim: r.component
+        for r in similarity.ml_pca_power(spark, sf_oracle).collect()
+    }
+    d = len(comp)
+    v = np.array([comp[i] for i in range(d)])
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-4
+
+    emb = similarity._unit(similarity._embeddings(spark, sf_oracle), "v")
+    X = np.array([row.v for row in emb.collect()])
+    C = X.T @ X
+    e0 = np.zeros(d)
+    e0[0] = 1.0
+    assert v @ C @ v >= e0 @ C @ e0
+
+
+def test_vacuum_keeps_newest_and_preserves_time_travel(spark, sf_oracle):
+    """VACUUM retains exactly the newest VACUUM_KEEP version(s), and
+    the time-travel store still serves BOTH versions afterwards (the
+    private-copy contract)."""
+    vac = formats.store_vacuum(spark, sf_oracle)
+    assert {r.v for r in vac.select("v").distinct().collect()} == {2}
+    tt_versions = {
+        r.v
+        for r in formats.store_time_travel(spark, sf_oracle)
+        .select("v")
+        .distinct()
+        .collect()
+    }
+    assert tt_versions == {1, 2}

@@ -203,6 +203,40 @@ HEADLINERS: dict[str, str] = {
         "posexplode of an arithmetic start sequence → slice/md5, zero "
         "exchanges anywhere in the plan."
     ),
+    "ql_histogram_eqdepth": (
+        "Type-1 integer-rank quantile boundaries (r7): the cumulative "
+        "count runs over the DISTINCT cents domain (price-range-bounded "
+        "at any row scale), the 15 boundaries broadcast, and every row "
+        "assigns its bucket scan-side — no per-row global window, no "
+        "float interpolation anywhere near the comparison."
+    ),
+    "text_unigram_logprob": (
+        "Unigram-LM scoring in three natural-key shuffles: the vocab is "
+        "built map-side-combined and JOINED on the token key (a table, "
+        "not a broadcast — a 100M-token vocab distributes), totals ride "
+        "a broadcast 1-row frame, and the per-doc score is one more "
+        "partial-aggregated groupBy."
+    ),
+    "ml_naive_bayes": (
+        "NB fit+apply with the model as a TABLE: the (lang, token) "
+        "likelihood counts partial-aggregate map-side; apply left-joins "
+        "exploded tokens × a broadcast 5-class frame against the model "
+        "on the composite key — no driver-side model object at any "
+        "vocabulary size."
+    ),
+    "ml_pca_power": (
+        "Distributed Gram build: position-exploded self-join on vec_id "
+        "collapses to d²=4096 map-side-combined partials before the "
+        "only data-sized exchange; both power steps then run on "
+        "constant-size d×d frames with the norm broadcast."
+    ),
+    "ops_graph_snapshot": (
+        "Version-partitioned snapshot store: every version is its own "
+        "(graph_id, version) partition directory, so VERSION-AS-OF "
+        "reads plan PartitionFilters and writers only ever ADD "
+        "partitions — the reference's readers-writers lock dissolves "
+        "into immutable layout."
+    ),
 }
 
 
