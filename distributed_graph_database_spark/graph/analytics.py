@@ -320,6 +320,100 @@ r{k} AS (
     )
 
 
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from the minimum-id vertex (the sssp seed
+    convention), PR_ROUNDS fixed power iterations → (vid,
+    round(ppr, 6)): random walk with restart — all teleport mass
+    returns to the SOURCE instead of spreading uniformly, so the
+    stationary mass ranks vertices by proximity-weighted connectivity
+    to the seed. The similarity/recommendation primitive (related
+    products, seed-expansion community detection) the reference's
+    per-graph BFS could only approximate by hop count.
+
+    Same kernel as graph_pagerank — per-round join + groupBy-sum over
+    the once-checkpointed degree-annotated edges, lazy bounded
+    lineage, one job — differing only in the restart vector: the
+    (1-d) mass lands on the indicator [v = source] rather than 1/n.
+    Scale notes identical to pagerank; at 100 TB many seeds run as
+    one plan by adding a seed column to the rank state (the batched-
+    PPR layout), which this single-seed kernel is the s=1 case of."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = sym.join(deg, "src").localCheckpoint(eager=True)
+    s1 = deg.agg(F.min("src").alias("s"))
+    verts = (
+        deg.select(F.col("src").alias("v"))
+        .crossJoin(F.broadcast(s1))
+        .localCheckpoint(eager=True)
+    )
+    seed = F.when(F.col("v") == F.col("s"), F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = verts.select("v", seed.alias("r"))
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.v)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = verts.join(contrib, F.col("v") == contrib.dst, "left").select(
+            "v",
+            (
+                (1.0 - PR_DAMPING) * seed
+                + PR_DAMPING * F.coalesce("contrib", F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select(F.col("v").alias("vid"), F.round("r", 6).alias("ppr"))
+
+
+def _oracle_ppr() -> str:
+    base = f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS (SELECT p1 AS src, p2 AS dst FROM e
+        UNION ALL SELECT p2 AS src, p1 AS dst FROM e),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+sv AS (SELECT MIN(src) AS s FROM deg),
+r0 AS (
+  SELECT src AS v, CASE WHEN src = sv.s THEN 1.0 ELSE 0.0 END AS r
+  FROM deg CROSS JOIN sv
+)"""
+    rounds = []
+    for k in range(1, PR_ROUNDS + 1):
+        prev = f"r{k - 1}"
+        rounds.append(f""",
+c{k} AS (
+  SELECT sym.dst AS v, SUM({prev}.r / deg.outdeg) AS contrib
+  FROM sym JOIN {prev} ON sym.src = {prev}.v
+           JOIN deg ON sym.src = deg.src
+  GROUP BY sym.dst
+),
+r{k} AS (
+  SELECT deg.src AS v,
+         (1.0 - {PR_DAMPING})
+           * (CASE WHEN deg.src = sv.s THEN 1.0 ELSE 0.0 END)
+           + {PR_DAMPING} * COALESCE(c{k}.contrib, 0.0) AS r
+  FROM deg CROSS JOIN sv LEFT JOIN c{k} ON deg.src = c{k}.v
+)""")
+    return (
+        base
+        + "".join(rounds)
+        + f"\nSELECT v AS vid, ROUND(r, 6) AS ppr FROM r{PR_ROUNDS}"
+    )
+
+
 SSSP_ROUNDS = 5  # ≤5-hop horizon: fixed rounds ⇒ oracle-unrollable
 
 
@@ -1414,6 +1508,7 @@ QUERIES = {
     "graph_copurchase": graph_copurchase,
     "graph_triangles": graph_triangles,
     "graph_pagerank": graph_pagerank,
+    "graph_ppr": graph_ppr,
     "graph_sssp": graph_sssp,
     "graph_kcore": graph_kcore,
     "graph_jaccard": graph_jaccard,
@@ -1430,6 +1525,7 @@ ORACLE_SQL = {
     "graph_copurchase": ORACLE_GRAPH_COPURCHASE,
     "graph_triangles": ORACLE_GRAPH_TRIANGLES,
     "graph_pagerank": _oracle_pagerank(),
+    "graph_ppr": _oracle_ppr(),
     "graph_sssp": _oracle_sssp(),
     "graph_kcore": _oracle_kcore(),
     "graph_jaccard": ORACLE_GRAPH_JACCARD,

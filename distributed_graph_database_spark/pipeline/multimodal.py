@@ -557,6 +557,91 @@ GROUP BY b.doc_id
 """
 
 
+PHASH_BANDS = 4        # LSH bands over the PHASH_GRID²-bit hash
+PHASH_BAND_BITS = 4    # bits per band (bands × bits = hash width)
+PHASH_HAMMING_MAX = 3  # near-dup verify threshold
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by banded Hamming join over the perceptual
+    hashes → (doc_a, doc_b, hamming): split each phash into
+    PHASH_BANDS bit-bands, candidate pairs share ≥1 exact band
+    (the dedup_simhash/dedup_near LSH blocking applied to images),
+    then verify Hamming distance ≤ PHASH_HAMMING_MAX via
+    bit_count(xor) — all integer-exact, so the whole pipeline
+    (synthesis → Arrow hash kernel → banded join → verify) sits under
+    one exact oracle.
+
+    Scale: candidates are per-(band, value) equi-join buckets, never
+    all-pairs; at the 16-bit demo hash the bands are coarse (4 bits),
+    but at a production 64/256-bit pHash the identical plan's bands
+    are 16+ bits and buckets collapse to true near-dups — band width
+    is the recall/cost knob, exactly dedup_near's. Only hashes
+    shuffle; payload bytes never leave the map stage."""
+    ph = mm_phash(spark, sf_dir)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(phash, cast(band * {PHASH_BAND_BITS} as int))"
+            f" % {1 << PHASH_BAND_BITS}"
+        ).cast("bigint"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+ORACLE_MM_PHASH_DEDUP = f"""
+WITH ph AS ({ORACLE_MM_PHASH}),
+bands AS (
+  SELECT doc_id, phash, b.band,
+         (phash >> (b.band * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1}
+           AS band_val
+  FROM ph, (SELECT unnest(range(0, {PHASH_BANDS})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
+                  b.doc_id AS doc_b, b.phash AS ph_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}
+"""
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_decode_real": mm_decode_real,
@@ -564,6 +649,7 @@ QUERIES = {
     "mm_resize": mm_resize,
     "mm_audio_windows": mm_audio_windows,
     "mm_phash": mm_phash,
+    "mm_phash_dedup": mm_phash_dedup,
 }
 
 ORACLE_SQL = {
@@ -573,4 +659,5 @@ ORACLE_SQL = {
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_audio_windows": ORACLE_MM_AUDIO_WINDOWS,
     "mm_phash": ORACLE_MM_PHASH,
+    "mm_phash_dedup": ORACLE_MM_PHASH_DEDUP,
 }

@@ -107,3 +107,33 @@ def test_vacuum_keeps_newest_and_preserves_time_travel(spark, sf_oracle):
         .collect()
     }
     assert tt_versions == {1, 2}
+
+
+def test_phash_dedup_symmetric_free_and_verified(spark, sf_oracle):
+    """Pairs are canonical (a < b), unique, and every reported pair
+    actually satisfies the Hamming threshold against the raw hashes."""
+    from distributed_graph_database_spark.pipeline import multimodal as mm
+
+    pairs = mm.mm_phash_dedup(spark, sf_oracle).collect()
+    seen = {(r.doc_a, r.doc_b) for r in pairs}
+    assert len(seen) == len(pairs)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    ph = {r.doc_id: r.phash for r in mm.mm_phash(spark, sf_oracle).collect()}
+    for r in pairs:
+        assert bin(ph[r.doc_a] ^ ph[r.doc_b]).count("1") == r.hamming
+        assert r.hamming <= mm.PHASH_HAMMING_MAX
+
+
+def test_ppr_mass_conservation_and_seed_locality(spark, sf_oracle):
+    """Random-walk-with-restart invariants: total mass ≈ 1 (the
+    symmetrized graph has no dangling vertices, so nothing leaks)
+    and the seed — the minimum vertex id, where all restart mass
+    lands — holds the maximum stationary mass."""
+    from distributed_graph_database_spark.graph import analytics
+
+    rows = analytics.graph_ppr(spark, sf_oracle).collect()
+    tot = sum(r.ppr for r in rows)
+    assert abs(tot - 1.0) < 1e-3
+    mx = max(rows, key=lambda r: r.ppr)
+    seed = min(r.vid for r in rows)
+    assert mx.vid == seed

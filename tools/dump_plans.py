@@ -230,6 +230,19 @@ HEADLINERS: dict[str, str] = {
         "only data-sized exchange; both power steps then run on "
         "constant-size d×d frames with the norm broadcast."
     ),
+    "mm_phash_dedup": (
+        "Image near-dup LSH: band values computed by integer shifts "
+        "inside the scan, candidates from a per-(band, value) equi-join "
+        "(never all-pairs), Hamming verify as codegen'd "
+        "bit_count(xor) — the only Python in the plan is the Arrow "
+        "hash kernel, and payload bytes never reach a shuffle."
+    ),
+    "graph_ppr": (
+        "Random walk with restart: the pagerank superstep kernel with "
+        "the restart vector as the only change — per-round join + "
+        "partial-aggregated contribution sum over the once-"
+        "checkpointed degree-annotated edges, all rounds one lazy job."
+    ),
     "ops_graph_snapshot": (
         "Version-partitioned snapshot store: every version is its own "
         "(graph_id, version) partition directory, so VERSION-AS-OF "
