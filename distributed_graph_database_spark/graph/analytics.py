@@ -367,6 +367,132 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("v").alias("vid"), F.round("r", 6).alias("ppr"))
 
 
+HITS_ROUNDS = 4  # fixed mutual-reinforcement iterations (oracle-unrollable)
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities, HITS_ROUNDS fixed mutual-
+    reinforcement iterations with L1 normalization per half-step →
+    (vid, round(hub, 6), round(authority, 6)). The third classic
+    eigenvector centrality next to pagerank (global stationary walk)
+    and PPR (seeded walk): authority mass flows FROM hubs over edges,
+    hub mass from authorities back — on the symmetrized co-purchase
+    graph the two converge toward the dominant eigenvector of A², and
+    their divergence from pagerank is exactly the degree-vs-walk
+    distinction an analyst wants surfaced.
+
+    Same bounded-lazy kernel as graph_pagerank: per half-step one
+    equi-join + groupBy-sum over the once-checkpointed edges, then a
+    broadcast 1-row L1 total — fixed rounds keep the whole iteration
+    one job and make the DuckDB oracle a generated CTE unroll.
+    Normalization sums are float (order-jitter ~1e-13 over 4 rounds,
+    absorbed by round(6) — the pagerank contract)."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).localCheckpoint(eager=True)
+    verts = sym.select(F.col("src").alias("v")).distinct().localCheckpoint(
+        eager=True
+    )
+    n1 = verts.agg(F.count(F.lit(1)).alias("n"))
+    hub = verts.crossJoin(F.broadcast(n1)).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("h")
+    )
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            sym.join(hub, sym.src == hub.v)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_tot = a_raw.agg(F.sum("a_raw").alias("t"))
+        auth = (
+            verts.join(a_raw, F.col("v") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "v",
+                (F.coalesce("a_raw", F.lit(0.0)) / F.col("t")).alias("a"),
+            )
+        )
+        h_raw = (
+            sym.join(auth, sym.dst == auth.v)
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_tot = h_raw.agg(F.sum("h_raw").alias("t"))
+        hub = (
+            verts.join(h_raw, F.col("v") == F.col("src"), "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "v",
+                (F.coalesce("h_raw", F.lit(0.0)) / F.col("t")).alias("h"),
+            )
+        )
+    return (
+        hub.join(auth, "v")
+        .select(
+            F.col("v").alias("vid"),
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    )
+
+
+def _oracle_hits() -> str:
+    base = f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e
+        UNION ALL SELECT p2 AS src, p1 AS dst FROM e),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym),
+n AS (SELECT COUNT(*) AS n FROM verts),
+h0 AS (SELECT v, 1.0 / n.n AS h FROM verts CROSS JOIN n)"""
+    rounds = []
+    for k in range(1, HITS_ROUNDS + 1):
+        prev = f"h{k - 1}"
+        rounds.append(f""",
+ar{k} AS MATERIALIZED (
+  SELECT sym.dst AS v, SUM({prev}.h) AS a_raw
+  FROM sym JOIN {prev} ON sym.src = {prev}.v GROUP BY sym.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT verts.v,
+         COALESCE(ar{k}.a_raw, 0.0)
+           / (SELECT SUM(a_raw) FROM ar{k}) AS a
+  FROM verts LEFT JOIN ar{k} ON verts.v = ar{k}.v
+),
+hr{k} AS MATERIALIZED (
+  SELECT sym.src AS v, SUM(a{k}.a) AS h_raw
+  FROM sym JOIN a{k} ON sym.dst = a{k}.v GROUP BY sym.src
+),
+h{k} AS MATERIALIZED (
+  SELECT verts.v,
+         COALESCE(hr{k}.h_raw, 0.0)
+           / (SELECT SUM(h_raw) FROM hr{k}) AS h
+  FROM verts LEFT JOIN hr{k} ON verts.v = hr{k}.v
+)""")
+    last = HITS_ROUNDS
+    return (
+        base
+        + "".join(rounds)
+        + f"""
+SELECT h{last}.v AS vid, ROUND(h{last}.h, 6) AS hub,
+       ROUND(a{last}.a, 6) AS authority
+FROM h{last} JOIN a{last} ON h{last}.v = a{last}.v"""
+    )
+
+
 def _oracle_ppr() -> str:
     base = f"""
 WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1509,6 +1635,7 @@ QUERIES = {
     "graph_triangles": graph_triangles,
     "graph_pagerank": graph_pagerank,
     "graph_ppr": graph_ppr,
+    "graph_hits": graph_hits,
     "graph_sssp": graph_sssp,
     "graph_kcore": graph_kcore,
     "graph_jaccard": graph_jaccard,
@@ -1526,6 +1653,7 @@ ORACLE_SQL = {
     "graph_triangles": ORACLE_GRAPH_TRIANGLES,
     "graph_pagerank": _oracle_pagerank(),
     "graph_ppr": _oracle_ppr(),
+    "graph_hits": _oracle_hits(),
     "graph_sssp": _oracle_sssp(),
     "graph_kcore": _oracle_kcore(),
     "graph_jaccard": ORACLE_GRAPH_JACCARD,

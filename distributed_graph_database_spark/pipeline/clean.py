@@ -496,6 +496,90 @@ FROM ranked CROSS JOIN n
 """
 
 
+TOKEN_BUDGET = 10_000  # global token budget to apportion across sources
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global token
+    budget across sources → (source, n_tokens_available, quota): the
+    mix-planning step that turns "train on B tokens" into exact
+    per-source integer quotas proportional to availability, with
+    Σ quota = TOKEN_BUDGET EXACTLY (floor shares + the leftover
+    distributed to the largest remainders, ties by source name). The
+    arithmetic every corpus-mixing recipe needs and naive
+    rounding gets wrong (floors under-shoot, round() can over- or
+    under-shoot — both break the budget invariant).
+
+    Pure integer algebra end to end — floor = (B·aᵢ) div T,
+    remainder = (B·aᵢ) mod T — so the key is hash-exact with zero
+    float anywhere. Scale: one map-side-combined token-count
+    aggregate over the corpus; the apportionment itself runs on the
+    |sources|-row summary (window over a domain-bounded frame, the
+    eqdepth precedent). B·aᵢ fits bigint up to ~9e18 — i.e. a 1e6×
+    budget×token product headroom beyond any real corpus; past that,
+    decimal(38,0) is the drop-in."""
+    docs = table(spark, sf_dir, "documents")
+    avail = (
+        docs.select("source", F.size(_tokens()).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens_available"))
+    )
+    tot = avail.agg(F.sum("n_tokens_available").cast("bigint").alias("t"))
+    w = Window.orderBy(
+        F.col("rem").desc(), F.col("source")
+    )
+    shares = (
+        avail.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "fl",
+            F.expr(f"({TOKEN_BUDGET} * n_tokens_available) div t"),
+        )
+        .withColumn(
+            "rem",
+            F.expr(f"({TOKEN_BUDGET} * n_tokens_available) % t"),
+        )
+    )
+    leftover = shares.agg(
+        (F.lit(TOKEN_BUDGET) - F.sum("fl")).cast("bigint").alias("lo")
+    )
+    return (
+        shares.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "n_tokens_available",
+            (
+                F.col("fl")
+                + F.when(F.col("rk") <= F.col("lo"), 1).otherwise(0)
+            ).cast("bigint").alias("quota"),
+        )
+    )
+
+
+ORACLE_CORPUS_TOKEN_BUDGET = rf"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(LEN(regexp_split_to_array(TRIM(text), '\s+'))) AS BIGINT)
+           AS n_tokens_available
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens_available) AS BIGINT) AS t FROM avail),
+shares AS (
+  SELECT source, n_tokens_available,
+         ({TOKEN_BUDGET} * n_tokens_available) // t AS fl,
+         ({TOKEN_BUDGET} * n_tokens_available) % t AS rem
+  FROM avail CROSS JOIN tot
+),
+lo AS (SELECT {TOKEN_BUDGET} - CAST(SUM(fl) AS BIGINT) AS lo FROM shares),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM shares
+)
+SELECT source, n_tokens_available,
+       CAST(fl + CASE WHEN rk <= lo.lo THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM ranked CROSS JOIN lo
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "corpus_sample": corpus_sample,
@@ -505,6 +589,7 @@ QUERIES = {
     "corpus_chunk": corpus_chunk,
     "corpus_mix": corpus_mix,
     "corpus_interleave": corpus_interleave,
+    "corpus_token_budget": corpus_token_budget,
 }
 
 ORACLE_SQL = {
@@ -516,4 +601,5 @@ ORACLE_SQL = {
     "corpus_chunk": ORACLE_CORPUS_CHUNK,
     "corpus_mix": _oracle_corpus_mix(),
     "corpus_interleave": ORACLE_CORPUS_INTERLEAVE,
+    "corpus_token_budget": ORACLE_CORPUS_TOKEN_BUDGET,
 }

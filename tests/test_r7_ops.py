@@ -137,3 +137,38 @@ def test_ppr_mass_conservation_and_seed_locality(spark, sf_oracle):
     mx = max(rows, key=lambda r: r.ppr)
     seed = min(r.vid for r in rows)
     assert mx.vid == seed
+
+
+def test_token_budget_invariants(spark, sf_oracle):
+    """Hamilton apportionment laws: Σ quota = TOKEN_BUDGET exactly;
+    every quota within 1 of its exact proportional share (the
+    largest-remainder guarantee); quota ≤ availability."""
+    from distributed_graph_database_spark.pipeline.clean import (
+        TOKEN_BUDGET,
+        corpus_token_budget,
+    )
+
+    rows = corpus_token_budget(spark, sf_oracle).collect()
+    assert sum(r.quota for r in rows) == TOKEN_BUDGET
+    total = sum(r.n_tokens_available for r in rows)
+    for r in rows:
+        share = TOKEN_BUDGET * r.n_tokens_available / total
+        assert share - 1 < r.quota < share + 1, (r, share)
+        assert r.quota <= r.n_tokens_available
+
+
+def test_hits_mass_and_symmetric_convergence(spark, sf_oracle):
+    """L1 normalization conserves unit mass on both vectors; on a
+    SYMMETRIZED graph hub and authority are the SAME iteration offset
+    by one half-step (h_k = normalize(A·a_k)), so after 4 rounds they
+    agree to within the power-iteration convergence gap (well under
+    1e-3 per vertex here) and share their argmax vertex."""
+    from distributed_graph_database_spark.graph import analytics
+
+    rows = analytics.graph_hits(spark, sf_oracle).collect()
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-3
+    assert max(abs(r.hub - r.authority) for r in rows) < 1e-3
+    assert max(rows, key=lambda r: r.hub).vid == max(
+        rows, key=lambda r: r.authority
+    ).vid
