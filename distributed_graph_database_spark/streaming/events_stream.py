@@ -552,15 +552,20 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         # commit) rewrites byte-identical content.
         bdf.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        tumbling_stream(spark, src)
-        .writeStream.foreachBatch(commit_batch)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
+    try:
+        q = (
+            tumbling_stream(spark, src)
+            .writeStream.foreachBatch(commit_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)
 
 
@@ -623,17 +628,38 @@ ORACLE_SQL = {
 }
 
 
+# State-store partition count for the declared drains. A stateful
+# streaming operator creates one state store per shuffle partition per
+# operator; the session default (32) costs ~8.7 s of pure store
+# setup/commit machinery on the stream-stream interval join's THREE
+# stateful operators over the single-file staged source (measured
+# r7: 32→4 partitions = 8.67→2.03 s, identical results — state
+# partitioning never changes answers, only parallelism). This is the
+# size-partitions-to-input discipline applied downward: a deployment
+# sets it to cluster scale exactly as it sets shuffle.partitions; the
+# first start's checkpoint pins it thereafter.
+STREAM_STATE_PARTITIONS = "4"
+
+
 def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink
     and return the materialized result table (complete mode for agg
     twins: every window's final row; update mode for the arbitrary-
-    state operator, which emits per-key rows itself)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    state operator, which emits per-key rows itself). The drain runs
+    at STREAM_STATE_PARTITIONS state partitions (set at query start,
+    which is when Spark fixes state partitioning; restored after)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
