@@ -381,10 +381,15 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     their divergence from pagerank is exactly the degree-vs-walk
     distinction an analyst wants surfaced.
 
-    Same bounded-lazy kernel as graph_pagerank: per half-step one
-    equi-join + groupBy-sum over the once-checkpointed edges, then a
-    broadcast 1-row L1 total — fixed rounds keep the whole iteration
-    one job and make the DuckDB oracle a generated CTE unroll.
+    Per half-step one equi-join + groupBy-sum over the once-
+    checkpointed edges, then a broadcast 1-row L1 total. UNLIKE
+    pagerank, each half-step's state is localCheckpoint-ed: the L1
+    normalization CONSUMES its own raw vector twice (rows + total),
+    so a lazy lineage re-derives the whole prefix per reuse —
+    measured 35 s at sf0.1 lazy vs ~3 s checkpointed; pagerank stays
+    lazy only because its contributions are consumed exactly once.
+    Fixed rounds make the DuckDB oracle a generated CTE unroll
+    (MATERIALIZED per round — the same reuse argument).
     Normalization sums are float (order-jitter ~1e-13 over 4 rounds,
     absorbed by round(6) — the pagerank contract)."""
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
@@ -404,6 +409,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym.join(hub, sym.src == hub.v)
             .groupBy("dst")
             .agg(F.sum("h").alias("a_raw"))
+            .localCheckpoint(eager=True)
         )
         a_tot = a_raw.agg(F.sum("a_raw").alias("t"))
         auth = (
@@ -413,11 +419,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "v",
                 (F.coalesce("a_raw", F.lit(0.0)) / F.col("t")).alias("a"),
             )
+            .localCheckpoint(eager=True)
         )
         h_raw = (
             sym.join(auth, sym.dst == auth.v)
             .groupBy("src")
             .agg(F.sum("a").alias("h_raw"))
+            .localCheckpoint(eager=True)
         )
         h_tot = h_raw.agg(F.sum("h_raw").alias("t"))
         hub = (
@@ -427,6 +435,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "v",
                 (F.coalesce("h_raw", F.lit(0.0)) / F.col("t")).alias("h"),
             )
+            .localCheckpoint(eager=True)
         )
     return (
         hub.join(auth, "v")

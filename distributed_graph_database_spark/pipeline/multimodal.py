@@ -452,7 +452,7 @@ WHERE win_offset < n
 PHASH_GRID = 4  # 4×4 block grid → 16-bit average-hash
 
 
-def _phash_bits(payload: bytes) -> int:
+def _phash_bits(payload: bytes, grid: int | None = None) -> int:
     """Average-hash of a P6 PPM: parse the header, sum RGB per pixel
     (grayscale up to a constant factor), split into a PHASH_GRID²
     block grid, and set bit (by·G+bx) iff the block is brighter than
@@ -472,7 +472,7 @@ def _phash_bits(payload: bytes) -> int:
     total = int(gray.sum())
     n = w * h
     bits = 0
-    g = PHASH_GRID
+    g = PHASH_GRID if grid is None else grid
     for by in range(g):
         for bx in range(g):
             y0, y1 = (by * h) // g, ((by + 1) * h) // g
@@ -480,26 +480,38 @@ def _phash_bits(payload: bytes) -> int:
             blk = gray[y0:y1, x0:x1]
             if int(blk.sum()) * n > total * blk.size:
                 bits |= 1 << (by * g + bx)
-    return bits
+    # Two's-complement wrap: a grid-8 hash can set bit 63, and the
+    # Arrow/BIGINT column is signed int64.
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
-def phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: PPM payloads → 16-bit average-hash. The
+def make_phash_kernel(grid: int | None = None):
+    """Kernel factory: PPM payloads → grid²-bit average-hash. The
     perceptual-feature extraction stage of an image dedup pipeline;
     BMP (odd ids) would dispatch here once a row-order-aware reader
     lands, JPEG/PNG once a codec library ships in the executor
-    image."""
-    for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            if b[:2] != b"P6":
-                continue
-            rows.append((int(doc_id), _phash_bits(b)))
-        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+    image. grid parametrizes the hash WIDTH — the saturation knob
+    (see mm_phash_dedup)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] != b"P6":
+                    continue
+                rows.append((int(doc_id), _phash_bits(b, grid)))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return kernel
 
 
-def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+phash_kernel = make_phash_kernel()
+
+
+def mm_phash(
+    spark: SparkSession, sf_dir: str, grid: int | None = None
+) -> DataFrame:
     """Declared query: perceptual average-hash of every synthesized
     PPM image → (doc_id, phash) — the feature that turns image dedup
     into dedup_exact's hash-groupBy (identical phash ⇒ near-identical
@@ -513,7 +525,9 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = docs.mapInPandas(
         synthesize_images, "doc_id bigint, payload binary"
     )
-    return payloads.mapInPandas(phash_kernel, "doc_id bigint, phash bigint")
+    return payloads.mapInPandas(
+        make_phash_kernel(grid), "doc_id bigint, phash bigint"
+    )
 
 
 # Every even doc_id's PPM: w=4+id%13, h=4+id%11, pixel byte j of the
@@ -562,7 +576,9 @@ PHASH_BAND_BITS = 4    # bits per band (bands × bits = hash width)
 PHASH_HAMMING_MAX = 3  # near-dup verify threshold
 
 
-def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_phash_dedup(
+    spark: SparkSession, sf_dir: str, grid: int | None = None
+) -> DataFrame:
     """Image near-dup pairs by banded Hamming join over the perceptual
     hashes → (doc_a, doc_b, hamming): split each phash into
     PHASH_BANDS bit-bands, candidate pairs share ≥1 exact band
@@ -572,24 +588,36 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (synthesis → Arrow hash kernel → banded join → verify) sits under
     one exact oracle.
 
-    Scale: candidates are per-(band, value) equi-join buckets, never
-    all-pairs; at the 16-bit demo hash the bands are coarse (4 bits),
-    but at a production 64/256-bit pHash the identical plan's bands
-    are 16+ bits and buckets collapse to true near-dups — band width
-    is the recall/cost knob, exactly dedup_near's. Only hashes
-    shuffle; payload bytes never leave the map stage."""
-    ph = mm_phash(spark, sf_dir)
+    Scale — the hash WIDTH is the saturation knob, measured: a fixed
+    16-bit hash has only 16 values per 4-bit band, so buckets grow
+    linearly with the corpus and candidates quadratically (measured
+    exp 1.64 at the sf0.1→sf1 10× step: 3.2 s → 140.6 s,
+    SCALE_PROBE_NEW.json); rehashing at grid=8 (64-bit hash, 16 bands
+    of the same 4 bits — the ≤3-Hamming pigeonhole recall guarantee
+    is band COUNT ≥ threshold+1, so it survives unchanged) makes the
+    buckets selective again and restores ~linear cost on the same
+    data. A deployment pins the grid to corpus size at ingest, the
+    sim_knn_graph n_cells discipline. Candidates are always
+    per-(band, value) equi-join buckets, never all-pairs; only hashes
+    shuffle — payload bytes never leave the map stage. The DECLARED
+    key keeps grid=PHASH_GRID (the exact-oracle contract)."""
+    g = PHASH_GRID if grid is None else grid
+    n_bands = (g * g) // PHASH_BAND_BITS
+    ph = mm_phash(spark, sf_dir, grid=grid)
     bands = ph.select(
         "doc_id",
         "phash",
         F.explode(
-            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+            F.array(*[F.lit(b) for b in range(n_bands)])
         ).alias("band"),
     ).withColumn(
         "band_val",
+        # & mask, not %: shiftright is ARITHMETIC, so a negative
+        # (bit-63-set) hash sign-extends — the mask keeps exactly the
+        # band's bits regardless of sign.
         F.expr(
             f"shiftright(phash, cast(band * {PHASH_BAND_BITS} as int))"
-            f" % {1 << PHASH_BAND_BITS}"
+            f" & {(1 << PHASH_BAND_BITS) - 1}"
         ).cast("bigint"),
     )
     a = bands.select(
