@@ -502,6 +502,153 @@ FROM h{last} JOIN a{last} ON h{last}.v = a{last}.v"""
     )
 
 
+BETW_H = 4  # bounded BFS horizon for the dependency pass (the
+            # SSSP_ROUNDS convention: fixed ⇒ oracle-unrollable)
+
+
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source Brandes dependency accumulation from the
+    minimum-id seed over a BETW_H-hop horizon → (vid, level, sigma,
+    delta): σ = shortest-path counts from the forward BFS, δ = the
+    backward-accumulated dependency δ(v) = Σ_{w∈succ(v)} σ(v)/σ(w) ·
+    (1+δ(w)) — the inner loop of betweenness centrality. Full
+    betweenness is the SUM of this kernel over a seed set, which is
+    why the single-source pass is the distributable unit (seeds run
+    as independent jobs or as one plan with a seed column; the seed
+    count is the standard sampling knob for approximate betweenness).
+
+    Two Pregel phases, both checkpointed per level (the HITS lesson —
+    the backward pass re-consumes each level's σ AND δ): forward =
+    per-level frontier join + σ-sum with an anti-join against the
+    visited union; backward = per-level join of level l against
+    level l+1's (σ, δ) through the edge table. Level count is the
+    horizon, not the vertex count; σ stays exact bigint, only δ is
+    float (round 6)."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).localCheckpoint(eager=True)
+    s0 = sym.agg(F.min("src").alias("s"))
+    lv = [
+        s0.select(F.col("s").alias("v"), F.lit(1).cast("bigint").alias("sigma"))
+        .localCheckpoint(eager=True)
+    ]
+    visited = lv[0].select("v")
+    for _ in range(BETW_H):
+        nxt = (
+            sym.join(lv[-1], sym.src == F.col("v"))
+            .groupBy("dst")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select(F.col("dst").alias("v"), "sigma")
+            .join(visited, "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        lv.append(nxt)
+        visited = visited.unionByName(nxt.select("v")).localCheckpoint(
+            eager=True
+        )
+    delta = lv[BETW_H].select("v", F.lit(0.0).alias("delta"))
+    out = lv[BETW_H].select(
+        "v",
+        F.lit(BETW_H).cast("int").alias("level"),
+        "sigma",
+        F.lit(0.0).alias("delta"),
+    )
+    for level in range(BETW_H - 1, -1, -1):
+        succ = lv[level + 1].join(delta, "v").select(
+            F.col("v").alias("w"),
+            F.col("sigma").alias("w_sigma"),
+            F.col("delta").alias("w_delta"),
+        )
+        contrib = (
+            lv[level]
+            .join(sym, lv[level].v == sym.src)
+            .join(succ, sym.dst == succ.w)
+            .groupBy("v")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("w_sigma")
+                    * (F.lit(1.0) + F.col("w_delta"))
+                ).alias("dep")
+            )
+        )
+        delta = (
+            lv[level]
+            .join(contrib, "v", "left")
+            .select("v", "sigma", F.coalesce("dep", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            delta.select(
+                "v", F.lit(level).cast("int").alias("level"), "sigma", "delta"
+            )
+        )
+        delta = delta.select("v", "delta")
+    return out.select(
+        F.col("v").alias("vid"), "level", "sigma", F.round("delta", 6).alias("delta")
+    )
+
+
+def _oracle_betweenness() -> str:
+    base = f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e
+        UNION ALL SELECT p2 AS src, p1 AS dst FROM e),
+sv AS (SELECT MIN(src) AS s FROM sym),
+l0 AS MATERIALIZED (
+  SELECT s AS v, CAST(1 AS BIGINT) AS sigma FROM sv
+),
+vis0 AS MATERIALIZED (SELECT v FROM l0)"""
+    parts = []
+    for k in range(1, BETW_H + 1):
+        parts.append(f""",
+l{k} AS MATERIALIZED (
+  SELECT sym.dst AS v, CAST(SUM(l{k - 1}.sigma) AS BIGINT) AS sigma
+  FROM sym JOIN l{k - 1} ON sym.src = l{k - 1}.v
+  WHERE sym.dst NOT IN (SELECT v FROM vis{k - 1})
+  GROUP BY sym.dst
+),
+vis{k} AS MATERIALIZED (
+  SELECT v FROM vis{k - 1} UNION ALL SELECT v FROM l{k}
+)""")
+    parts.append(f""",
+d{BETW_H} AS MATERIALIZED (SELECT v, sigma, 0.0 AS delta FROM l{BETW_H})""")
+    for level in range(BETW_H - 1, -1, -1):
+        nxt = level + 1
+        parts.append(f""",
+c{level} AS MATERIALIZED (
+  SELECT l{level}.v,
+         SUM(l{level}.sigma / CAST(d{nxt}.sigma AS DOUBLE)
+             * (1.0 + d{nxt}.delta)) AS dep
+  FROM l{level}
+  JOIN sym ON l{level}.v = sym.src
+  JOIN d{nxt} ON sym.dst = d{nxt}.v
+  GROUP BY l{level}.v
+),
+d{level} AS MATERIALIZED (
+  SELECT l{level}.v, l{level}.sigma, COALESCE(c{level}.dep, 0.0) AS delta
+  FROM l{level} LEFT JOIN c{level} ON l{level}.v = c{level}.v
+)""")
+    selects = [
+        f"SELECT v AS vid, CAST({lvl} AS INT) AS level, sigma,"
+        f" ROUND(delta, 6) AS delta FROM d{lvl}"
+        for lvl in range(BETW_H + 1)
+    ]
+    return base + "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def _oracle_ppr() -> str:
     base = f"""
 WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1645,6 +1792,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_ppr": graph_ppr,
     "graph_hits": graph_hits,
+    "graph_betweenness": graph_betweenness,
     "graph_sssp": graph_sssp,
     "graph_kcore": graph_kcore,
     "graph_jaccard": graph_jaccard,
@@ -1663,6 +1811,7 @@ ORACLE_SQL = {
     "graph_pagerank": _oracle_pagerank(),
     "graph_ppr": _oracle_ppr(),
     "graph_hits": _oracle_hits(),
+    "graph_betweenness": _oracle_betweenness(),
     "graph_sssp": _oracle_sssp(),
     "graph_kcore": _oracle_kcore(),
     "graph_jaccard": ORACLE_GRAPH_JACCARD,

@@ -172,3 +172,46 @@ def test_hits_mass_and_symmetric_convergence(spark, sf_oracle):
     assert max(rows, key=lambda r: r.hub).vid == max(
         rows, key=lambda r: r.authority
     ).vid
+
+
+def test_betweenness_path_graph_golden(spark, monkeypatch):
+    """Brandes dependency golden on a 4-path 0-1-2-3 (seed 0): σ = 1
+    everywhere, δ(v) = #descendants on the path (3, 2, 1, 0)."""
+    from distributed_graph_database_spark.graph import analytics
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "p1 bigint, p2 bigint"
+    )
+    monkeypatch.setattr(
+        analytics, "_copurchase_edges", lambda spark_, sf_: edges
+    )
+    rows = analytics.graph_betweenness(spark, "ignored").collect()
+    got = {r.vid: (r.level, r.sigma, r.delta) for r in rows}
+    assert got == {
+        0: (0, 1, 3.0),
+        1: (1, 1, 2.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, 0.0),
+    }
+
+
+def test_betweenness_diamond_splits_dependency(spark, monkeypatch):
+    """Diamond 0-{1,2}-3: two shortest paths to 3 (σ(3)=2), so each
+    middle vertex carries half of 3's unit dependency — δ(1) = δ(2)
+    = 0.5, δ(0) = 1+0.5 + 1+0.5 = 3."""
+    from distributed_graph_database_spark.graph import analytics
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "p1 bigint, p2 bigint"
+    )
+    monkeypatch.setattr(
+        analytics, "_copurchase_edges", lambda spark_, sf_: edges
+    )
+    rows = analytics.graph_betweenness(spark, "ignored").collect()
+    got = {r.vid: (r.level, r.sigma, r.delta) for r in rows}
+    assert got == {
+        0: (0, 1, 3.0),
+        1: (1, 1, 0.5),
+        2: (1, 1, 0.5),
+        3: (2, 2, 0.0),
+    }

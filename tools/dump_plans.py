@@ -243,6 +243,13 @@ HEADLINERS: dict[str, str] = {
         "partial-aggregated contribution sum over the once-"
         "checkpointed degree-annotated edges, all rounds one lazy job."
     ),
+    "graph_betweenness": (
+        "Brandes on DataFrames: forward levels materialize once each "
+        "(checkpoint), the backward dependency pass walks them in "
+        "reverse with one equi-join per level — level count is the "
+        "horizon, never the vertex count, and sigma stays exact "
+        "integer the whole way."
+    ),
     "ops_graph_snapshot": (
         "Version-partitioned snapshot store: every version is its own "
         "(graph_id, version) partition directory, so VERSION-AS-OF "
