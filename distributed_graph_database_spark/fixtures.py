@@ -134,7 +134,15 @@ def ops_log_values_sql() -> str:
 
 
 def write_payload_rows() -> list[tuple[int, int, int]]:
-    """(seq, src, dst) — one row per edge of each write payload."""
+    """(seq, src, dst) — one row per edge of each write payload.
+
+    Empty payloads are rejected loudly: the snapshot store's output
+    contract is one row per edge, so a zero-edge state would be
+    invisible there. The reference's empty graphs (G4/G6) are legal as
+    FIXTURES; a log write clearing a graph to empty would need a
+    presence-row encoding first — fail here until someone adds it."""
+    for seq, (_, edges) in WRITE_PAYLOADS.items():
+        assert edges, f"WRITE_PAYLOADS[{seq}] is empty — unrepresentable"
     return [
         (seq, s, d)
         for seq, (_, edges) in sorted(WRITE_PAYLOADS.items())

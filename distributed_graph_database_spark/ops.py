@@ -148,11 +148,19 @@ def _snapshot_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes = _annotated_log(spark).filter(
         (F.col("status") == "valid") & (F.col("op") <= 2)
     ).select("graph_id", "seq")
-    # Loud-fail coupling: every valid write must have a payload row —
-    # a silent inner-join drop here would fake an empty version.
+    # Loud-fail coupling: every valid write must have a payload entry
+    # in WRITE_PAYLOADS — a silent inner-join drop would fake an empty
+    # version. The authority is the DICT (its keys), not the edge
+    # rows, because this store's output contract is one row per edge:
+    # an empty-edge-set payload would be invisible at the row level,
+    # so fixtures.WRITE_PAYLOADS loudly rejects empty payloads and
+    # this check rejects missing ones.
     pay = fixtures.write_payloads_df(spark)
+    payload_seqs = spark.createDataFrame(
+        [(s,) for s in fixtures.WRITE_PAYLOADS], "seq bigint"
+    )
     n_orphan = writes.join(
-        pay.select("seq").distinct(), "seq", "left_anti"
+        F.broadcast(payload_seqs), "seq", "left_anti"
     ).count()
     assert n_orphan == 0, f"{n_orphan} valid write(s) with no payload"
     written = writes.select("graph_id").distinct()
@@ -177,9 +185,10 @@ def _snapshot_dir(spark: SparkSession, sf_dir: str) -> str:
     hit = _SNAP_STAGED.get(key)
     if hit is not None:
         return hit
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
     d = os.path.join(
         tempfile.gettempdir(),
-        f"dgdb_ops_{spark.sparkContext.applicationId}_graphsnap",
+        f"dgdb_ops_{spark.sparkContext.applicationId}_graphsnap_{slug}",
     )
     (
         _snapshot_edges(spark, sf_dir)

@@ -357,11 +357,15 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     factoring applied to two proportions, so the verdict bit cannot
     ulp-flip. Both sides are degree-5 in the counts, so decimal(38,0)
     is exact only to ~4·10⁷ total users (38/5 ≈ 7.6 digits per
-    factor, ADVICE r6); under non-ANSI Spark a decimal overflow
-    yields NULL, so the verdict COALESCEs to the same comparison in
+    factor, ADVICE r6). The decimal products are built with
+    try_multiply/try_subtract, which yield NULL on overflow under
+    BOTH ANSI and legacy mode (plain `*` would THROW under ANSI —
+    Spark 4's default, so a plain-arithmetic "fallback" would be dead
+    code and the query would crash in exactly the large-N regime it
+    exists for); the verdict then COALESCEs to the same comparison in
     double — beyond the exact bound the bit is float-accurate
     (~15 significant digits on z², flippable only when z ≈ Z to 1
-    ulp), never silently NULL.
+    ulp), never NULL and never an exception.
 
     Scale: one scan → per-user any-purchase flag (map-side combined),
     one 2-row arm aggregate; the experiment readout is O(users) work
@@ -392,14 +396,31 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("nb"), F.col("c").alias("cb")
     )
     j = a.crossJoin(F.broadcast(b))  # 1×1
+    return ab_verdict_frame(j)
+
+
+def ab_verdict_frame(j: DataFrame) -> DataFrame:
+    """The z²-comparison readout over a (na, ca, nb, cb) decimal(38,0)
+    frame — exposed so the overflow arm is unit-testable on synthetic
+    counts too large to stage as real events rows. Degree-≥3 products
+    use try_multiply (NULL on overflow under ANSI and legacy alike;
+    degree-2 products of int64-bounded counts always fit 38 digits),
+    and the verdict COALESCEs to the double-precision shadow."""
     n = F.col("na") + F.col("nb")
     c = F.col("ca") + F.col("cb")
-    diff = F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
-    lhs = diff * diff * n
-    rhs = F.lit(AB_Z * AB_Z) * c * (n - c) * F.col("na") * F.col("nb")
+    diff = F.try_subtract(
+        F.try_multiply(F.col("ca"), F.col("nb")),
+        F.try_multiply(F.col("cb"), F.col("na")),
+    )
+    lhs = F.try_multiply(F.try_multiply(diff, diff), n)
+    rhs = F.try_multiply(
+        F.try_multiply(
+            F.try_multiply(F.lit(AB_Z * AB_Z) * c, n - c), F.col("na")
+        ),
+        F.col("nb"),
+    )
     # Double-precision shadow of the same division-free comparison:
-    # COALESCE target when the decimal(38,0) products overflow to NULL
-    # (> ~4e7 total users under non-ANSI mode, see docstring).
+    # the COALESCE target when any decimal product overflows to NULL.
     nd, cd = n.cast("double"), c.cast("double")
     diff_d = (
         F.col("ca").cast("double") * F.col("nb").cast("double")

@@ -506,8 +506,6 @@ def make_phash_kernel(grid: int | None = None):
     return kernel
 
 
-phash_kernel = make_phash_kernel()
-
 
 def mm_phash(
     spark: SparkSession, sf_dir: str, grid: int | None = None
@@ -602,7 +600,20 @@ def mm_phash_dedup(
     shuffle — payload bytes never leave the map stage. The DECLARED
     key keeps grid=PHASH_GRID (the exact-oracle contract)."""
     g = PHASH_GRID if grid is None else grid
+    # Band layout must tile the hash exactly: a non-multiple grid
+    # would leave top bits unbanded (silently weakening the
+    # ≤threshold-Hamming pigeonhole guarantee), and the declared
+    # grid's band count must equal the oracle's PHASH_BANDS literal.
+    assert (g * g) % PHASH_BAND_BITS == 0, (
+        f"grid {g}: {g * g} hash bits do not tile into "
+        f"{PHASH_BAND_BITS}-bit bands"
+    )
     n_bands = (g * g) // PHASH_BAND_BITS
+    if grid is None:
+        assert n_bands == PHASH_BANDS, "oracle PHASH_BANDS out of sync"
+    assert n_bands >= PHASH_HAMMING_MAX + 1, (
+        "pigeonhole recall guarantee needs bands > hamming threshold"
+    )
     ph = mm_phash(spark, sf_dir, grid=grid)
     bands = ph.select(
         "doc_id",

@@ -1023,9 +1023,12 @@ def store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The vacuum audit = the time-travel audit restricted to the newest
 # VACUUM_KEEP versions (v=2 is the CDC-merged snapshot).
+# Cutoff derived from MAX(v), never a literal: if the store grows a
+# third snapshot the oracle must track the Spark side's
+# newest-VACUUM_KEEP semantics, not a frozen version number.
 ORACLE_STORE_VACUUM = (
     "WITH tt AS (" + ORACLE_STORE_TIME_TRAVEL + ")\n"
-    f"SELECT * FROM tt WHERE v > 2 - {VACUUM_KEEP}"
+    f"SELECT * FROM tt WHERE v > (SELECT MAX(v) FROM tt) - {VACUUM_KEEP}"
 )
 
 

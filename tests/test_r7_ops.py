@@ -215,3 +215,31 @@ def test_betweenness_diamond_splits_dependency(spark, monkeypatch):
         2: (1, 1, 0.5),
         3: (2, 2, 0.0),
     }
+
+
+def test_ab_verdict_survives_decimal_overflow(spark):
+    """The z²-comparison must stay correct past decimal(38,0)'s
+    degree-5 headroom (~4e7 total users): the try_multiply products
+    NULL on overflow (instead of THROWING under Spark 4's default
+    ANSI mode) and the verdict COALESCEs to the double shadow. A
+    clearly-significant and a clearly-null huge-count experiment must
+    both produce a non-null, correct bit."""
+    from distributed_graph_database_spark.pipeline.events import (
+        ab_verdict_frame,
+    )
+
+    from decimal import Decimal
+
+    def run(na, ca, nb, cb):
+        j = spark.createDataFrame(
+            [tuple(Decimal(x) for x in (na, ca, nb, cb))],
+            "na decimal(38,0), ca decimal(38,0),"
+            " nb decimal(38,0), cb decimal(38,0)"
+        )
+        rows = ab_verdict_frame(j).collect()
+        assert len(rows) == 1 and rows[0].significant is not None
+        return rows[0].significant
+
+    big = 10**9  # well past the exact decimal bound
+    assert run(big, big // 2, big, big // 4) is True   # 50% vs 25%
+    assert run(big, big // 2, big, big // 2) is False  # identical arms

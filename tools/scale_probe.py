@@ -55,7 +55,7 @@ def main() -> int:
     for k in keys:
         t0 = legs["small"]["timings"].get(k)
         t1 = legs["big"]["timings"].get(k)
-        if not t0 or not t1:
+        if t0 is None or t1 is None:
             continue
         report[k] = {
             "t_small": t0,
