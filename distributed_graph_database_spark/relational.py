@@ -1817,6 +1817,11 @@ FROM od FULL OUTER JOIN sd ON od.d = sd.d
 
 
 EQDEPTH_BINS = 16
+# Coarse-bucket width (in cents) for the two-level distributed prefix
+# sum: the TPC-H price domain spans ~[9e4, 6e7] cents, so 1e6-cent
+# buckets give ~600 bucket rows for the tiny global offset window at
+# any row scale.
+EQDEPTH_COARSE = 1_000_000
 
 
 def ql_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1833,27 +1838,38 @@ def ql_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches ceil(i·n/BINS) — so no float interpolation ever touches
     the comparison (ADVICE r6: interpolated `percentile` vs DuckDB
     `quantile_cont` could 1-ulp-diverge at a boundary equal to a data
-    value and flip a row's bucket). The cumulative count runs over
-    the DISTINCT cents domain (bounded by the price range — a few
-    1e7 values at ANY row scale, and two-level coarse-bucket cumsum
-    extends it), the 15 boundaries broadcast, and every row assigns
+    value and flip a row's bucket). The cumulative count over the
+    DISTINCT cents domain is the TWO-LEVEL distributed prefix sum:
+    within-coarse-bucket cumsum under a PARTITIONED window plus a
+    per-bucket offset from an exclusive prefix over bucket totals —
+    the only global window left runs over |buckets| rows
+    (domain/EQDEPTH_COARSE, a few hundred at any row scale), so no
+    single partition ever holds the value domain. The 15 boundaries
+    broadcast, and every row assigns
     its bucket scan-side as |{b : b < cents}| — one pass over rows,
     the boundaries+assign shape a 100 TB range partitioner uses.
     Boundary ties go left on both engines by the strict < ."""
     o = table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
     )
-    cum = (
+    g = (
         o.groupBy("cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "cum",
-            F.sum("cnt").over(
-                Window.orderBy("cents").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            ),
-        )
+        .withColumn("bkt", F.expr(f"cents div {EQDEPTH_COARSE}"))
+    )
+    w_in = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_in = g.withColumn("cum_in", F.sum("cnt").over(w_in))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        g.groupBy("bkt")
+        .agg(F.sum("cnt").alias("btot"))
+        .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
+        .select("bkt", "off")
+    )
+    cum = cum_in.join(offs, "bkt").withColumn(
+        "cum", F.col("cum_in") + F.col("off")
     )
     tot = o.agg(F.count(F.lit(1)).alias("n"))
     ranks = (
