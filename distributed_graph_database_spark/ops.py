@@ -185,10 +185,17 @@ def _snapshot_dir(spark: SparkSession, sf_dir: str) -> str:
     hit = _SNAP_STAGED.get(key)
     if hit is not None:
         return hit
+    import hashlib
+
+    # md5 prefix keeps the mapping injective — the readable slug alone
+    # maps '/', '.', and '_' all to '_', so distinct sf_dirs could
+    # alias one staging directory and silently serve each other's data.
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(
         tempfile.gettempdir(),
-        f"dgdb_ops_{spark.sparkContext.applicationId}_graphsnap_{slug}",
+        f"dgdb_ops_{spark.sparkContext.applicationId}_graphsnap_"
+        f"{slug}_{digest}",
     )
     (
         _snapshot_edges(spark, sf_dir)

@@ -608,6 +608,9 @@ def mm_phash_dedup(
         f"grid {g}: {g * g} hash bits do not tile into "
         f"{PHASH_BAND_BITS}-bit bands"
     )
+    # The hash rides a signed int64 column; wider hashes (a 256-bit
+    # production pHash) need an array-of-longs or binary column first.
+    assert g * g <= 64, f"grid {g}: {g * g}-bit hash exceeds int64"
     n_bands = (g * g) // PHASH_BAND_BITS
     if grid is None:
         assert n_bands == PHASH_BANDS, "oracle PHASH_BANDS out of sync"

@@ -20,6 +20,7 @@ import itertools
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -552,9 +553,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         # commit) rewrites byte-identical content.
         bdf.write.mode("overwrite").parquet(out_dir)
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
-    try:
+    with _state_partitions(spark):
         q = (
             tumbling_stream(spark, src)
             .writeStream.foreachBatch(commit_batch)
@@ -564,8 +563,6 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out_dir)
 
 
@@ -641,6 +638,19 @@ ORACLE_SQL = {
 STREAM_STATE_PARTITIONS = "4"
 
 
+@contextmanager
+def _state_partitions(spark: SparkSession):
+    """Set the drain's state-store partition count at query start and
+    restore the session value afterwards — the ONE place the invariant
+    lives (both drains and any future streaming entry point use it)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink
     and return the materialized result table (complete mode for agg
@@ -649,9 +659,7 @@ def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataF
     at STREAM_STATE_PARTITIONS state partitions (set at query start,
     which is when Spark fixes state partitioning; restored after)."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
-    try:
+    with _state_partitions(spark):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -660,6 +668,4 @@ def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataF
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
