@@ -142,7 +142,12 @@ def write_payload_rows() -> list[tuple[int, int, int]]:
     FIXTURES; a log write clearing a graph to empty would need a
     presence-row encoding first — fail here until someone adds it."""
     for seq, (_, edges) in WRITE_PAYLOADS.items():
-        assert edges, f"WRITE_PAYLOADS[{seq}] is empty — unrepresentable"
+        if not edges:
+            # ValueError, not assert: must survive `python -O`
+            # (ADVICE r7).
+            raise ValueError(
+                f"WRITE_PAYLOADS[{seq}] is empty — unrepresentable"
+            )
     return [
         (seq, s, d)
         for seq, (_, edges) in sorted(WRITE_PAYLOADS.items())

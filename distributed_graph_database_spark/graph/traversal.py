@@ -38,15 +38,23 @@ from pyspark.sql import functions as F
 # at cluster fan-out). At 100 TB a frontier can be billions of rows —
 # never unconditionally broadcast.
 BROADCAST_FRONTIER_MAX_BYTES = 32 * 1024 * 1024
-# Estimated wire size of one frontier row: a single bigint vid plus
-# per-row framing in Spark's UnsafeRow/compressed broadcast form.
-FRONTIER_ROW_BYTES = 16
+# Estimated wire size of one frontier COLUMN cell (fixed-width slot in
+# Spark's UnsafeRow) plus per-row framing; the per-row estimate is
+# derived from the frontier's actual schema width so a wider frontier
+# can't silently slip under the byte gate (ADVICE r7: the old flat
+# 16-byte constant assumed a single-bigint frontier).
+FRONTIER_CELL_BYTES = 8
+FRONTIER_ROW_OVERHEAD_BYTES = 8
 
 
 def _frontier_probe(frontier: DataFrame, frontier_rows: int) -> DataFrame:
     """Broadcast the frontier only while its estimated bytes fit the
     gate; otherwise return it untouched for a shuffle join."""
-    if frontier_rows * FRONTIER_ROW_BYTES <= BROADCAST_FRONTIER_MAX_BYTES:
+    row_bytes = (
+        FRONTIER_ROW_OVERHEAD_BYTES
+        + FRONTIER_CELL_BYTES * len(frontier.schema)
+    )
+    if frontier_rows * row_bytes <= BROADCAST_FRONTIER_MAX_BYTES:
         return F.broadcast(frontier)
     return frontier
 

@@ -23,7 +23,7 @@ logic is expressible verbatim in the DuckDB oracle.
 from __future__ import annotations
 
 import os
-import tempfile
+from .session import staging_root
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -162,7 +162,10 @@ def _snapshot_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orphan = writes.join(
         F.broadcast(payload_seqs), "seq", "left_anti"
     ).count()
-    assert n_orphan == 0, f"{n_orphan} valid write(s) with no payload"
+    if n_orphan != 0:
+        # RuntimeError, not assert: this loud-fail contract must
+        # survive `python -O` (ADVICE r7).
+        raise RuntimeError(f"{n_orphan} valid write(s) with no payload")
     written = writes.select("graph_id").distinct()
     initial = (
         fixtures.fixture_edges_df(spark)
@@ -193,7 +196,7 @@ def _snapshot_dir(spark: SparkSession, sf_dir: str) -> str:
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(
-        tempfile.gettempdir(),
+        staging_root(spark),
         f"dgdb_ops_{spark.sparkContext.applicationId}_graphsnap_"
         f"{slug}_{digest}",
     )

@@ -604,19 +604,25 @@ def mm_phash_dedup(
     # would leave top bits unbanded (silently weakening the
     # ≤threshold-Hamming pigeonhole guarantee), and the declared
     # grid's band count must equal the oracle's PHASH_BANDS literal.
-    assert (g * g) % PHASH_BAND_BITS == 0, (
-        f"grid {g}: {g * g} hash bits do not tile into "
-        f"{PHASH_BAND_BITS}-bit bands"
-    )
+    # ValueError, not assert, for all four coupling checks: they gate
+    # real recall/width contracts and must survive `python -O`
+    # (ADVICE r7).
+    if (g * g) % PHASH_BAND_BITS != 0:
+        raise ValueError(
+            f"grid {g}: {g * g} hash bits do not tile into "
+            f"{PHASH_BAND_BITS}-bit bands"
+        )
     # The hash rides a signed int64 column; wider hashes (a 256-bit
     # production pHash) need an array-of-longs or binary column first.
-    assert g * g <= 64, f"grid {g}: {g * g}-bit hash exceeds int64"
+    if g * g > 64:
+        raise ValueError(f"grid {g}: {g * g}-bit hash exceeds int64")
     n_bands = (g * g) // PHASH_BAND_BITS
-    if grid is None:
-        assert n_bands == PHASH_BANDS, "oracle PHASH_BANDS out of sync"
-    assert n_bands >= PHASH_HAMMING_MAX + 1, (
-        "pigeonhole recall guarantee needs bands > hamming threshold"
-    )
+    if grid is None and n_bands != PHASH_BANDS:
+        raise ValueError("oracle PHASH_BANDS out of sync")
+    if n_bands < PHASH_HAMMING_MAX + 1:
+        raise ValueError(
+            "pigeonhole recall guarantee needs bands > hamming threshold"
+        )
     ph = mm_phash(spark, sf_dir, grid=grid)
     bands = ph.select(
         "doc_id",

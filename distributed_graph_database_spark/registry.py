@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import fixtures, ops, relational
+from . import fixtures, ops, oracles, relational
 from .pipeline import clean as pl_clean
 from .pipeline import dedup as pl_dedup
 from .pipeline import events as pl_events
@@ -234,8 +234,20 @@ def _driver_last_seen() -> dict[str, int]:
             continue
         rnd = int(m.group(1))
         for key, row in data.items():
-            if isinstance(row, dict):
-                out[key] = max(out.get(key, -1), rnd)
+            if not isinstance(row, dict):
+                continue
+            # A row only counts as "seen" if it was a VERIFIED check:
+            # err-free rows always count; an `err: no_oracle` row
+            # counts only while the key is still declared rows-only
+            # (absent from oracles.ORACLE_SQL). When a key graduates
+            # from rows-only to an exact oracle (r8:
+            # store_stats_approx, text_bpe_train), its old no-oracle
+            # rows stop counting, so the rotation resurfaces it for a
+            # driver-signed hash row instead of treating the weaker
+            # check as coverage.
+            if row.get("err") == "no_oracle" and key in oracles.ORACLE_SQL:
+                continue
+            out[key] = max(out.get(key, -1), rnd)
     return out
 
 

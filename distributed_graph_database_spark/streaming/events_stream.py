@@ -19,7 +19,7 @@ from __future__ import annotations
 import itertools
 import os
 import shutil
-import tempfile
+from ..session import staging_root
 from contextlib import contextmanager
 
 import pandas as pd
@@ -308,7 +308,7 @@ def _events_src_dir(spark: SparkSession, sf_dir: str) -> str:
     if hit is not None:
         return hit
     d = os.path.join(
-        tempfile.gettempdir(),
+        staging_root(spark),
         f"dgdb_stream_src_{spark.sparkContext.applicationId}_"
         + "".join(c if c.isalnum() else "_" for c in sf_dir),
     )
@@ -542,7 +542,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_src_dir(spark, sf_dir)
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
     base = os.path.join(
-        tempfile.gettempdir(),
+        staging_root(spark),
         f"dgdb_stream_sink_{spark.sparkContext.applicationId}_{slug}",
     )
     out_dir, ckpt = base + "_data", base + "_ckpt"

@@ -79,7 +79,10 @@ def test_store_stats_approx_within_5pct_and_no_expand(spark, sf_oracle):
         r.col_name: r for r in formats.store_stats_collect(spark, sf_oracle).collect()
     }
     approx = {
-        r.col_name: r for r in formats.store_stats_approx(spark, sf_oracle).collect()
+        r.col_name: r
+        for r in formats.store_stats_approx(
+            spark, sf_oracle, audit=False
+        ).collect()
     }
     assert set(exact) == set(approx)
     for c in exact:
@@ -93,11 +96,22 @@ def test_store_stats_approx_within_5pct_and_no_expand(spark, sf_oracle):
         ._jdf.queryExecution().executedPlan().toString()
     )
     approx_plan = (
-        formats.store_stats_approx(spark, sf_oracle)
+        formats.store_stats_approx(spark, sf_oracle, audit=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan
+
+    # The declared (audit) form hash-signs the bound the production
+    # form is trusted for: ndv_ok TRUE on every profiled column, exact
+    # NDV in n_distinct.
+    audit_rows = {
+        r.col_name: r for r in formats.store_stats_approx(spark, sf_oracle).collect()
+    }
+    assert set(audit_rows) == set(exact)
+    for c in exact:
+        assert audit_rows[c].ndv_ok is True
+        assert audit_rows[c].n_distinct == exact[c].n_distinct
 
 
 def test_clustering_coef_bounds_and_triangle_consistency(spark, sf_oracle):

@@ -79,7 +79,12 @@ def _strides(spark: SparkSession, src: str) -> dict[str, int]:
         for c in cols:
             dom = DOMAIN_OF[c]
             out[dom] = max(out.get(dom, 0), int(aggs[c] or 0) + 1)
-    return out
+    # Round every stride up to even: an odd stride flips key parity in
+    # replicas, and parity-dependent workloads (mm_phash synthesizes
+    # images for even doc_ids; odd/even read routing) would see a
+    # shifted mix at scaled SF instead of a faithful k× clone
+    # (ADVICE r7).
+    return {dom: stride + (stride % 2) for dom, stride in out.items()}
 
 
 def _replica(
