@@ -690,6 +690,65 @@ WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}
 """
 
 
+def mm_phash_clusters(
+    spark: SparkSession, sf_dir: str, grid: int | None = None
+) -> DataFrame:
+    """Cluster-canonical image near-dup (VERDICT r7 next #2): connected
+    components over the banded-Hamming pair graph → one row per
+    duplicate GROUP, (cluster_id = min member doc_id, n_members).
+
+    This is the scale-safe product shape mm_phash_dedup lacks: on a
+    corpus whose true near-dup relation is dense (the synthetic PPMs
+    have ~36k distinct images at sf1, so the pair set itself is
+    quadratic — the measured exp-1.65 defect), the PAIR table is
+    intrinsically output-bound, but the cluster table is bounded by
+    the number of distinct groups. A dedup pipeline keeps the
+    canonical (min doc_id) per cluster and drops n_members − 1 docs —
+    it never needs the pairs materialized downstream.
+
+    Composition: candidate generation stays the banded LSH equi-join
+    (never all-pairs); the pair graph feeds the engine's own
+    large-star/small-star CC kernel (graph/traversal.py, O(log d)
+    rounds) — the dedup_clusters recipe (pipeline/dedup.py) applied to
+    images. Exact oracle: recursive CTE over the same SQL-expressible
+    pair set, grouped to (cluster_id, n_members)."""
+    from ..graph import traversal
+
+    pairs = mm_phash_dedup(spark, sf_dir, grid=grid).select("doc_a", "doc_b")
+    edges_sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return (
+        traversal.connected_components(spark, edges_sym)
+        .groupBy(F.col("comp").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+ORACLE_MM_PHASH_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_MM_PHASH_DEDUP}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+verts AS (SELECT DISTINCT src AS vid FROM sym),
+walk(vid, lbl) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.vid
+),
+memb AS (
+  SELECT vid, MIN(lbl) AS cluster_id FROM walk GROUP BY vid
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       COUNT(*) AS n_members
+FROM memb GROUP BY cluster_id
+"""
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_decode_real": mm_decode_real,
@@ -698,6 +757,7 @@ QUERIES = {
     "mm_audio_windows": mm_audio_windows,
     "mm_phash": mm_phash,
     "mm_phash_dedup": mm_phash_dedup,
+    "mm_phash_clusters": mm_phash_clusters,
 }
 
 ORACLE_SQL = {
@@ -708,4 +768,5 @@ ORACLE_SQL = {
     "mm_audio_windows": ORACLE_MM_AUDIO_WINDOWS,
     "mm_phash": ORACLE_MM_PHASH,
     "mm_phash_dedup": ORACLE_MM_PHASH_DEDUP,
+    "mm_phash_clusters": ORACLE_MM_PHASH_CLUSTERS,
 }

@@ -142,6 +142,44 @@ def _cells(spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS) -> DataFr
     )
 
 
+# Per-(session, sf_dir) corpus-size cache backing the √N quantizer
+# scaling: one COUNT action per session/sf (the sanctioned 1-row-seed
+# class, like derive.default_start), reused by every scaled key.
+_CORPUS_N: dict[tuple[str, str], int] = {}
+
+
+def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CORPUS_N.get(key)
+    if hit is None:
+        hit = table(spark, sf_dir, "embeddings").count()
+        _CORPUS_N[key] = hit
+    return hit
+
+
+def scaled_cells(n: int, base: int) -> int:
+    """⌈√n⌉ floored at `base` — the coarse-quantizer cell count that
+    keeps blocked/ANN candidate work ~linear (work ≈ N²·probes/cells;
+    fixed cells measured exp 1.51 at the sf0.1→sf1 10× step, √N cells
+    measured 30.6 s vs 102.6 s at sf1 — SCALE_PROBE.json, VERDICT r7
+    next #3). Integer isqrt so the value is exact; the DuckDB oracles
+    compute the same constant as GREATEST(base, CEIL(SQRT(COUNT(*))))
+    — double sqrt agrees with the integer form for every non-square n
+    (an irrational √n is never within double rounding of an integer at
+    these magnitudes) and for perfect squares both give exactly √n."""
+    import math
+
+    return max(base, math.isqrt(max(n - 1, 0)) + 1 if n > 0 else 1)
+
+
+# DuckDB twin of scaled_cells over the embeddings corpus.
+def _sql_ncells(base: int) -> str:
+    return (
+        f"(SELECT GREATEST({base}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) "
+        "FROM embeddings)"
+    )
+
+
 def _unit(df: DataFrame, col: str) -> DataFrame:
     """Replace array column `col` with its L2-normalized form. Norms
     are computed once per vector, so every later cosine is a single
@@ -240,9 +278,11 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid set, assignment tiebreaks, threshold — is deterministic,
     so unlike hash-LSH this blocked dedup has an EXACT DuckDB oracle.
 
-    100 TB notes: cell count scales as ~sqrt(corpus) (here pinned
-    DEDUP_CELLS=64, a finer grid than the IVF search path because
-    blocking only needs co-membership, not ranked probes);
+    100 TB notes: cell count scales as max(DEDUP_CELLS, ⌈√N⌉) (r8 —
+    derived per corpus from one cached COUNT, floored at 64, a finer
+    grid than the IVF search path because blocking only needs
+    co-membership, not ranked probes; the oracle interpolates the
+    same constant so the key stays exact at every sf);
     the corpus is hash-partitioned by cell id so each pair bucket is
     one partition's work, and the exploded probe table is 2× corpus —
     shuffle-bounded, no broadcast of anything corpus-sized.
@@ -256,7 +296,13 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates carrying both vectors, then verify) shuffles
     # |candidates| × 2d doubles and was measured 10x slower at sf0.1.
     emb = _unit(_embeddings(spark, sf_dir), "v")
-    cells = _unit(_cells(spark, sf_dir, DEDUP_CELLS), "cv")
+    cells = _unit(
+        _cells(
+            spark, sf_dir,
+            scaled_cells(_corpus_n(spark, sf_dir), DEDUP_CELLS),
+        ),
+        "cv",
+    )
     blocked = (
         _assign(emb, cells, "v", "cells", DEDUP_PROBES, unit=True)
         .select("vec_id", F.col("v").alias("nv"), F.explode("cells").alias("cell_id"))
@@ -298,7 +344,8 @@ e AS (
 ),
 cells AS (
   SELECT vec_id AS cell_id, v AS cv FROM e
-  ORDER BY vec_id LIMIT {DEDUP_CELLS} OFFSET {N_QUERIES}
+  ORDER BY vec_id
+  LIMIT {_sql_ncells(DEDUP_CELLS)} OFFSET {N_QUERIES}
 ),
 scored AS (
   SELECT e.vec_id, e.v, c.cell_id,
@@ -510,7 +557,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim_knn_graph(
-    spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
 ) -> DataFrame:
     """ALL-corpus approximate kNN graph (VERDICT r5 item 3): every
     vector's top-KNN_K cosine neighbors among candidates sharing a
@@ -539,14 +586,17 @@ def _sim_knn_graph(
     Deterministic end-to-end (pinned centroids, rank tie-breaks on
     cell_id/vec_id) ⇒ EXACT DuckDB oracle, like sim_topk_ivf.
 
-    n_cells parametrizes the coarse quantizer for scale probing: the
-    candidate work is N²·PROBES/cells, so FIXED cells go quadratic
-    (measured exp 1.51 at the sf0.1→sf1 10× step, SCALE_PROBE.json)
-    while cells ∝ √N restores ~linear build cost — the measured basis
-    for the "cell count scales ~sqrt(N)" ingest contract above. The
-    DECLARED key keeps the pinned IVF_CELLS default (the exact-oracle
-    contract); a deployment re-pins the constant at ingest per corpus
-    size."""
+    The coarse quantizer SCALES WITH THE CORPUS (r8, VERDICT r7 next
+    #3): candidate work is N²·PROBES/cells, so FIXED cells go
+    quadratic (measured exp 1.51 at the sf0.1→sf1 10× step at the old
+    pinned 16) while cells = max(IVF_CELLS, ⌈√N⌉) restores ~linear
+    build cost (measured 30.6 s vs 102.6 s at sf1). The default
+    (declared-key) path derives the count from one cached COUNT
+    action and the oracle interpolates the SAME per-corpus constant
+    (GREATEST(base, CEIL(SQRT(COUNT(*))))), so the key stays
+    exact-oracle at every sf; n_cells overrides for scale probing."""
+    if n_cells is None:
+        n_cells = scaled_cells(_corpus_n(spark, sf_dir), IVF_CELLS)
     emb = _unit(_embeddings(spark, sf_dir), "v")
     cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
     w_cell = Window.partitionBy("vec_id").orderBy(
@@ -598,7 +648,8 @@ e AS (
 ),
 cells AS (
   SELECT vec_id AS cell_id, v AS cv FROM e
-  ORDER BY vec_id LIMIT {IVF_CELLS} OFFSET {N_QUERIES}
+  ORDER BY vec_id
+  LIMIT {_sql_ncells(IVF_CELLS)} OFFSET {N_QUERIES}
 ),
 assigned AS (
   SELECT vec_id, v, cell_id, rn FROM (

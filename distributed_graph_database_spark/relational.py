@@ -1860,18 +1860,28 @@ def ql_histogram_eqdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_in = Window.partitionBy("bkt").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum_in = g.withColumn("cum_in", F.sum("cnt").over(w_in))
+    # Checkpoint the within-bucket cumsum ONCE and derive everything
+    # downstream from it (r8, VERDICT r7 item 7): the offs leg used to
+    # re-aggregate g from the raw scan, duplicating the corpus-side
+    # groupBy(cents) and window exchanges (the r7 0.91→1.70 s cost).
+    # Each bucket's total is simply its LAST within-bucket cumsum, so
+    # offs is a tiny max-per-bucket aggregate over the checkpointed
+    # domain table, and the grand total is one sum over it — no second
+    # corpus scan anywhere.
+    cum_in = g.withColumn(
+        "cum_in", F.sum("cnt").over(w_in)
+    ).localCheckpoint(eager=True)
     w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = (
-        g.groupBy("bkt")
-        .agg(F.sum("cnt").alias("btot"))
+        cum_in.groupBy("bkt")
+        .agg(F.max("cum_in").alias("btot"))
         .withColumn("off", F.coalesce(F.sum("btot").over(w_off), F.lit(0)))
         .select("bkt", "off")
     )
     cum = cum_in.join(offs, "bkt").withColumn(
         "cum", F.col("cum_in") + F.col("off")
     )
-    tot = o.agg(F.count(F.lit(1)).alias("n"))
+    tot = cum_in.agg(F.sum("cnt").cast("bigint").alias("n"))
     ranks = (
         spark.range(1, EQDEPTH_BINS)
         .select(F.col("id").alias("i"))

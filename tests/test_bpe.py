@@ -56,3 +56,34 @@ def test_bpe_train_matches_reference(spark, sf_oracle):
         for r in text_bpe_train(spark, sf_oracle).collect()
     )
     assert got == sorted(want)
+
+
+def test_bpe_oracle_positional_merge_handles_equal_pair_runs(tmp_path):
+    """The DuckDB oracle replays the sequential fold POSITIONALLY (see
+    _oracle_bpe_train); the only non-obvious branch is l = r, where
+    greedy left-to-right pairing merges even run offsets ("aaaa" →
+    "aa","aa", "aaaaa" → "aa","aa","a"). Feed a run-heavy corpus and
+    check oracle == independent classical reference on every round."""
+    import duckdb
+
+    from distributed_graph_database_spark.pipeline.text import (
+        BPE_MERGES,
+        _oracle_bpe_train,
+    )
+
+    docs = [
+        "aaaa aaaaa aa aaa",
+        "aaaa aaaa baaab",
+        "aaab aaab abba abab",
+        "bb bbb bbbb aabb",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(docs))
+        + ") t(doc_id, text)"
+    )
+    got = sorted(map(tuple, con.execute(_oracle_bpe_train()).fetchall()))
+    counts = Counter(w for t in docs for w in t.split())
+    want = sorted(_reference_bpe(dict(counts), BPE_MERGES))
+    assert got == want

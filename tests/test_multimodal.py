@@ -145,3 +145,43 @@ def test_synthesized_images_roundtrip_through_real_decode(spark, sf_smoke):
             assert r.n_bytes > 3 * r.width * r.height
         else:
             assert r.n_bytes == 54 + ((3 * r.width + 3) // 4) * 4 * r.height
+
+
+def test_phash_clusters_partition_the_pair_graph(spark, sf_smoke):
+    """mm_phash_clusters must be exactly the connected components of
+    the mm_phash_dedup pair graph: (a) both docs of every pair share a
+    cluster, (b) cluster sizes sum to the pair graph's vertex count,
+    (c) cluster_id is the minimum member (checked via an independent
+    union-find over the collected pairs), and (d) no singleton
+    clusters (every clustered doc is in ≥1 pair)."""
+    from distributed_graph_database_spark.pipeline import multimodal as mm
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in mm.mm_phash_dedup(spark, sf_smoke).collect()
+    ]
+    clusters = {
+        r.cluster_id: r.n_members
+        for r in mm.mm_phash_clusters(spark, sf_smoke).collect()
+    }
+    assert pairs, "fixture corpus must produce near-dup pairs"
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict = {}
+    for v in parent:
+        want[find(v)] = want.get(find(v), 0) + 1
+    assert clusters == want
+    assert all(n >= 2 for n in clusters.values())
+    assert sum(clusters.values()) == len(parent)
