@@ -405,7 +405,16 @@ def ab_verdict_frame(j: DataFrame) -> DataFrame:
     counts too large to stage as real events rows. Degree-≥3 products
     use try_multiply (NULL on overflow under ANSI and legacy alike;
     degree-2 products of int64-bounded counts always fit 38 digits),
-    and the verdict COALESCEs to the double-precision shadow."""
+    and the verdict COALESCEs to the double-precision shadow.
+
+    The `exact` column (ADVICE r7) tells consumers which regime
+    produced the bit: TRUE = the pure-integer decimal comparison
+    (AB_Z is an integer, so z² is too — no float anywhere), FALSE =
+    an intermediate overflowed 38 digits and the verdict came from
+    the double shadow, where a z within ~1 ulp of AB_Z could flip.
+    The oracle pins TRUE: decimal(38,0)'s degree-5 headroom (~4e7
+    users) cannot overflow at any test sf, and the FALSE arm is
+    pinned by test_ab_verdict_survives_decimal_overflow."""
     n = F.col("na") + F.col("nb")
     c = F.col("ca") + F.col("cb")
     diff = F.try_subtract(
@@ -437,6 +446,7 @@ def ab_verdict_frame(j: DataFrame) -> DataFrame:
         F.col("nb").cast("bigint").alias("n_b"),
         F.col("cb").cast("bigint").alias("conv_b"),
         F.coalesce(lhs > rhs, lhs_d > rhs_d).alias("significant"),
+        (lhs.isNotNull() & rhs.isNotNull()).alias("exact"),
     )
 
 
@@ -461,7 +471,8 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
        CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
        ((ca * nb - cb * na) * (ca * nb - cb * na) * (na + nb))
          > ({AB_Z * AB_Z} * (ca + cb) * (na + nb - ca - cb) * na * nb)
-         AS significant
+         AS significant,
+       TRUE AS exact
 FROM j
 """
 

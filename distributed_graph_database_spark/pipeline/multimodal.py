@@ -574,39 +574,16 @@ PHASH_BAND_BITS = 4    # bits per band (bands × bits = hash width)
 PHASH_HAMMING_MAX = 3  # near-dup verify threshold
 
 
-def mm_phash_dedup(
-    spark: SparkSession, sf_dir: str, grid: int | None = None
-) -> DataFrame:
-    """Image near-dup pairs by banded Hamming join over the perceptual
-    hashes → (doc_a, doc_b, hamming): split each phash into
-    PHASH_BANDS bit-bands, candidate pairs share ≥1 exact band
-    (the dedup_simhash/dedup_near LSH blocking applied to images),
-    then verify Hamming distance ≤ PHASH_HAMMING_MAX via
-    bit_count(xor) — all integer-exact, so the whole pipeline
-    (synthesis → Arrow hash kernel → banded join → verify) sits under
-    one exact oracle.
+def _phash_band_layout(grid: int | None) -> tuple[int, int]:
+    """Validate the (grid, band) coupling and return (grid, n_bands).
 
-    Scale — the hash WIDTH is the saturation knob, measured: a fixed
-    16-bit hash has only 16 values per 4-bit band, so buckets grow
-    linearly with the corpus and candidates quadratically (measured
-    exp 1.64 at the sf0.1→sf1 10× step: 3.2 s → 140.6 s,
-    SCALE_PROBE_NEW.json); rehashing at grid=8 (64-bit hash, 16 bands
-    of the same 4 bits — the ≤3-Hamming pigeonhole recall guarantee
-    is band COUNT ≥ threshold+1, so it survives unchanged) makes the
-    buckets selective again and restores ~linear cost on the same
-    data. A deployment pins the grid to corpus size at ingest, the
-    sim_knn_graph n_cells discipline. Candidates are always
-    per-(band, value) equi-join buckets, never all-pairs; only hashes
-    shuffle — payload bytes never leave the map stage. The DECLARED
-    key keeps grid=PHASH_GRID (the exact-oracle contract)."""
+    Band layout must tile the hash exactly: a non-multiple grid would
+    leave top bits unbanded (silently weakening the ≤threshold-Hamming
+    pigeonhole guarantee), and the declared grid's band count must
+    equal the oracle's PHASH_BANDS literal. ValueError, not assert,
+    for all four coupling checks: they gate real recall/width
+    contracts and must survive `python -O` (ADVICE r7)."""
     g = PHASH_GRID if grid is None else grid
-    # Band layout must tile the hash exactly: a non-multiple grid
-    # would leave top bits unbanded (silently weakening the
-    # ≤threshold-Hamming pigeonhole guarantee), and the declared
-    # grid's band count must equal the oracle's PHASH_BANDS literal.
-    # ValueError, not assert, for all four coupling checks: they gate
-    # real recall/width contracts and must survive `python -O`
-    # (ADVICE r7).
     if (g * g) % PHASH_BAND_BITS != 0:
         raise ValueError(
             f"grid {g}: {g * g} hash bits do not tile into "
@@ -623,9 +600,28 @@ def mm_phash_dedup(
         raise ValueError(
             "pigeonhole recall guarantee needs bands > hamming threshold"
         )
-    ph = mm_phash(spark, sf_dir, grid=grid)
-    bands = ph.select(
-        "doc_id",
+    return g, n_bands
+
+
+def _phash_value_pairs(ph: DataFrame, n_bands: int) -> DataFrame:
+    """Verified near-dup pairs between DISTINCT phash VALUES →
+    (ph_a, ph_b, hamming) with ph_a < ph_b — the hash-value
+    contraction that makes image near-dup scale-safe on saturated
+    corpora.
+
+    Candidates are the banded LSH equi-join (dedup_simhash/dedup_near
+    blocking), but run over the distinct-hash set, not the doc table:
+    the ≤PHASH_HAMMING_MAX pigeonhole guarantee (n_bands ≥ threshold
+    + 1 untouched bands) holds between hash values exactly as between
+    docs, and identical hashes need no pair at all (Hamming 0 by
+    identity). The distinct-hash set is bounded by the HASH SPACE
+    (2^(grid²) values; each has ≤ ΣC(bits,i), i≤threshold, verified
+    neighbors), so this entire subplan is CONSTANT in corpus size —
+    the saturation that made doc-level banding quadratic (16 bucket
+    values ⇒ linear buckets ⇒ quadratic candidates, measured exp 1.87
+    at sf0.1→sf1) cannot occur here."""
+    hset = ph.select("phash").distinct()
+    bands = hset.select(
         "phash",
         F.explode(
             F.array(*[F.lit(b) for b in range(n_bands)])
@@ -640,32 +636,77 @@ def mm_phash_dedup(
             f" & {(1 << PHASH_BAND_BITS) - 1}"
         ).cast("bigint"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("phash").alias("ph_a"),
-        "band",
-        "band_val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("phash").alias("ph_b"),
-        "band",
-        "band_val",
-    )
+    a = bands.select(F.col("phash").alias("ph_a"), "band", "band_val")
+    b = bands.select(F.col("phash").alias("ph_b"), "band", "band_val")
     cand = (
         a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .filter(F.col("ph_a") < F.col("ph_b"))
+        .select("ph_a", "ph_b")
         .distinct()
     )
-    return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
-        )
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    return cand.withColumn(
+        "hamming",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))),
+    ).filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+
+
+def mm_phash_dedup(
+    spark: SparkSession, sf_dir: str, grid: int | None = None
+) -> DataFrame:
+    """Image near-dup pairs by banded Hamming join over the perceptual
+    hashes → (doc_a, doc_b, hamming): candidate pairs share ≥1 exact
+    PHASH_BAND_BITS-bit band (the dedup_simhash/dedup_near LSH
+    blocking applied to images), verified by Hamming ≤
+    PHASH_HAMMING_MAX via bit_count(xor) — all integer-exact, so the
+    whole pipeline (synthesis → Arrow hash kernel → banded join →
+    verify) sits under one exact oracle.
+
+    Scale — enumeration is OUTPUT-OPTIMAL via hash-value contraction
+    (r8, replacing the doc-level banding whose measured exponent was
+    1.87 at the sf0.1→sf1 step): the banded join and Hamming verify
+    run over DISTINCT hash values (_phash_value_pairs — bounded by
+    the hash space, constant in N), and doc pairs are then produced
+    by two equi-joins of the (doc_id, phash) table against that tiny
+    verified hash-pair set, plus a same-phash self-equi-join for the
+    Hamming-0 pairs. Every row of join output is an emitted result
+    row — no discarded candidates, no pair-level distinct. The pair
+    COUNT itself is still quadratic on a hash-saturated corpus
+    (~36k distinct images at sf1 ⇒ 2.35M true pairs) — that cost is
+    the output's, not the algorithm's; mm_phash_clusters is the
+    product shape that avoids materializing it. Only (doc_id, phash)
+    rows shuffle — payload bytes never leave the map stage. The
+    DECLARED key keeps grid=PHASH_GRID (the exact-oracle contract);
+    a deployment pins a wider grid at ingest (hash width is the
+    saturation knob — 64-bit ⇒ selective buckets AND a pair set that
+    is itself near-linear)."""
+    _, n_bands = _phash_band_layout(grid)
+    # (doc_id, phash) is 16 bytes/doc — checkpoint once; the plan
+    # below references it three times (intra twice, inter twice via
+    # alias) and must not re-run the Arrow synthesis kernel per ref.
+    ph = mm_phash(spark, sf_dir, grid=grid).localCheckpoint(eager=False)
+    hp = _phash_value_pairs(ph, n_bands)
+    intra = (
+        ph.select(F.col("doc_id").alias("doc_a"), "phash")
+        .join(ph.select(F.col("doc_id").alias("doc_b"), "phash"), "phash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
     )
+    inter = (
+        ph.select(F.col("doc_id").alias("da"), F.col("phash").alias("ph_a"))
+        .join(hp, "ph_a")
+        .join(
+            ph.select(
+                F.col("doc_id").alias("db"), F.col("phash").alias("ph_b")
+            ),
+            "ph_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+    return intra.unionByName(inter)
 
 
 ORACLE_MM_PHASH_DEDUP = f"""
@@ -706,24 +747,56 @@ def mm_phash_clusters(
     canonical (min doc_id) per cluster and drops n_members − 1 docs —
     it never needs the pairs materialized downstream.
 
-    Composition: candidate generation stays the banded LSH equi-join
-    (never all-pairs); the pair graph feeds the engine's own
-    large-star/small-star CC kernel (graph/traversal.py, O(log d)
-    rounds) — the dedup_clusters recipe (pipeline/dedup.py) applied to
-    images. Exact oracle: recursive CTE over the same SQL-expressible
-    pair set, grouped to (cluster_id, n_members)."""
+    Composition (r8 hash-value contraction — the doc-pair-graph form
+    measured exp 1.54 / 318 s at sf1, because the pair graph itself is
+    quadratic on this corpus): docs with IDENTICAL phash are connected
+    by definition (Hamming 0), so contract each distinct hash value to
+    one vertex up front, carrying (rep = min doc_id, cnt = members).
+    The engine's large-star/small-star CC kernel (graph/traversal.py,
+    O(log d) rounds) then runs on the hash-VALUE graph — vertices and
+    verified edges both bounded by the HASH SPACE, constant in corpus
+    size — and one groupBy expands labels back to doc space:
+    cluster_id = MIN(rep), n_members = SUM(cnt). Total cost: one
+    linear (doc_id, phash) scan + constant-size graph work. The
+    quadratic doc-pair set is never materialized — exactly why a
+    dedup pipeline wants this shape. Exact oracle: recursive CTE over
+    the SQL-expressible doc-pair set (uncontracted — the oracle states
+    the SEMANTICS; identical output proves the contraction sound,
+    additionally pinned by the union-find expansion test)."""
     from ..graph import traversal
 
-    pairs = mm_phash_dedup(spark, sf_dir, grid=grid).select("doc_a", "doc_b")
-    edges_sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    _, n_bands = _phash_band_layout(grid)
+    ph = mm_phash(spark, sf_dir, grid=grid).localCheckpoint(eager=False)
+    hstats = ph.groupBy("phash").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
     )
+    hp = _phash_value_pairs(ph, n_bands)
+    # Vertex set: hashes on a verified inter-hash edge, plus hashes
+    # with ≥2 docs as self-loops (their docs pair intra-hash, so they
+    # belong in the output even with no external neighbor; the CC
+    # kernel makes loop-only vertices their own component). Hashes
+    # with one doc and no edge are singletons in DOC space too — the
+    # declared contract (like dedup_clusters) excludes them.
+    edges_sym = (
+        hp.select(F.col("ph_a").alias("src"), F.col("ph_b").alias("dst"))
+        .unionByName(
+            hp.select(F.col("ph_b").alias("src"), F.col("ph_a").alias("dst"))
+        )
+        .unionByName(
+            hstats.filter(F.col("cnt") >= 2).select(
+                F.col("phash").alias("src"), F.col("phash").alias("dst")
+            )
+        )
+    )
+    labels = traversal.connected_components(spark, edges_sym)
     return (
-        traversal.connected_components(spark, edges_sym)
-        .groupBy(F.col("comp").alias("cluster_id"))
-        .agg(F.count(F.lit(1)).alias("n_members"))
+        labels.join(hstats, labels["vid"] == hstats["phash"])
+        .groupBy("comp")
+        .agg(
+            F.min("rep").alias("cluster_id"),
+            F.sum("cnt").alias("n_members"),
+        )
+        .select("cluster_id", "n_members")
     )
 
 

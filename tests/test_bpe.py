@@ -1,8 +1,9 @@
 """text_bpe_train vs an independent reference implementation of
 classical BPE (Sennrich et al.'s algorithm: count adjacent symbol
 pairs weighted by word frequency, merge the argmax left-to-right
-non-overlapping, repeat) run on the same corpus — the rows-only key's
-exactness evidence, same discipline as dedup_near's property suite."""
+non-overlapping, repeat) run on the same corpus. Since r8 the key
+also has an exact unrolled-CTE DuckDB oracle; this suite is the
+third, independent leg (Spark ≡ oracle ≡ classical reference)."""
 
 from __future__ import annotations
 

@@ -238,8 +238,18 @@ def test_ab_verdict_survives_decimal_overflow(spark):
         )
         rows = ab_verdict_frame(j).collect()
         assert len(rows) == 1 and rows[0].significant is not None
-        return rows[0].significant
+        return rows[0].significant, rows[0].exact
 
-    big = 10**9  # well past the exact decimal bound
-    assert run(big, big // 2, big, big // 4) is True   # 50% vs 25%
-    assert run(big, big // 2, big, big // 2) is False  # identical arms
+    big = 10**9  # lhs = diff²·n overflows; diff²≈2.5e35 · 2e9 > 1e38
+    assert run(big, big // 2, big, big // 4) == (True, False)  # 50% vs 25%
+    # Identical arms: diff = 0, so lhs = 0 never overflows and rhs
+    # (4e36) still fits 38 digits — the verdict stays exact even at
+    # a billion users per arm.
+    assert run(big, big // 2, big, big // 2) == (False, True)
+    # Non-significant AND overflowed (both sides NULL → double shadow):
+    # needs per-arm counts past ~1e11 so rhs ≈ 4·n⁴ > 1e38.
+    huge = 10**12
+    assert run(huge, huge // 2, huge, huge // 2 - 8) == (False, False)
+    # Small counts stay in the pure-decimal regime: exact = True.
+    assert run(100, 80, 100, 20) == (True, True)
+    assert run(100, 50, 100, 50) == (False, True)

@@ -231,11 +231,23 @@ HEADLINERS: dict[str, str] = {
         "constant-size d×d frames with the norm broadcast."
     ),
     "mm_phash_dedup": (
-        "Image near-dup LSH: band values computed by integer shifts "
-        "inside the scan, candidates from a per-(band, value) equi-join "
-        "(never all-pairs), Hamming verify as codegen'd "
-        "bit_count(xor) — the only Python in the plan is the Arrow "
-        "hash kernel, and payload bytes never reach a shuffle."
+        "Image near-dup LSH with hash-value contraction: the banded "
+        "equi-join + codegen'd bit_count(xor) verify run over DISTINCT "
+        "hash values (bounded by the hash space, constant in N); doc "
+        "pairs come from equi-joins of (doc_id, phash) against the "
+        "verified hash-pair set plus a same-phash self-join — every "
+        "join output row is an emitted result row (output-optimal). "
+        "The only Python in the plan is the Arrow hash kernel, run "
+        "once behind a checkpoint; payload bytes never reach a "
+        "shuffle."
+    ),
+    "mm_phash_clusters": (
+        "Cluster-canonical image dedup on the CONTRACTED hash-value "
+        "graph: one linear groupBy(phash) carries (min doc_id, count) "
+        "per distinct hash, the CC kernel runs on a graph bounded by "
+        "the hash space (constant in corpus size), and one groupBy "
+        "expands labels back — the quadratic doc-pair set is never "
+        "materialized."
     ),
     "graph_ppr": (
         "Random walk with restart: the pagerank superstep kernel with "
