@@ -642,7 +642,7 @@ def graph_betweenness_multi(
             eager=True
         )
     delta = lv[BETW_H].select("s", "v", F.lit(0.0).alias("delta"))
-    all_delta = [lv[BETW_H].select("s", "v", F.lit(0.0).alias("delta"))]
+    all_delta = [delta]
     for level in range(BETW_H - 1, -1, -1):
         succ = lv[level + 1].join(delta, ["s", "v"]).select(
             F.col("s").alias("ss"),

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import shared
 from ..catalog import table
 
 DECODE_SCHEMA = (
@@ -518,7 +519,24 @@ def mm_phash(
     and hashing are back-to-back map-only Arrow stages; only the
     16-bit hash leaves the kernel. The oracle recomputes every bit
     from the synthesis arithmetic (pixel j = (doc_id + j) mod 256)
-    with exact integer block-vs-image cross-multiplication."""
+    with exact integer block-vs-image cross-multiplication.
+
+    Cached entry point (see cache.shared) for the declared grid: the
+    (doc_id, phash) table is the input of all three phash keys
+    (mm_phash, mm_phash_dedup, mm_phash_clusters), and the Arrow
+    synthesis+hash corpus scan is the dominant cost — one checkpoint
+    serves them all (the _pq_codes_long / dedup pair-set discipline).
+    Non-default grids bypass the cache (ingest re-pins, tests)."""
+    if grid is None:
+        return shared(
+            spark, sf_dir, "mm_phash", lambda: _mm_phash(spark, sf_dir, None)
+        )
+    return _mm_phash(spark, sf_dir, grid)
+
+
+def _mm_phash(
+    spark: SparkSession, sf_dir: str, grid: int | None
+) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         synthesize_images, "doc_id bigint, payload binary"
@@ -680,10 +698,14 @@ def mm_phash_dedup(
     saturation knob — 64-bit ⇒ selective buckets AND a pair set that
     is itself near-linear)."""
     _, n_bands = _phash_band_layout(grid)
-    # (doc_id, phash) is 16 bytes/doc — checkpoint once; the plan
-    # below references it three times (intra twice, inter twice via
-    # alias) and must not re-run the Arrow synthesis kernel per ref.
-    ph = mm_phash(spark, sf_dir, grid=grid).localCheckpoint(eager=False)
+    # (doc_id, phash) is 16 bytes/doc and referenced four times below
+    # (hset, intra twice, inter twice) — the declared grid rides the
+    # session-shared checkpoint inside mm_phash; a re-pinned grid
+    # takes a private lazy one so the Arrow synthesis kernel still
+    # runs once per plan.
+    ph = mm_phash(spark, sf_dir, grid=grid)
+    if grid is not None:
+        ph = ph.localCheckpoint(eager=False)
     hp = _phash_value_pairs(ph, n_bands)
     intra = (
         ph.select(F.col("doc_id").alias("doc_a"), "phash")
@@ -766,7 +788,9 @@ def mm_phash_clusters(
     from ..graph import traversal
 
     _, n_bands = _phash_band_layout(grid)
-    ph = mm_phash(spark, sf_dir, grid=grid).localCheckpoint(eager=False)
+    ph = mm_phash(spark, sf_dir, grid=grid)
+    if grid is not None:
+        ph = ph.localCheckpoint(eager=False)
     hstats = ph.groupBy("phash").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
     )

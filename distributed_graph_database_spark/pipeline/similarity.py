@@ -164,9 +164,12 @@ def scaled_cells(n: int, base: int) -> int:
     measured 30.6 s vs 102.6 s at sf1 — SCALE_PROBE.json, VERDICT r7
     next #3). Integer isqrt so the value is exact; the DuckDB oracles
     compute the same constant as GREATEST(base, CEIL(SQRT(COUNT(*))))
-    — double sqrt agrees with the integer form for every non-square n
-    (an irrational √n is never within double rounding of an integer at
-    these magnitudes) and for perfect squares both give exactly √n."""
+    — the double form agrees with integer isqrt for every n below
+    2^52 (past that, n no longer round-trips through double and
+    CEIL(SQRT(k²+1)) can land on k — cross-engine-swept to 2·10^5
+    plus perfect-square edges to 10^10 in tests/test_r8_ops.py; a
+    corpus beyond 4.5e15 rows would need the oracle twin restated in
+    HUGEINT, not a different quantizer)."""
     import math
 
     return max(base, math.isqrt(max(n - 1, 0)) + 1 if n > 0 else 1)

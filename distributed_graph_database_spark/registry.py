@@ -236,16 +236,22 @@ def _driver_last_seen() -> dict[str, int]:
         for key, row in data.items():
             if not isinstance(row, dict):
                 continue
-            # A row only counts as "seen" if it was a VERIFIED check:
-            # err-free rows always count; an `err: no_oracle` row
-            # counts only while the key is still declared rows-only
-            # (absent from oracles.ORACLE_SQL). When a key graduates
-            # from rows-only to an exact oracle (r8:
-            # store_stats_approx, text_bpe_train), its old no-oracle
-            # rows stop counting, so the rotation resurfaces it for a
-            # driver-signed hash row instead of treating the weaker
-            # check as coverage.
-            if row.get("err") == "no_oracle" and key in oracles.ORACLE_SQL:
+            # A row only counts as "seen" if it was a VERIFIED check —
+            # a WHITELIST, so any error marker a future driver might
+            # write (crash, timeout, mismatch) resurfaces the key
+            # instead of counting as coverage: err-free rows count;
+            # an `err: no_oracle` row counts only while the key is
+            # still declared rows-only (absent from
+            # oracles.ORACLE_SQL). When a key graduates from rows-only
+            # to an exact oracle (r8: store_stats_approx,
+            # text_bpe_train), its old no-oracle rows stop counting,
+            # so the rotation resurfaces it for a driver-signed hash
+            # row instead of treating the weaker check as coverage.
+            err = row.get("err")
+            verified = (
+                err is None and row.get("hash_match") is not False
+            ) or (err == "no_oracle" and key not in oracles.ORACLE_SQL)
+            if not verified:
                 continue
             out[key] = max(out.get(key, -1), rnd)
     return out

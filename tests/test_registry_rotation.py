@@ -22,13 +22,26 @@ DRIVER_WINDOW = 50
 
 
 def _artifact_last_seen() -> dict[str, int]:
+    """Independent mirror of registry._driver_last_seen's verified-row
+    whitelist: err-free non-mismatch rows count; no_oracle rows count
+    only while the key is still declared rows-only (graduated keys —
+    r8: store_stats_approx, text_bpe_train — resurface for a
+    driver-signed hash row)."""
+    from distributed_graph_database_spark import oracles
+
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
         with open(path) as f:
             data = json.load(f)
         for key, row in data.items():
-            if isinstance(row, dict):
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            verified = (
+                err is None and row.get("hash_match") is not False
+            ) or (err == "no_oracle" and key not in oracles.ORACLE_SQL)
+            if verified:
                 out[key] = max(out.get(key, -1), rnd)
     return out
 
