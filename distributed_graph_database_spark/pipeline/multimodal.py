@@ -763,9 +763,8 @@ def mm_phash_clusters(
     This is the scale-safe product shape mm_phash_dedup lacks: on a
     corpus whose true near-dup relation is dense (the synthetic PPMs
     have ~36k distinct images at sf1, so the pair set itself is
-    quadratic — the measured exp-1.65 defect), the PAIR table is
-    intrinsically output-bound, but the cluster table is bounded by
-    the number of distinct groups. A dedup pipeline keeps the
+    quadratic), the PAIR table is intrinsically output-bound, but the
+    cluster table is bounded by the number of distinct groups. A dedup pipeline keeps the
     canonical (min doc_id) per cluster and drops n_members − 1 docs —
     it never needs the pairs materialized downstream.
 

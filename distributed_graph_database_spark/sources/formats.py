@@ -759,7 +759,15 @@ def store_stats_approx(
     flips a hashed bit instead of hiding behind a rows-only row. The
     audit pays the Expand the production form avoids; that is the
     point (an occasional audit scan certifying the cheap form's
-    estimates, the sim_ivf_recall measured-quality discipline)."""
+    estimates, the sim_ivf_recall measured-quality discipline).
+
+    The exact profile and the sketches are two SEPARATE one-row
+    aggregates joined by a broadcast crossJoin (1×1): putting
+    approx_count_distinct's imperative HLL buffer into the same
+    aggregate as the multi-column exact distincts forces every lane
+    of the Expand through SortAggregate — measured 34 s vs 2.6+1.2 s
+    split at sf0.1 — while split, each side keeps its own optimal
+    shape (hash-agg Expand / no-Expand partial-merge)."""
     o = table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderpriority",
@@ -771,14 +779,24 @@ def store_stats_approx(
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
-            F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__ndv"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
         if audit:
             aggs.append(F.countDistinct(c).alias(f"{c}__ndv_exact"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__ndv")
+            )
     one = o.agg(*aggs)
     if audit:
+        sketches = o.agg(
+            *[
+                F.approx_count_distinct(c, rsd=0.02).alias(f"{c}__ndv")
+                for c in cols
+            ]
+        )
+        one = one.crossJoin(F.broadcast(sketches))  # 1×1
         stack_args = ", ".join(
             f"'{c}', {c}__nulls, {c}__ndv_exact, {c}__min, {c}__max, "
             f"cast({STATS_NDV_TOL_X20} * abs({c}__ndv - {c}__ndv_exact)"
