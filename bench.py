@@ -126,6 +126,7 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         # 0.02 s ↔ 2.2 s between them — VERDICT r7 item 3), making
         # per-key round-over-round comparison lie.
         ("pq_adc_topk", lambda: pl_sim.sim_pq_topk(spark, sf_dir)),
+        ("ivfpq_adc_topk", lambda: pl_sim.sim_ivfpq_topk(spark, sf_dir)),
         # The (doc_id, phash) feature table all three phash keys scan
         # from: the Arrow synthesis+hash corpus pass is the dominant
         # cost, paid once here instead of once per key.

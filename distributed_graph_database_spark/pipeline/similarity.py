@@ -1308,6 +1308,37 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(spark, sf_dir, "sim_pq_topk", lambda: _sim_pq_topk(spark, sf_dir))
 
 
+def _pq_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, qv): the pinned unit-normalized query set the PQ
+    keys score and re-rank against."""
+    return (
+        _unit(_embeddings(spark, sf_dir), "v")
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+
+
+def _pq_query_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, m, code, d2): the per-query ADC lookup table — one
+    squared-L2 entry per (subspace, codebook id), N_QUERIES·PQ_M·PQ_K
+    rows total (constant-bounded, always broadcastable)."""
+    q = _pq_queries(spark, sf_dir)
+    qsubs = q.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "qv",
+    ).select(
+        "query_id", "m", F.slice("qv", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("qs")
+    )
+    return qsubs.join(F.broadcast(_pq_codebook(spark, sf_dir)), "m").select(
+        "query_id",
+        "m",
+        F.col("cid").alias("code"),
+        _sub_d2(F.col("qs"), F.col("cv")).alias("d2"),
+    )
+
+
 def _sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-k with exact re-rank → same schema as sim_topk.
     Per query: build the (PQ_M × PQ_K)-entry distance lookup table
@@ -1318,24 +1349,8 @@ def _sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle, and the state all shrink ~21×; full vectors are read
     only for |queries| · PQ_SHORTLIST rows."""
     emb = _unit(_embeddings(spark, sf_dir), "v")
-    q = (
-        emb.orderBy("vec_id")
-        .limit(N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    )
-    qsubs = q.select(
-        "query_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-        "qv",
-    ).select(
-        "query_id", "m", F.slice("qv", F.col("m") * PQ_SUB + 1, PQ_SUB).alias("qs")
-    )
-    lut = qsubs.join(F.broadcast(_pq_codebook(spark, sf_dir)), "m").select(
-        "query_id",
-        "m",
-        F.col("cid").alias("code"),
-        _sub_d2(F.col("qs"), F.col("cv")).alias("d2"),
-    )
+    q = _pq_queries(spark, sf_dir)
+    lut = _pq_query_lut(spark, sf_dir)
     codes = _pq_codes_long(spark, sf_dir).select("vec_id", "m", "code")
     adist = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -1378,6 +1393,110 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline)."""
     exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = sim_pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("recall_at_k"),
+        )
+        .select("query_id", "n_hits", "recall_at_k")
+    )
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry point (cache.shared): reused by
+    sim_ivfpq_recall."""
+    return shared(
+        spark, sf_dir, "sim_ivfpq_topk", lambda: _sim_ivfpq_topk(spark, sf_dir)
+    )
+
+
+def _sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ hybrid top-k — the full production ANN shape (an
+    inverted-file index over PQ codes, Jégou et al.'s IVFADC):
+    queries route to their IVF_NPROBE nearest coarse cells exactly as
+    sim_topk_ivf, but inside the probed cells the ranking is PQ-ADC
+    over the 96-bit codes instead of exact cosine over full vectors,
+    with the PQ_SHORTLIST survivors exact-re-ranked → same schema as
+    sim_topk.
+
+    This composes the two scale levers the standalone keys measure in
+    isolation: the IVF routing cuts the CANDIDATE count to
+    nprobe/cells of the corpus (sim_topk_ivf's lever), and PQ cuts
+    the BYTES per candidate ~21× (sim_pq_topk's lever) — at 100 TB
+    the scored side is nprobe/cells of a code table, and full vectors
+    are read only for |queries|·PQ_SHORTLIST rows. Candidate
+    generation is the broadcast-probes equi-join on cell_id (never
+    all-pairs); the ADC lookup table is constant-bounded
+    (N_QUERIES·PQ_M·PQ_K rows) and broadcast. Fully deterministic
+    (pinned cells, codebook, and tie-breaks) ⇒ exact oracle composing
+    the IVF and PQ oracle CTEs."""
+    emb = _embeddings(spark, sf_dir)
+    cells = _cells(spark, sf_dir)
+    corpus_cells = _assign(emb, cells, "v", "cells", 1).select(
+        "vec_id", F.explode("cells").alias("cell_id")
+    )
+    qraw = (
+        emb.orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    probes = _assign(qraw, cells, "qv", "probe_cells", IVF_NPROBE).select(
+        "query_id", F.explode("probe_cells").alias("cell_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(corpus_cells, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codes = _pq_codes_long(spark, sf_dir).select("vec_id", "m", "code")
+    lut = _pq_query_lut(spark, sf_dir)
+    adist = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adist2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist2", "vec_id")
+    short = (
+        adist.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    uemb = _unit(_embeddings(spark, sf_dir), "v")
+    rerank = (
+        short.join(uemb, "vec_id")
+        .join(F.broadcast(_pq_queries(spark, sf_dir)), "query_id")
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@K of the IVF-PQ hybrid against the exact
+    baseline → (query_id, n_hits, recall_at_k): the compounded price
+    of the two approximations (cell routing misses × code
+    quantization misses), hash-checked into the driver artifact —
+    the sim_ivf_recall / sim_pq_recall discipline applied to their
+    composition."""
+    exact = sim_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_ivfpq_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return (
@@ -1486,6 +1605,108 @@ QUALIFY rank <= {TOP_K}
 ORACLE_SIM_PQ_RECALL = f"""
 WITH exact AS ({ORACLE_SIM_TOPK}),
 approx AS ({ORACLE_SIM_PQ_TOPK})
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+
+# IVF-PQ hybrid: the IVF routing CTEs verbatim from ORACLE_SIM_TOPK_IVF
+# (raw vectors — cosine is scale-invariant but the EXPRESSION must match
+# the Spark side exactly for tie-break stability), candidate set =
+# probed-cell members, then the PQ oracle's ADC/shortlist/rerank
+# restricted to those candidates.
+ORACLE_SIM_IVFPQ_TOPK = f"""
+WITH {_ORACLE_PQ_BASE},
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cells AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  ORDER BY vec_id LIMIT {IVF_CELLS} OFFSET {N_QUERIES}
+),
+corpusc AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell_id) AS rn
+    FROM e CROSS JOIN cells c) WHERE rn <= 1
+),
+qraw AS (
+  SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, cell_id FROM (
+    SELECT q.query_id, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cv)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell_id) AS rn
+    FROM qraw q CROSS JOIN cells c) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, cc.vec_id
+  FROM probes p JOIN corpusc cc ON cc.cell_id = p.cell_id
+  WHERE cc.vec_id <> p.query_id
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM eu ORDER BY vec_id LIMIT {N_QUERIES}
+),
+qsubs AS (
+  SELECT query_id, m, qv[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS qs
+  FROM q, ms
+),
+lut AS (
+  SELECT s.query_id, s.m, c.cid AS code,
+         list_dot_product(s.qs, s.qs) - 2 * list_dot_product(s.qs, c.cv)
+           + list_dot_product(c.cv, c.cv) AS d2
+  FROM qsubs s JOIN cb c ON c.m = s.m
+),
+adist AS (
+  SELECT ca.query_id, co.vec_id, SUM(l.d2) AS adist2
+  FROM pqcodes co
+  JOIN cand ca ON ca.vec_id = co.vec_id
+  JOIN lut l ON l.query_id = ca.query_id
+            AND l.m = co.m AND l.code = co.code
+  GROUP BY ca.query_id, co.vec_id
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist2, vec_id) AS srank
+    FROM adist) t
+  WHERE srank <= {PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e2.v) AS cosine
+  FROM short s
+  JOIN eu e2 ON e2.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank,
+       ROUND(cosine, 6) AS cosine
+FROM rerank
+QUALIFY rank <= {TOP_K}
+"""
+
+ORACLE_SIM_IVFPQ_RECALL = f"""
+WITH exact AS ({ORACLE_SIM_TOPK}),
+approx AS ({ORACLE_SIM_IVFPQ_TOPK})
 SELECT e.query_id,
        CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_hits,
@@ -1723,6 +1944,8 @@ QUERIES = {
     "sim_pq_code": sim_pq_code,
     "sim_pq_topk": sim_pq_topk,
     "sim_pq_recall": sim_pq_recall,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
+    "sim_ivfpq_recall": sim_ivfpq_recall,
     "dedup_embed": dedup_embed,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_logreg_step": ml_logreg_step,
@@ -1745,6 +1968,8 @@ ORACLE_SQL = {
     "sim_pq_code": ORACLE_SIM_PQ_CODE,
     "sim_pq_topk": ORACLE_SIM_PQ_TOPK,
     "sim_pq_recall": ORACLE_SIM_PQ_RECALL,
+    "sim_ivfpq_topk": ORACLE_SIM_IVFPQ_TOPK,
+    "sim_ivfpq_recall": ORACLE_SIM_IVFPQ_RECALL,
     "dedup_embed": ORACLE_DEDUP_EMBED,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
     "ml_logreg_step": ORACLE_ML_LOGREG_STEP,

@@ -72,3 +72,32 @@ def test_scaled_cells_matches_duckdb_ceil_sqrt_everywhere():
     for n, want in got:
         assert scaled_cells(n, 1) == want, n
     assert scaled_cells(500, 16) == 23 and scaled_cells(500, 64) == 64
+
+
+def test_ivfpq_dominated_by_ivf_recall(spark, sf_smoke):
+    """Per query, the hybrid's hit set is provably contained in IVF's:
+    IVF hits = global top-k ∩ candidate set (exact cosine keeps every
+    global-top-k candidate), and the hybrid only further drops
+    candidates via the ADC shortlist — so n_hits(ivfpq) ≤ n_hits(ivf)
+    per query. Also pin result-shape invariants: ranks contiguous
+    from 1, ≤ TOP_K rows per query."""
+    from distributed_graph_database_spark.pipeline import similarity as sim
+
+    hyb = sim.sim_ivfpq_topk(spark, sf_smoke)
+    rows = hyb.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert per_q, "hybrid returned no rows"
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= sim.TOP_K
+
+    ivf = {
+        r.query_id: r.n_hits
+        for r in sim.sim_ivf_recall(spark, sf_smoke).collect()
+    }
+    for r in sim.sim_ivfpq_recall(spark, sf_smoke).collect():
+        assert r.n_hits <= ivf[r.query_id], (
+            f"query {r.query_id}: hybrid hits {r.n_hits} > ivf {ivf[r.query_id]}"
+        )
