@@ -70,16 +70,24 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(spark, sf_dir, "sim_topk", lambda: _sim_topk(spark, sf_dir))
 
 
+def _raw_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, qv): the pinned query set (N_QUERIES lowest vec_ids)
+    over RAW vectors — the single definition every sim_* key derives
+    its query side from (the unit-normalized flavor is _pq_queries)."""
+    return (
+        _embeddings(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+
+
 def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: pinned queries (N_QUERIES lowest vec_ids) ×
     full corpus → (query_id, neighbor_id, rank, cosine). The query
     side is tiny and broadcast; the corpus is scanned once."""
     emb = _embeddings(spark, sf_dir)
-    q = (
-        emb.orderBy("vec_id")
-        .limit(N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    )
+    q = _raw_queries(spark, sf_dir)
     scored = (
         F.broadcast(q)
         .join(emb, F.col("vec_id") != F.col("query_id"))
@@ -237,11 +245,7 @@ def _sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _assign(emb, cells, "v", "cells", 1).select(
         "vec_id", "v", F.explode("cells").alias("cell_id")
     )
-    q = (
-        emb.orderBy("vec_id")
-        .limit(N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    )
+    q = _raw_queries(spark, sf_dir)
     probes = _assign(q, cells, "qv", "probe_cells", IVF_NPROBE).select(
         "query_id", "qv", F.explode("probe_cells").alias("cell_id")
     )
@@ -377,8 +381,13 @@ WHERE list_dot_product(va, vb) >= {EMBED_COSINE_T}
 # probe selection, and in-cell ranking. Upgraded from rows-only in r3
 # (VERDICT r2 #5: approximate operators must ship measured quality,
 # and the first step is making the approximation itself auditable).
-ORACLE_SIM_TOPK_IVF = f"""
-WITH e AS (
+# Shared IVF routing CTE fragment: the coarse-cell assignment both
+# sim_topk_ivf and the IVF-PQ hybrid build on. One definition so the
+# tie-break-sensitive expressions (rank by raw cosine, cell_id / vec_id
+# tie-breaks) cannot drift between the two oracles — the Spark twins
+# share _cells/_assign/_raw_queries the same way.
+_ORACLE_IVF_ROUTE = f"""
+e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 cells AS (
@@ -396,7 +405,7 @@ corpus AS (
                       c.cell_id) AS rn
     FROM e CROSS JOIN cells c) WHERE rn <= 1
 ),
-q AS (
+qr AS (
   SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {N_QUERIES}
 ),
 probes AS (
@@ -408,8 +417,12 @@ probes AS (
                         / (sqrt(list_dot_product(q.qv, q.qv))
                            * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                       c.cell_id) AS rn
-    FROM q CROSS JOIN cells c) WHERE rn <= {IVF_NPROBE}
-),
+    FROM qr q CROSS JOIN cells c) WHERE rn <= {IVF_NPROBE}
+)
+"""
+
+ORACLE_SIM_TOPK_IVF = f"""
+WITH {_ORACLE_IVF_ROUTE},
 scored AS (
   SELECT p.query_id, ca.vec_id AS neighbor_id,
          list_dot_product(p.qv, ca.v)
@@ -1222,6 +1235,19 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(m, cid, cv): PQ_K pinned codebook vectors per subspace — the
     vectors right after the query + IVF-centroid id ranges,
     unit-normalized then sliced per subspace."""
+    # The pinned id ranges (queries, IVF cells, codebook) must be
+    # disjoint: on a corpus smaller than their sum the Spark
+    # limit/desc-limit backfills with query/cell ids while the oracle's
+    # OFFSET returns fewer rows — a confusing hash mismatch. Fail loud
+    # instead (one cached COUNT action, the _corpus_n discipline).
+    need = N_QUERIES + IVF_CELLS + PQ_K
+    n = _corpus_n(spark, sf_dir)
+    if n < need:
+        raise ValueError(
+            f"PQ codebook needs ≥ {need} embeddings "
+            f"(queries {N_QUERIES} + cells {IVF_CELLS} + codebook "
+            f"{PQ_K}); corpus has {n}"
+        )
     base = (
         _unit(_embeddings(spark, sf_dir), "v")
         .orderBy("vec_id")
@@ -1319,11 +1345,14 @@ def _pq_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_query_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_query_lut(
+    spark: SparkSession, sf_dir: str, q: DataFrame
+) -> DataFrame:
     """(query_id, m, code, d2): the per-query ADC lookup table — one
     squared-L2 entry per (subspace, codebook id), N_QUERIES·PQ_M·PQ_K
-    rows total (constant-bounded, always broadcastable)."""
-    q = _pq_queries(spark, sf_dir)
+    rows total (constant-bounded, always broadcastable). Takes the
+    _pq_queries frame from the caller so a plan that also re-ranks
+    against it derives the query set once, not twice."""
     qsubs = q.select(
         "query_id",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
@@ -1350,7 +1379,7 @@ def _sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only for |queries| · PQ_SHORTLIST rows."""
     emb = _unit(_embeddings(spark, sf_dir), "v")
     q = _pq_queries(spark, sf_dir)
-    lut = _pq_query_lut(spark, sf_dir)
+    lut = _pq_query_lut(spark, sf_dir, q)
     codes = _pq_codes_long(spark, sf_dir).select("vec_id", "m", "code")
     adist = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -1441,11 +1470,7 @@ def _sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_cells = _assign(emb, cells, "v", "cells", 1).select(
         "vec_id", F.explode("cells").alias("cell_id")
     )
-    qraw = (
-        emb.orderBy("vec_id")
-        .limit(N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    )
+    qraw = _raw_queries(spark, sf_dir)
     probes = _assign(qraw, cells, "qv", "probe_cells", IVF_NPROBE).select(
         "query_id", F.explode("probe_cells").alias("cell_id")
     )
@@ -1456,7 +1481,8 @@ def _sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     codes = _pq_codes_long(spark, sf_dir).select("vec_id", "m", "code")
-    lut = _pq_query_lut(spark, sf_dir)
+    qunit = _pq_queries(spark, sf_dir)
+    lut = _pq_query_lut(spark, sf_dir, qunit)
     adist = (
         codes.join(cand, "vec_id")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
@@ -1472,7 +1498,7 @@ def _sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uemb = _unit(_embeddings(spark, sf_dir), "v")
     rerank = (
         short.join(uemb, "vec_id")
-        .join(F.broadcast(_pq_queries(spark, sf_dir)), "query_id")
+        .join(F.broadcast(qunit), "query_id")
         .withColumn("cosine", _dot(F.col("qv"), F.col("v")))
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
@@ -1547,6 +1573,19 @@ pqcodes AS (
                                        c.cid) AS rn
     FROM subs s JOIN cb c ON c.m = s.m) t
   WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM eu ORDER BY vec_id LIMIT {N_QUERIES}
+),
+qsubs AS (
+  SELECT query_id, m, qv[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS qs
+  FROM q, ms
+),
+lut AS (
+  SELECT s.query_id, s.m, c.cid AS code,
+         list_dot_product(s.qs, s.qs) - 2 * list_dot_product(s.qs, c.cv)
+           + list_dot_product(c.cv, c.cv) AS d2
+  FROM qsubs s JOIN cb c ON c.m = s.m
 )
 """
 
@@ -1560,19 +1599,6 @@ FROM pqcodes GROUP BY vec_id
 
 ORACLE_SIM_PQ_TOPK = f"""
 WITH {_ORACLE_PQ_BASE},
-q AS (
-  SELECT vec_id AS query_id, v AS qv FROM eu ORDER BY vec_id LIMIT {N_QUERIES}
-),
-qsubs AS (
-  SELECT query_id, m, qv[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS qs
-  FROM q, ms
-),
-lut AS (
-  SELECT s.query_id, s.m, c.cid AS code,
-         list_dot_product(s.qs, s.qs) - 2 * list_dot_product(s.qs, c.cv)
-           + list_dot_product(c.cv, c.cv) AS d2
-  FROM qsubs s JOIN cb c ON c.m = s.m
-),
 adist AS (
   SELECT l.query_id, co.vec_id, SUM(l.d2) AS adist2
   FROM pqcodes co JOIN lut l ON l.m = co.m AND l.code = co.code
@@ -1616,62 +1642,19 @@ LEFT JOIN approx a
 GROUP BY e.query_id
 """
 
-# IVF-PQ hybrid: the IVF routing CTEs verbatim from ORACLE_SIM_TOPK_IVF
-# (raw vectors — cosine is scale-invariant but the EXPRESSION must match
-# the Spark side exactly for tie-break stability), candidate set =
-# probed-cell members, then the PQ oracle's ADC/shortlist/rerank
-# restricted to those candidates.
+# IVF-PQ hybrid: the shared IVF routing fragment (raw vectors — cosine
+# is scale-invariant but the EXPRESSION must match the Spark side
+# exactly for tie-break stability) supplies the candidate set, then the
+# PQ base's ADC LUT + shortlist + rerank run restricted to it. Both
+# fragments are single-definition (_ORACLE_IVF_ROUTE / _ORACLE_PQ_BASE),
+# so the three sim oracles cannot drift apart.
 ORACLE_SIM_IVFPQ_TOPK = f"""
 WITH {_ORACLE_PQ_BASE},
-e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-cells AS (
-  SELECT vec_id AS cell_id, v AS cv FROM e
-  ORDER BY vec_id LIMIT {IVF_CELLS} OFFSET {N_QUERIES}
-),
-corpusc AS (
-  SELECT vec_id, cell_id FROM (
-    SELECT e.vec_id, c.cell_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, c.cv)
-                        / (sqrt(list_dot_product(e.v, e.v))
-                           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                      c.cell_id) AS rn
-    FROM e CROSS JOIN cells c) WHERE rn <= 1
-),
-qraw AS (
-  SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {N_QUERIES}
-),
-probes AS (
-  SELECT query_id, cell_id FROM (
-    SELECT q.query_id, c.cell_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY q.query_id
-             ORDER BY list_dot_product(q.qv, c.cv)
-                        / (sqrt(list_dot_product(q.qv, q.qv))
-                           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                      c.cell_id) AS rn
-    FROM qraw q CROSS JOIN cells c) WHERE rn <= {IVF_NPROBE}
-),
+{_ORACLE_IVF_ROUTE},
 cand AS (
   SELECT p.query_id, cc.vec_id
-  FROM probes p JOIN corpusc cc ON cc.cell_id = p.cell_id
+  FROM probes p JOIN corpus cc ON cc.cell_id = p.cell_id
   WHERE cc.vec_id <> p.query_id
-),
-q AS (
-  SELECT vec_id AS query_id, v AS qv FROM eu ORDER BY vec_id LIMIT {N_QUERIES}
-),
-qsubs AS (
-  SELECT query_id, m, qv[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS qs
-  FROM q, ms
-),
-lut AS (
-  SELECT s.query_id, s.m, c.cid AS code,
-         list_dot_product(s.qs, s.qs) - 2 * list_dot_product(s.qs, c.cv)
-           + list_dot_product(c.cv, c.cv) AS d2
-  FROM qsubs s JOIN cb c ON c.m = s.m
 ),
 adist AS (
   SELECT ca.query_id, co.vec_id, SUM(l.d2) AS adist2
