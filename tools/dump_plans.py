@@ -241,6 +241,13 @@ HEADLINERS: dict[str, str] = {
         "once behind a checkpoint; payload bytes never reach a "
         "shuffle."
     ),
+    "sim_ivfpq_topk": (
+        "IVF-PQ hybrid (IVFADC): broadcast probes route each query to "
+        "nprobe cells, the ADC join scores only probed-cell members "
+        "via the broadcast constant-size LUT over 96-bit codes, and "
+        "full vectors are read solely for the shortlist re-rank — "
+        "candidate count and bytes-per-candidate cut in the same plan."
+    ),
     "mm_phash_clusters": (
         "Cluster-canonical image dedup on the CONTRACTED hash-value "
         "graph: one linear groupBy(phash) carries (min doc_id, count) "
