@@ -706,6 +706,15 @@ def mm_phash_dedup(
     ph = mm_phash(spark, sf_dir, grid=grid)
     if grid is not None:
         ph = ph.localCheckpoint(eager=False)
+    return phash_pairs_from_features(ph, n_bands)
+
+
+def phash_pairs_from_features(ph: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup pairs from ANY (doc_id, phash)
+    feature frame — the contraction+expansion core of mm_phash_dedup,
+    exposed over an arbitrary frame so property tests can pin it
+    against brute-force all-pairs Hamming on synthetic corpora
+    (tests/test_r8_ops.py)."""
     hp = _phash_value_pairs(ph, n_bands)
     intra = (
         ph.select(F.col("doc_id").alias("doc_a"), "phash")
@@ -784,12 +793,22 @@ def mm_phash_clusters(
     the SQL-expressible doc-pair set (uncontracted — the oracle states
     the SEMANTICS; identical output proves the contraction sound,
     additionally pinned by the union-find expansion test)."""
-    from ..graph import traversal
-
     _, n_bands = _phash_band_layout(grid)
     ph = mm_phash(spark, sf_dir, grid=grid)
     if grid is not None:
         ph = ph.localCheckpoint(eager=False)
+    return phash_clusters_from_features(spark, ph, n_bands)
+
+
+def phash_clusters_from_features(
+    spark: SparkSession, ph: DataFrame, n_bands: int
+) -> DataFrame:
+    """(cluster_id, n_members) from ANY (doc_id, phash) feature frame —
+    the contracted-CC core of mm_phash_clusters, exposed so property
+    tests can pin it against brute-force union-find on synthetic
+    corpora (tests/test_r8_ops.py)."""
+    from ..graph import traversal
+
     hstats = ph.groupBy("phash").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
     )

@@ -101,3 +101,86 @@ def test_ivfpq_dominated_by_ivf_recall(spark, sf_smoke):
         assert r.n_hits <= ivf[r.query_id], (
             f"query {r.query_id}: hybrid hits {r.n_hits} > ivf {ivf[r.query_id]}"
         )
+
+
+def _brute_pairs(feats, hmax):
+    """All-pairs Hamming ≤ hmax over [(doc_id, phash)] — the oracle-free
+    ground truth the contraction must reproduce exactly."""
+    out = set()
+    for i in range(len(feats)):
+        for j in range(i + 1, len(feats)):
+            (da, ha), (db, hb) = feats[i], feats[j]
+            d = bin(ha ^ hb).count("1")
+            if d <= hmax:
+                a, b = sorted((da, db))
+                out.add((a, b, d))
+    return out
+
+
+def _brute_clusters(pairs, hmax):
+    """Union-find over the brute pair set → {(min doc, size)}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for x in list(parent):
+        comps.setdefault(find(x), set()).add(x)
+    return {(min(m), len(m)) for m in comps.values()}
+
+
+def test_phash_contraction_matches_brute_force(spark):
+    """The hash-value contraction (pairs AND clusters) must reproduce
+    brute-force all-pairs Hamming / union-find on adversarial
+    synthetic feature frames: duplicate hashes (intra pairs), chains
+    A~B~C where A~C exceeds the threshold (transitive clusters),
+    singletons with and without duplicates, and hash values that
+    share bands without being within threshold (candidates that must
+    verify-fail). Pins both the pigeonhole completeness at the hash
+    level and the equi-join expansion."""
+    from distributed_graph_database_spark.pipeline import multimodal as mm
+
+    corpora = [
+        # dup hashes only (no inter edges)
+        [(1, 0x0F0F), (2, 0x0F0F), (3, 0x00FF), (4, 0x00FF), (5, 0x1234)],
+        # chain: 0x0000 ~1~ 0x0001 ~1~ 0x0003 ~1~ 0x0007 ~1~ 0x000F,
+        # ends differ by 4 > threshold — one transitive cluster
+        [(10, 0x0000), (11, 0x0001), (12, 0x0003), (13, 0x0007), (14, 0x000F)],
+        # band-sharers beyond threshold: 0x0000 vs 0x0FF0 share bands
+        # 0 and 3 but hamming 8 — candidate must verify-fail
+        [(20, 0x0000), (21, 0x0FF0), (22, 0xFFFF)],
+        # mixed: dups + near + far + isolated
+        [(30, 0x1111), (31, 0x1111), (32, 0x1110), (33, 0x8888),
+         (34, 0x7777), (35, 0x1119), (36, 0x1111)],
+    ]
+    import random
+
+    rng = random.Random(8)
+    corpora.append(
+        [(i, rng.randrange(1 << 16)) for i in range(60)]
+    )
+    for feats in corpora:
+        ph = spark.createDataFrame(feats, "doc_id bigint, phash bigint")
+        got_pairs = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in mm.phash_pairs_from_features(ph, mm.PHASH_BANDS).collect()
+        }
+        want_pairs = _brute_pairs(feats, mm.PHASH_HAMMING_MAX)
+        assert got_pairs == want_pairs, feats
+        got_clusters = {
+            (r.cluster_id, r.n_members)
+            for r in mm.phash_clusters_from_features(
+                spark, ph, mm.PHASH_BANDS
+            ).collect()
+        }
+        want_clusters = _brute_clusters(want_pairs, mm.PHASH_HAMMING_MAX)
+        assert got_clusters == want_clusters, feats
