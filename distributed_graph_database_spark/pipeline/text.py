@@ -1037,6 +1037,241 @@ s{k} AS MATERIALIZED (
     return base + "".join(rounds) + "\n" + "\nUNION ALL ".join(selects)
 
 
+# --- repetition signals (Gopher-style quality rules) -----------------
+# A doc is flagged repetitive when its most frequent token exceeds
+# 1/REP_TOP_UNIGRAM_DEN of all tokens, or its duplicate-bigram count
+# exceeds 1/REP_DUP_BIGRAM_DEN of all bigrams. Both verdicts are
+# integer cross-multiplications — division-free, so the flag is exact.
+REP_TOP_UNIGRAM_DEN = 5
+REP_DUP_BIGRAM_DEN = 4
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals → (doc_id, n_tokens,
+    top_unigram_count, n_bigrams, dup_bigram_count, repetitive) — the
+    Gopher/MassiveText repetition rules (most-common-word fraction,
+    duplicate-n-gram fraction) that catch looping generators and
+    boilerplate which length/stopword gates (text_quality) miss.
+
+    All columns are exact integers or integer-comparison booleans —
+    the fractions the literature quotes are emitted as
+    numerator/denominator pairs so the hash check is float-free.
+    Scale shape: two map-side-combined per-doc groupBys over the
+    exploded token/bigram tables (second level keyed by doc_id only);
+    n_bigrams is DERIVED (n_tokens − 1 when ≥ 2 tokens) rather than
+    re-aggregated, so the bigram leg only counts distincts. No
+    windows, no driver work; the token array is materialized once
+    (lazy checkpoint) before the bigram HOF pairs it — `element_at`
+    re-evaluates its argument per element (the dedup-shingle lesson)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_unigram_count"),
+            F.sum("c").alias("n_tokens"),
+        )
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    big = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_distinct_bigrams"))
+    )
+    pre = (
+        uni.join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_unigram_count",
+            F.greatest(F.col("n_tokens") - 1, F.lit(0)).alias("n_bigrams"),
+            (
+                F.greatest(F.col("n_tokens") - 1, F.lit(0))
+                - F.coalesce("n_distinct_bigrams", F.lit(0))
+            ).alias("dup_bigram_count"),
+        )
+    )
+    return pre.withColumn(
+        "repetitive",
+        (F.col("top_unigram_count") * REP_TOP_UNIGRAM_DEN > F.col("n_tokens"))
+        | (F.col("dup_bigram_count") * REP_DUP_BIGRAM_DEN > F.col("n_bigrams")),
+    )
+
+
+ORACLE_TEXT_REPETITION = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+u AS (
+  SELECT doc_id, MAX(c) AS top_unigram_count,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM uni GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN LEN(toks) >= 2
+                THEN list_transform(range(1, LEN(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS bg
+  FROM t
+),
+b AS (
+  SELECT doc_id, COUNT(DISTINCT bg) AS n_distinct_bigrams
+  FROM bg GROUP BY doc_id
+),
+pre AS (
+  SELECT u.doc_id, u.n_tokens, u.top_unigram_count,
+         GREATEST(u.n_tokens - 1, 0) AS n_bigrams,
+         GREATEST(u.n_tokens - 1, 0)
+           - COALESCE(b.n_distinct_bigrams, 0) AS dup_bigram_count
+  FROM u LEFT JOIN b USING (doc_id)
+)
+SELECT *,
+       (top_unigram_count * {REP_TOP_UNIGRAM_DEN} > n_tokens)
+       OR (dup_bigram_count * {REP_DUP_BIGRAM_DEN} > n_bigrams) AS repetitive
+FROM pre
+"""
+
+
+# --- cross-document duplicate shingles (exact-substring-dedup probe) --
+# k is deliberately different from CONTAM_SHINGLE_K: contamination is
+# the train-vs-benchmark broadcast-join shape; this key is corpus-
+# internal all-docs duplication via a full shuffle join — the shingle
+# analog of the suffix-array exact-substring dedup of Lee et al. 2021.
+DUPNG_K = 5
+
+
+def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-shingle coverage → (doc_id,
+    n_shingles, n_dup_shingles, cross_duplicated): for every document,
+    how many of its DUPNG_K-token shingles also occur in at least one
+    OTHER document. The per-doc report behind exact-substring dedup
+    (which spans to remove) and boilerplate mining (headers/footers
+    shared across a crawl).
+
+    Scale shape: shingle hashes are md5 strings; the duplicate set is
+    one groupBy over the distinct (doc, shingle) pairs (count ≥ 2
+    docs), rejoined on the hash key with NO broadcast hint — corpus-
+    internal duplication is corpus-sized (unlike the tiny benchmark
+    side of text_contamination), so the join must be allowed to
+    degrade to a shuffle hash join at scale; AQE still broadcasts it
+    when the measured dup set is small. Per-doc totals are
+    DERIVED from the token count (n − k + 1), not re-aggregated. The
+    shingle frame is materialized once (lazy checkpoint) since both
+    the duplicate set and the per-doc counts consume it."""
+    k = DUPNG_K
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                        lambda i: F.md5(
+                            F.concat_ws(
+                                " ", *[F.element_at("toks", i + j) for j in range(k)]
+                            )
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        sh.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    per = (
+        sh.join(dup, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_shingles"))
+    )
+    base = toks.select(
+        "doc_id",
+        F.greatest(F.size("toks") - (k - 1), F.lit(0)).alias("n_shingles"),
+    )
+    return (
+        base.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
+        )
+        .withColumn("cross_duplicated", F.col("n_dup_shingles") > 0)
+    )
+
+
+def _oracle_dup_ngrams() -> str:
+    k = DUPNG_K
+    cat = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(k)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN LEN(toks) >= {k}
+                THEN list_transform(range(1, LEN(toks) - {k - 2}),
+                                    i -> md5({cat}))
+                ELSE [] END) AS sh
+  FROM t
+),
+dup AS (
+  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh)
+  GROUP BY sh HAVING COUNT(*) >= 2
+),
+per AS (
+  SELECT sh.doc_id, COUNT(*) AS n_dup_shingles
+  FROM sh JOIN dup USING (sh) GROUP BY sh.doc_id
+)
+SELECT t.doc_id,
+       GREATEST(LEN(t.toks) - {k - 1}, 0) AS n_shingles,
+       COALESCE(per.n_dup_shingles, 0) AS n_dup_shingles,
+       COALESCE(per.n_dup_shingles, 0) > 0 AS cross_duplicated
+FROM t LEFT JOIN per USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -1052,6 +1287,8 @@ QUERIES = {
     "text_collocations": text_collocations,
     "text_bpe_train": text_bpe_train,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_repetition": text_repetition,
+    "text_dup_ngrams": text_dup_ngrams,
 }
 
 ORACLE_SQL = {
@@ -1071,4 +1308,6 @@ ORACLE_SQL = {
     # so an unrolled CTE replays it (it was rows-only through r7).
     "text_bpe_train": _oracle_bpe_train(),
     "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "text_dup_ngrams": _oracle_dup_ngrams(),
 }

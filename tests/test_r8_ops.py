@@ -184,3 +184,74 @@ def test_phash_contraction_matches_brute_force(spark):
         }
         want_clusters = _brute_clusters(want_pairs, mm.PHASH_HAMMING_MAX)
         assert got_clusters == want_clusters, feats
+
+
+def _doc_tokens(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\\s+') "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def test_repetition_brute_force(spark, sf_smoke):
+    """Independent Python replay: Counter-based top-unigram and
+    duplicate-bigram counts must equal the distributed output for
+    every document, and the flag must be the declared integer
+    cross-multiplication."""
+    from collections import Counter
+
+    from distributed_graph_database_spark.pipeline import text as t
+
+    got = {
+        r.doc_id: r
+        for r in t.text_repetition(spark, sf_smoke).collect()
+    }
+    rows = _doc_tokens(sf_smoke)
+    assert set(got) == {d for d, _ in rows}
+    for doc_id, toks in rows:
+        uni = Counter(toks)
+        bigs = Counter(zip(toks, toks[1:]))
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.top_unigram_count == max(uni.values())
+        assert r.n_bigrams == max(len(toks) - 1, 0)
+        assert r.dup_bigram_count == max(len(toks) - 1, 0) - len(bigs)
+        assert r.repetitive == (
+            r.top_unigram_count * t.REP_TOP_UNIGRAM_DEN > r.n_tokens
+            or r.dup_bigram_count * t.REP_DUP_BIGRAM_DEN > r.n_bigrams
+        )
+
+
+def test_dup_ngrams_brute_force(spark, sf_smoke):
+    """Independent Python replay of the cross-document duplicate
+    shingle set: a shingle is duplicated iff ≥ 2 distinct docs contain
+    it; per-doc occurrence counts must match exactly."""
+    from collections import defaultdict
+
+    from distributed_graph_database_spark.pipeline import text as t
+
+    k = t.DUPNG_K
+    rows = _doc_tokens(sf_smoke)
+    per_doc = {}
+    owners = defaultdict(set)
+    for doc_id, toks in rows:
+        sh = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        per_doc[doc_id] = sh
+        for s in set(sh):
+            owners[s].add(doc_id)
+    dup = {s for s, ds in owners.items() if len(ds) >= 2}
+    got = {
+        r.doc_id: r for r in t.text_dup_ngrams(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, sh in per_doc.items():
+        r = got[doc_id]
+        n_dup = sum(1 for s in sh if s in dup)
+        assert r.n_shingles == len(sh)
+        assert r.n_dup_shingles == n_dup
+        assert r.cross_duplicated == (n_dup > 0)
