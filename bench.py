@@ -131,6 +131,10 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         # from: the Arrow synthesis+hash corpus pass is the dominant
         # cost, paid once here instead of once per key.
         ("mm_phash_features", lambda: pl_mm.mm_phash(spark, sf_dir)),
+        # The (doc_id, afp) fingerprint table all three audio keys
+        # consume — the Arrow chunk_audio scan + per-doc window pass,
+        # paid once here (the mm_phash rule).
+        ("mm_audio_fp_features", lambda: pl_mm.mm_audio_fingerprint(spark, sf_dir)),
         ("colloc_unigram_counts", lambda: _shared(
             spark, sf_dir, "colloc_unigrams",
             lambda: pl_text._colloc_unigrams(spark, sf_dir))),

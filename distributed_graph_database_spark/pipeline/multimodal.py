@@ -27,7 +27,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import shared
@@ -448,6 +448,190 @@ WHERE win_offset < n
 """
 
 
+# --- audio fingerprint ------------------------------------------------------
+
+# Energy-delta-sign fingerprint width. 16 bits = the phash width, so
+# the SAME band layout (PHASH_BANDS × PHASH_BAND_BITS) and the same
+# contraction kernels apply — the audio modality rides the image
+# near-dup machinery unchanged.
+AUDIO_FP_BITS = 16
+
+
+def mm_audio_fingerprint(
+    spark: SparkSession, sf_dir: str, n_bits: int | None = None
+) -> DataFrame:
+    """Chromaprint-style audio fingerprint → (doc_id, afp): bit i is
+    set iff window i's mean energy exceeds window i+1's — the
+    energy-delta-sign code that makes audio near-dup a Hamming
+    problem (Chromaprint/Shazam's core trick, minus the FFT the
+    container can't ship). The comparison is the integer
+    cross-multiplication win_sum·next_len > next_sum·win_len — never
+    a float mean — so every bit is SQL-replayable.
+
+    Scale shape: one per-doc window over the audio-window rows (keyed
+    by doc_id — partitions bound by the corpus, never global), one
+    map-side-combined groupBy packing bits with shiftleft. Docs
+    shorter than n_bits+1 windows zero-fill high bits; every doc gets
+    a row (the sum runs over ALL window rows, not just lead-valid
+    ones). Cached entry point for the declared width: the fingerprint
+    table feeds all three audio keys, and its input is the Arrow
+    chunk_audio kernel scan — one checkpoint serves them all (the
+    mm_phash discipline)."""
+    if n_bits is None:
+        return shared(
+            spark,
+            sf_dir,
+            "mm_audio_fp",
+            lambda: _mm_audio_fingerprint(spark, sf_dir, AUDIO_FP_BITS),
+        )
+    return _mm_audio_fingerprint(spark, sf_dir, n_bits)
+
+
+def _mm_audio_fingerprint(
+    spark: SparkSession, sf_dir: str, n_bits: int
+) -> DataFrame:
+    wins = mm_audio_windows(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    led = wins.select(
+        "doc_id",
+        "win_idx",
+        "win_sum",
+        "win_len",
+        F.lead("win_sum").over(w).alias("nxt_sum"),
+        F.lead("win_len").over(w).alias("nxt_len"),
+    )
+    bit = (
+        (F.col("win_idx") < n_bits)
+        & F.col("nxt_sum").isNotNull()
+        & (
+            F.col("win_sum") * F.col("nxt_len")
+            > F.col("nxt_sum") * F.col("win_len")
+        )
+    )
+    return led.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                bit,
+                F.expr("shiftleft(cast(1 as bigint), cast(win_idx as int))"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("afp")
+    )
+
+
+def _oracle_audio_fp() -> str:
+    """Fingerprint SELECT body over the audio-window oracle CTE —
+    single definition consumed by the fingerprint key and (hash-
+    renamed) by the audio dedup/cluster oracles."""
+    return f"""
+WITH wins AS ({ORACLE_MM_AUDIO_WINDOWS}),
+led AS (
+  SELECT doc_id, win_idx, win_sum, win_len,
+         LEAD(win_sum) OVER (PARTITION BY doc_id ORDER BY win_idx) AS nxt_sum,
+         LEAD(win_len) OVER (PARTITION BY doc_id ORDER BY win_idx) AS nxt_len
+  FROM wins
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN win_idx < {AUDIO_FP_BITS}
+                      AND nxt_sum IS NOT NULL
+                      AND win_sum * nxt_len > nxt_sum * win_len
+                     THEN (CAST(1 AS BIGINT) << win_idx) ELSE 0 END)
+            AS BIGINT) AS afp
+FROM led GROUP BY doc_id
+"""
+
+
+def _audio_band_layout(n_bits: int) -> int:
+    """Validate the audio fingerprint's band tiling and return the
+    band count — the _phash_band_layout contract for a width that is
+    not a square grid. ValueError, not assert (survives python -O)."""
+    if n_bits % PHASH_BAND_BITS != 0:
+        raise ValueError(
+            f"{n_bits} fingerprint bits do not tile into "
+            f"{PHASH_BAND_BITS}-bit bands"
+        )
+    if n_bits > 64:
+        raise ValueError(f"{n_bits}-bit fingerprint exceeds int64")
+    n_bands = n_bits // PHASH_BAND_BITS
+    if n_bands < PHASH_HAMMING_MAX + 1:
+        raise ValueError(
+            "pigeonhole recall guarantee needs bands > hamming threshold"
+        )
+    return n_bands
+
+
+def mm_audio_neardup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item audio near-dup degree → (doc_id, n_near_dups): how
+    many OTHER audio items sit within PHASH_HAMMING_MAX of each item's
+    fingerprint — the duplication-pressure report a curation pipeline
+    ranks and thresholds.
+
+    The audio modality deliberately does NOT declare a raw pair key:
+    short payloads leave ≤ ~12 meaningful delta bits, the fingerprint
+    space saturates, and the pair SET is intrinsically quadratic (the
+    mm_phash_dedup lesson, measured there at 2.35M pairs / sf1) — so
+    the declared shapes are the two whose OUTPUT stays linear or
+    bounded: this degree report and mm_audio_clusters. Degree is
+    computed entirely in hash space (phash_neardup_degree_from_
+    features: per-hash member counts + verified hash-pair partner
+    sums, both bounded by 2^AUDIO_FP_BITS), then expanded to docs by
+    one linear equi-join — the quadratic pair set is never
+    materialized, yet the numbers are EXACTLY the pair-graph degrees
+    (oracle counts them from the uncontracted pair set)."""
+    n_bands = _audio_band_layout(AUDIO_FP_BITS)
+    afp = mm_audio_fingerprint(spark, sf_dir).select(
+        "doc_id", F.col("afp").alias("phash")
+    )
+    return phash_neardup_degree_from_features(afp, n_bands)
+
+
+def phash_neardup_degree_from_features(
+    ph: DataFrame, n_bands: int
+) -> DataFrame:
+    """(doc_id, n_near_dups) from ANY (doc_id, phash) feature frame —
+    degree of each doc in the banded-Hamming near-dup graph, without
+    materializing it: n_near(doc with hash h) = (members(h) − 1)
+    + Σ members(h') over verified neighbors h' of h. All graph work
+    is hash-value-bounded; docs join in once at the end."""
+    hstats = ph.groupBy("phash").agg(F.count(F.lit(1)).alias("cnt"))
+    hp = _phash_value_pairs(ph, n_bands)
+    sym = hp.select(
+        F.col("ph_a").alias("h"), F.col("ph_b").alias("p")
+    ).unionByName(hp.select(F.col("ph_b").alias("h"), F.col("ph_a").alias("p")))
+    partner = (
+        sym.join(
+            hstats.select(F.col("phash").alias("p"), F.col("cnt").alias("pcnt")),
+            "p",
+        )
+        .groupBy("h")
+        .agg(F.sum("pcnt").alias("partner_cnt"))
+    )
+    per_hash = hstats.join(
+        partner, hstats["phash"] == partner["h"], "left"
+    ).select(
+        "phash",
+        (
+            F.col("cnt") - 1 + F.coalesce("partner_cnt", F.lit(0))
+        ).cast("bigint").alias("n_near"),
+    )
+    return ph.join(per_hash, "phash").select(
+        "doc_id", F.col("n_near").alias("n_near_dups")
+    )
+
+
+def mm_audio_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical audio near-dup → (cluster_id, n_members):
+    phash_clusters_from_features over the audio fingerprint — the
+    contracted-CC product shape (one vertex per distinct fingerprint,
+    large-star/small-star over the verified hash-value graph, one
+    groupBy expansion), so the quadratic pair set is never
+    materialized even when the fingerprint space saturates."""
+    n_bands = _audio_band_layout(AUDIO_FP_BITS)
+    afp = mm_audio_fingerprint(spark, sf_dir).select(
+        "doc_id", F.col("afp").alias("phash")
+    )
+    return phash_clusters_from_features(spark, afp, n_bands)
+
+
 # --- perceptual hashing -----------------------------------------------------
 
 PHASH_GRID = 4  # 4×4 block grid → 16-bit average-hash
@@ -740,13 +924,20 @@ def phash_pairs_from_features(ph: DataFrame, n_bands: int) -> DataFrame:
     return intra.unionByName(inter)
 
 
-ORACLE_MM_PHASH_DEDUP = f"""
-WITH ph AS ({ORACLE_MM_PHASH}),
+def _oracle_hamming_pairs(feature_sql: str, n_bands: int) -> str:
+    """Banded-Hamming near-dup pair oracle over ANY (doc_id, phash)
+    feature SELECT — the SQL twin of phash_pairs_from_features, one
+    definition serving both the image and audio modalities. The
+    oracle states the semantics doc-level (band-share candidates +
+    Hamming verify); the engine's hash-value contraction must produce
+    the identical set."""
+    return f"""
+WITH ph AS ({feature_sql}),
 bands AS (
   SELECT doc_id, phash, b.band,
          (phash >> (b.band * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1}
            AS band_val
-  FROM ph, (SELECT unnest(range(0, {PHASH_BANDS})) AS band) b
+  FROM ph, (SELECT unnest(range(0, {n_bands})) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
@@ -760,6 +951,9 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAMMING_MAX}
 """
+
+
+ORACLE_MM_PHASH_DEDUP = _oracle_hamming_pairs(ORACLE_MM_PHASH, PHASH_BANDS)
 
 
 def mm_phash_clusters(
@@ -842,8 +1036,13 @@ def phash_clusters_from_features(
     )
 
 
-ORACLE_MM_PHASH_CLUSTERS = f"""
-WITH RECURSIVE pairs AS ({ORACLE_MM_PHASH_DEDUP}),
+def _oracle_hamming_clusters(pairs_sql: str) -> str:
+    """Connected-components cluster oracle over a near-dup pair
+    oracle — recursive-CTE label propagation, grouped to
+    (cluster_id = min member, n_members). One definition serving
+    both modalities."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
 sym AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -864,12 +1063,40 @@ FROM memb GROUP BY cluster_id
 """
 
 
+ORACLE_MM_PHASH_CLUSTERS = _oracle_hamming_clusters(ORACLE_MM_PHASH_DEDUP)
+
+_ORACLE_AUDIO_FP_AS_PHASH = (
+    f"SELECT doc_id, afp AS phash FROM ({_oracle_audio_fp()})"
+)
+# The audio PAIR set is an internal fragment, not a declared key (see
+# mm_audio_neardup_degree's docstring) — the degree and cluster
+# oracles both state their semantics over it, uncontracted.
+_ORACLE_AUDIO_PAIRS = _oracle_hamming_pairs(
+    _ORACLE_AUDIO_FP_AS_PHASH, AUDIO_FP_BITS // PHASH_BAND_BITS
+)
+ORACLE_MM_AUDIO_CLUSTERS = _oracle_hamming_clusters(_ORACLE_AUDIO_PAIRS)
+ORACLE_MM_AUDIO_NEARDUP_DEGREE = f"""
+WITH pairs AS ({_ORACLE_AUDIO_PAIRS}),
+deg AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_a AS doc FROM pairs
+        UNION ALL SELECT doc_b AS doc FROM pairs)
+  GROUP BY doc
+)
+SELECT f.doc_id, COALESCE(deg.n, 0) AS n_near_dups
+FROM ({_oracle_audio_fp()}) f LEFT JOIN deg ON deg.doc = f.doc_id
+"""
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_decode_real": mm_decode_real,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize": mm_resize,
     "mm_audio_windows": mm_audio_windows,
+    "mm_audio_fingerprint": mm_audio_fingerprint,
+    "mm_audio_neardup_degree": mm_audio_neardup_degree,
+    "mm_audio_clusters": mm_audio_clusters,
     "mm_phash": mm_phash,
     "mm_phash_dedup": mm_phash_dedup,
     "mm_phash_clusters": mm_phash_clusters,
@@ -881,6 +1108,9 @@ ORACLE_SQL = {
     "mm_frame_sample": ORACLE_MM_FRAME_SAMPLE,
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_audio_windows": ORACLE_MM_AUDIO_WINDOWS,
+    "mm_audio_fingerprint": _oracle_audio_fp(),
+    "mm_audio_neardup_degree": ORACLE_MM_AUDIO_NEARDUP_DEGREE,
+    "mm_audio_clusters": ORACLE_MM_AUDIO_CLUSTERS,
     "mm_phash": ORACLE_MM_PHASH,
     "mm_phash_dedup": ORACLE_MM_PHASH_DEDUP,
     "mm_phash_clusters": ORACLE_MM_PHASH_CLUSTERS,

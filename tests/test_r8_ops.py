@@ -255,3 +255,58 @@ def test_dup_ngrams_brute_force(spark, sf_smoke):
         assert r.n_shingles == len(sh)
         assert r.n_dup_shingles == n_dup
         assert r.cross_duplicated == (n_dup > 0)
+
+
+def test_audio_degree_matches_brute_force(spark):
+    """phash_neardup_degree_from_features must equal per-doc pair-graph
+    degree from brute-force all-pairs Hamming — on the same synthetic
+    corpora that pin the pair/cluster kernels, including saturated
+    ones (many docs per hash value)."""
+    import random
+
+    from distributed_graph_database_spark.pipeline import multimodal as mm
+
+    rng = random.Random(88)
+    corpora = [
+        [(1, 0x0001), (2, 0x0003), (3, 0x0001), (4, 0xF0F0)],
+        [(i, rng.randrange(1 << 16)) for i in range(60)],
+        # saturated: 40 docs over 6 hash values
+        [(i, [0x1, 0x3, 0x7, 0xFF00, 0xFF01, 0xAAAA][i % 6]) for i in range(40)],
+    ]
+    for feats in corpora:
+        ph = spark.createDataFrame(feats, "doc_id bigint, phash bigint")
+        want_pairs = _brute_pairs(feats, mm.PHASH_HAMMING_MAX)
+        want_deg = {d: 0 for d, _ in feats}
+        for a, b, _ in want_pairs:
+            want_deg[a] += 1
+            want_deg[b] += 1
+        got = {
+            r.doc_id: r.n_near_dups
+            for r in mm.phash_neardup_degree_from_features(
+                ph, mm.PHASH_BANDS
+            ).collect()
+        }
+        assert got == want_deg, feats
+
+
+def test_audio_fingerprint_bounds_and_short_doc(spark, sf_smoke):
+    """Fingerprint stays inside [0, 2^AUDIO_FP_BITS); every doc gets a
+    row; and a doc's bit i reflects window i vs i+1 mean energy
+    (replayed in Python for a sample of docs)."""
+    from distributed_graph_database_spark.pipeline import multimodal as mm
+
+    fp = {r.doc_id: r.afp for r in mm.mm_audio_fingerprint(spark, sf_smoke).collect()}
+    wins = {}
+    for r in mm.mm_audio_windows(spark, sf_smoke).collect():
+        wins.setdefault(r.doc_id, []).append((r.win_idx, r.win_sum, r.win_len))
+    assert set(fp) == set(wins)
+    for doc_id, ws in list(sorted(wins.items()))[:25]:
+        ws.sort()
+        want = 0
+        for i in range(min(len(ws) - 1, mm.AUDIO_FP_BITS)):
+            _, s0, l0 = ws[i]
+            _, s1, l1 = ws[i + 1]
+            if s0 * l1 > s1 * l0:
+                want |= 1 << i
+        assert fp[doc_id] == want, doc_id
+        assert 0 <= fp[doc_id] < (1 << mm.AUDIO_FP_BITS)
