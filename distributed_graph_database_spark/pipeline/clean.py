@@ -580,6 +580,129 @@ FROM ranked CROSS JOIN lo
 """
 
 
+# --- the curation funnel report ---------------------------------------
+# Stage labels, in application order. Each stage is CUMULATIVE (a doc
+# survives stage k iff it survives 0..k), so the report reads as the
+# classic data-curation funnel: raw → exact dedup → near-dup cluster
+# canonicals → repetition gate → benchmark decontamination.
+FUNNEL_STAGES = [
+    "0_raw",
+    "1_exact_dedup",
+    "2_near_dedup",
+    "3_repetition_gate",
+    "4_decontaminated",
+]
+
+
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel → one row per stage
+    (stage, n_docs, n_tokens): how many documents and tokens survive
+    each cumulative gate of a training-data pipeline — exact
+    keep-first dedup, near-dup cluster canonicalization
+    (dedup_clusters: keep only cluster representatives), the
+    repetition quality rule (text_repetition's flag), and benchmark
+    decontamination (text_contamination: drop benchmark members and
+    any train doc sharing a shingle with them). The before/after
+    report every corpus release ships with.
+
+    Composition, not re-implementation: the stage predicates COME
+    FROM the standalone keys (dedup_clusters / text_repetition /
+    text_contamination are called as functions; exact-dedup reuses
+    dedup_exact's normalization), so funnel semantics can never
+    drift from the operators users run individually. Scale shape:
+    every input is a per-doc frame joined on doc_id (the cluster
+    frame arrives via the session-shared pair cache); the five
+    cumulative (count, token-sum) pairs fold into ONE map-side-
+    combined global aggregate, unpivoted by a constant 5-row stack —
+    output is 5 rows regardless of corpus size."""
+    from .dedup import dedup_clusters
+    from .text import text_contamination, text_repetition
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("h"),
+    )
+    winners = docs.groupBy("h").agg(F.min("doc_id").alias("w"))
+    clusters = dedup_clusters(spark, sf_dir)
+    rep = text_repetition(spark, sf_dir).select("doc_id", "repetitive")
+    contam = text_contamination(spark, sf_dir).select("doc_id", "contaminated")
+    flagged = (
+        docs.join(winners, "h")
+        .join(clusters, "doc_id", "left")
+        .join(rep, "doc_id")
+        .join(contam, "doc_id", "left")
+    )
+    s1 = F.col("doc_id") == F.col("w")
+    s2 = s1 & (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+    s3 = s2 & ~F.col("repetitive")
+    # Bench docs (absent from the contamination report) drop here too:
+    # they are eval material, not training data.
+    s4 = s3 & ~F.coalesce(F.col("contaminated"), F.lit(True))
+    aggs = []
+    for i, s in enumerate([F.lit(True), s1, s2, s3, s4]):
+        aggs.append(F.sum(F.when(s, 1).otherwise(0)).alias(f"d{i}"))
+        aggs.append(
+            F.sum(F.when(s, F.col("n_tokens")).otherwise(0)).alias(f"t{i}")
+        )
+    one = flagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', d{i}, t{i}" for i, name in enumerate(FUNNEL_STAGES)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(FUNNEL_STAGES)}, {stack_args}) "
+            "as (stage, n_docs, n_tokens)"
+        )
+    )
+
+
+def _oracle_dedup_report() -> str:
+    from .dedup import _oracle_dedup_clusters
+    from .text import ORACLE_TEXT_CONTAMINATION, ORACLE_TEXT_REPETITION
+
+    # Cumulative stage predicates as single-definition Python
+    # fragments (the tie-break-fragment discipline): each builds on
+    # the previous, so Spark and SQL can never disagree on a stage
+    # boundary.
+    s1 = "f.doc_id = f.w"
+    s2 = f"({s1}) AND (f.cluster_id IS NULL OR f.cluster_id = f.doc_id)"
+    s3 = f"({s2}) AND NOT f.repetitive"
+    s4 = f"({s3}) AND NOT COALESCE(f.contaminated, TRUE)"
+    preds = ["TRUE", s1, s2, s3, s4]
+    stages = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS stage,"
+        f" CAST(COUNT(*) FILTER (WHERE {preds[i]}) AS BIGINT) AS n_docs,"
+        f" CAST(COALESCE(SUM(n_tokens) FILTER (WHERE {preds[i]}), 0)"
+        f" AS BIGINT) AS n_tokens FROM f"
+        for i, name in enumerate(FUNNEL_STAGES)
+    )
+    return rf"""
+WITH docs AS (
+  SELECT doc_id,
+         LEN(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS n_tokens,
+         md5(LOWER(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+winners AS (SELECT h, MIN(doc_id) AS w FROM docs GROUP BY h),
+clusters AS ({_oracle_dedup_clusters()}),
+rep AS (SELECT doc_id, repetitive FROM ({ORACLE_TEXT_REPETITION})),
+contam AS (SELECT doc_id, contaminated FROM ({ORACLE_TEXT_CONTAMINATION})),
+f AS (
+  SELECT d.doc_id, d.n_tokens, w.w, c.cluster_id, r.repetitive,
+         ct.contaminated
+  FROM docs d
+  JOIN winners w USING (h)
+  LEFT JOIN clusters c ON c.doc_id = d.doc_id
+  JOIN rep r ON r.doc_id = d.doc_id
+  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+)
+{stages}
+"""
+
+
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "corpus_sample": corpus_sample,
@@ -590,6 +713,7 @@ QUERIES = {
     "corpus_mix": corpus_mix,
     "corpus_interleave": corpus_interleave,
     "corpus_token_budget": corpus_token_budget,
+    "corpus_dedup_report": corpus_dedup_report,
 }
 
 ORACLE_SQL = {
@@ -602,4 +726,5 @@ ORACLE_SQL = {
     "corpus_mix": _oracle_corpus_mix(),
     "corpus_interleave": ORACLE_CORPUS_INTERLEAVE,
     "corpus_token_budget": ORACLE_CORPUS_TOKEN_BUDGET,
+    "corpus_dedup_report": _oracle_dedup_report(),
 }
