@@ -367,6 +367,126 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("v").alias("vid"), F.round("r", 6).alias("ppr"))
 
 
+PPR_SEEDS = 8  # batched restart-set size (the BETW_SEEDS convention)
+
+
+def graph_ppr_multi(
+    spark: SparkSession, sf_dir: str, n_seeds: int | None = None
+) -> DataFrame:
+    """Batched multi-seed personalized PageRank → (seed, vid, ppr):
+    the PPR_SEEDS minimum-id vertices each run their own restart walk,
+    all in ONE plan with a seed column — the layout graph_ppr's
+    docstring promises ("at 100 TB many seeds run as one plan") and
+    the form a recommender actually executes: related-items for a
+    BATCH of query products, not one.
+
+    Kernel: graph_ppr verbatim with (seed, v) rank state — per-round
+    one edge equi-join + one (seed, dst) groupBy-sum over the
+    once-checkpointed degree-annotated edges, lazy bounded lineage
+    (fixed PR_ROUNDS supersteps, each round's state consumed once —
+    the pagerank discipline; re-aggregating kernels like HITS must
+    checkpoint instead). K seeds cost one job of K× rows, not K
+    driver-sequenced jobs — per-round shuffle LAUNCH overhead
+    dominates at small K (the graph_betweenness_multi measurement).
+    Output is K·|V| rows — linear in the graph, enumerating the full
+    per-seed mass vector (zero mass beyond the PR_ROUNDS-hop horizon
+    by construction)."""
+    k = PPR_SEEDS if n_seeds is None else n_seeds
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = sym.join(deg, "src").localCheckpoint(eager=True)
+    seeds = (
+        deg.select("src").orderBy("src").limit(k).select(F.col("src").alias("s"))
+    )
+    verts = (
+        deg.select(F.col("src").alias("v"))
+        .crossJoin(F.broadcast(seeds))
+        .localCheckpoint(eager=True)
+    )
+    seed_ind = F.when(F.col("v") == F.col("s"), F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = verts.select("s", "v", seed_ind.alias("r"))
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.v)
+            .groupBy("s", "dst")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib"))
+            .select(
+                F.col("s").alias("cs"), F.col("dst").alias("cv"), "contrib"
+            )
+        )
+        ranks = (
+            verts.join(
+                contrib,
+                (F.col("v") == F.col("cv")) & (F.col("s") == F.col("cs")),
+                "left",
+            )
+            .select(
+                "s",
+                "v",
+                (
+                    (1.0 - PR_DAMPING) * seed_ind
+                    + PR_DAMPING * F.coalesce("contrib", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("s").alias("seed"),
+        F.col("v").alias("vid"),
+        F.round("r", 6).alias("ppr"),
+    )
+
+
+def _oracle_ppr_multi() -> str:
+    base = f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS (SELECT p1 AS src, p2 AS dst FROM e
+        UNION ALL SELECT p2 AS src, p1 AS dst FROM e),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+sv AS (SELECT src AS s FROM deg ORDER BY src LIMIT {PPR_SEEDS}),
+b AS (
+  SELECT sv.s, deg.src AS v,
+         CASE WHEN deg.src = sv.s THEN 1.0 ELSE 0.0 END AS ind
+  FROM deg CROSS JOIN sv
+),
+r0 AS (SELECT s, v, ind AS r FROM b)"""
+    rounds = []
+    for k in range(1, PR_ROUNDS + 1):
+        prev = f"r{k - 1}"
+        rounds.append(f""",
+c{k} AS (
+  SELECT {prev}.s, sym.dst AS v, SUM({prev}.r / deg.outdeg) AS contrib
+  FROM sym JOIN {prev} ON sym.src = {prev}.v
+           JOIN deg ON sym.src = deg.src
+  GROUP BY {prev}.s, sym.dst
+),
+r{k} AS (
+  SELECT b.s, b.v,
+         (1.0 - {PR_DAMPING}) * b.ind
+           + {PR_DAMPING} * COALESCE(c{k}.contrib, 0.0) AS r
+  FROM b LEFT JOIN c{k} ON b.s = c{k}.s AND b.v = c{k}.v
+)""")
+    return (
+        base
+        + "".join(rounds)
+        + f"\nSELECT s AS seed, v AS vid, ROUND(r, 6) AS ppr FROM r{PR_ROUNDS}"
+    )
+
+
 HITS_ROUNDS = 4  # fixed mutual-reinforcement iterations (oracle-unrollable)
 
 
@@ -1964,6 +2084,7 @@ QUERIES = {
     "graph_triangles": graph_triangles,
     "graph_pagerank": graph_pagerank,
     "graph_ppr": graph_ppr,
+    "graph_ppr_multi": graph_ppr_multi,
     "graph_hits": graph_hits,
     "graph_betweenness": graph_betweenness,
     "graph_betweenness_multi": graph_betweenness_multi,
@@ -1984,6 +2105,7 @@ ORACLE_SQL = {
     "graph_triangles": ORACLE_GRAPH_TRIANGLES,
     "graph_pagerank": _oracle_pagerank(),
     "graph_ppr": _oracle_ppr(),
+    "graph_ppr_multi": _oracle_ppr_multi(),
     "graph_hits": _oracle_hits(),
     "graph_betweenness": _oracle_betweenness(),
     "graph_betweenness_multi": _oracle_betweenness_multi(),

@@ -310,3 +310,37 @@ def test_audio_fingerprint_bounds_and_short_doc(spark, sf_smoke):
                 want |= 1 << i
         assert fp[doc_id] == want, doc_id
         assert 0 <= fp[doc_id] < (1 << mm.AUDIO_FP_BITS)
+
+
+def test_ppr_multi_restricted_to_one_seed_equals_single_source(spark, sf_smoke):
+    """graph_ppr_multi with n_seeds=1 must reproduce graph_ppr exactly
+    (the seed set ordered by vertex id starts at the min-id vertex —
+    the single-source kernel's seed convention)."""
+    from distributed_graph_database_spark.graph import analytics as g
+
+    got = {
+        r.vid: r.ppr
+        for r in g.graph_ppr_multi(spark, sf_smoke, n_seeds=1).collect()
+    }
+    want = {r.vid: r.ppr for r in g.graph_ppr(spark, sf_smoke).collect()}
+    assert got == want
+
+
+def test_ppr_multi_mass_conservation_per_seed(spark, sf_smoke):
+    """Every seed's walk conserves unit mass: the symmetrized
+    co-purchase graph has no dangling vertices, so per round the total
+    is (1−d)·1 + d·1 = 1 exactly — each seed's ppr column must sum to
+    1 within rounding tolerance, over exactly |V| rows per seed."""
+    from collections import defaultdict
+
+    from distributed_graph_database_spark.graph import analytics as g
+
+    rows = g.graph_ppr_multi(spark, sf_smoke).collect()
+    per_seed = defaultdict(list)
+    for r in rows:
+        per_seed[r.seed].append(r.ppr)
+    assert 1 <= len(per_seed) <= g.PPR_SEEDS
+    sizes = {len(v) for v in per_seed.values()}
+    assert len(sizes) == 1  # every seed enumerates the same vertex set
+    for seed, vals in per_seed.items():
+        assert abs(sum(vals) - 1.0) < 1e-4, (seed, sum(vals))
