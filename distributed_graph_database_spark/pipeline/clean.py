@@ -621,9 +621,10 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
-        F.md5(
-            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-        ).alias("h"),
+        # Single-definition exact-dedup key (shared with dedup_exact
+        # and text_fingerprint): if the normalization ever changes,
+        # the funnel's stage 1 moves with it.
+        fingerprint_col().alias("h"),
     )
     winners = docs.groupBy("h").agg(F.min("doc_id").alias("w"))
     clusters = dedup_clusters(spark, sf_dir)

@@ -490,6 +490,12 @@ def mm_audio_fingerprint(
 def _mm_audio_fingerprint(
     spark: SparkSession, sf_dir: str, n_bits: int
 ) -> DataFrame:
+    # Spark's shiftleft masks the shift count mod 64, so a width past
+    # the int64 budget would silently alias bit 64 onto bit 0 instead
+    # of failing. Guard at construction (ValueError, survives -O);
+    # band tiling is checked where bands are built (_audio_band_layout).
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"{n_bits}-bit fingerprint exceeds int64")
     wins = mm_audio_windows(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("win_idx")
     led = wins.select(
@@ -1072,7 +1078,7 @@ _ORACLE_AUDIO_FP_AS_PHASH = (
 # mm_audio_neardup_degree's docstring) — the degree and cluster
 # oracles both state their semantics over it, uncontracted.
 _ORACLE_AUDIO_PAIRS = _oracle_hamming_pairs(
-    _ORACLE_AUDIO_FP_AS_PHASH, AUDIO_FP_BITS // PHASH_BAND_BITS
+    _ORACLE_AUDIO_FP_AS_PHASH, _audio_band_layout(AUDIO_FP_BITS)
 )
 ORACLE_MM_AUDIO_CLUSTERS = _oracle_hamming_clusters(_ORACLE_AUDIO_PAIRS)
 ORACLE_MM_AUDIO_NEARDUP_DEGREE = f"""
