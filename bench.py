@@ -135,6 +135,10 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         # consume — the Arrow chunk_audio scan + per-doc window pass,
         # paid once here (the mm_phash rule).
         ("mm_audio_fp_features", lambda: pl_mm.mm_audio_fingerprint(spark, sf_dir)),
+        # The 8-round merge loop both BPE keys consume (train reads
+        # the merge table, encode the final word dict) — paid once
+        # here so neither key's timing depends on rotation order.
+        ("bpe_merge_loop", lambda: pl_text._bpe_loop(spark, sf_dir)),
         ("colloc_unigram_counts", lambda: _shared(
             spark, sf_dir, "colloc_unigrams",
             lambda: pl_text._colloc_unigrams(spark, sf_dir))),

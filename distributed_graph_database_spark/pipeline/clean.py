@@ -143,6 +143,74 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+# Quality-weighted sampling: P(keep) = quality_score / WSAMPLE_DEN,
+# so top-quality docs (score 4) always survive and zero-score docs
+# never do. The salt decorrelates the draw from corpus_sample's
+# unsalted md5 so composing both samples multiplies their rates.
+WSAMPLE_DEN = 4
+_WSAMPLE_SALT = "wsample:"
+_U32 = 4294967296  # 2^32 — modulus of the 8-hex-char md5 draw
+
+
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli corpus sample → kept (doc_id,
+    source, quality_score): the DCLM/FineWeb-style move of sampling
+    training data PROPORTIONALLY to a quality signal instead of
+    gating on it — low-quality docs are down-weighted, not cliffed.
+    Membership is the salted content-stable draw u32(doc_id)/2³² <
+    quality_score/WSAMPLE_DEN, evaluated as the division-free bigint
+    cross-multiplication u32·WSAMPLE_DEN < score·2³² — never rand()
+    (retries and re-runs must agree), never a float.
+
+    Scale shape: ONE scan of documents computing the quality gates
+    inline (quality_base_cols/quality_score_col — the same
+    single-definition columns text_quality emits, composed at column
+    level precisely so this never self-joins documents against the
+    quality key), then a per-row filter. Embarrassingly parallel; no
+    shuffle at any corpus size."""
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_WSAMPLE_SALT), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", *quality_base_cols())
+        .select(
+            "doc_id",
+            "source",
+            quality_score_col().cast("bigint").alias("quality_score"),
+            u32.alias("u32"),
+        )
+        .filter(
+            F.col("u32") * F.lit(WSAMPLE_DEN)
+            < F.col("quality_score") * F.lit(_U32)
+        )
+        .select("doc_id", "source", "quality_score")
+    )
+
+
+def _oracle_sample_weighted() -> str:
+    from .text import _oracle_quality
+
+    return f"""
+WITH q AS ({_oracle_quality()})
+SELECT d.doc_id, d.source, CAST(q.quality_score AS BIGINT) AS quality_score
+FROM documents d JOIN q USING (doc_id)
+WHERE CAST(('0x' || substr(md5('{_WSAMPLE_SALT}' || CAST(d.doc_id AS VARCHAR)),
+                           1, 8)) AS BIGINT) * {WSAMPLE_DEN}
+      < CAST(q.quality_score AS BIGINT) * {_U32}
+"""
+
+
 SPLIT_TRAIN_PCT = 96  # hash buckets 0-95 → train
 SPLIT_VAL_PCT = 98    # 96-97 → val; 98-99 → test
 
@@ -707,6 +775,7 @@ f AS (
 QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "corpus_sample": corpus_sample,
+    "corpus_sample_weighted": corpus_sample_weighted,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_split": corpus_split,
     "corpus_pack": corpus_pack,
@@ -720,6 +789,7 @@ QUERIES = {
 ORACLE_SQL = {
     "pipeline_clean_corpus": _oracle(),
     "corpus_sample": ORACLE_CORPUS_SAMPLE,
+    "corpus_sample_weighted": _oracle_sample_weighted(),
     "corpus_stratified_sample": _oracle_stratified(),
     "corpus_split": ORACLE_CORPUS_SPLIT,
     "corpus_pack": ORACLE_CORPUS_PACK,

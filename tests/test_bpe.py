@@ -12,6 +12,9 @@ from collections import Counter
 
 
 def _reference_bpe(word_counts, n_merges):
+    """→ (merge table, final word→symbols state) — the state is what
+    classical BPE encoding applies to unseen-at-encode-time text; here
+    the dict covers the corpus, so it IS the encoding."""
     state = {w: tuple(w) for w in word_counts}
     merges = []
     for rnd in range(n_merges):
@@ -35,7 +38,7 @@ def _reference_bpe(word_counts, n_merges):
                 else:
                     out.append(s)
             state[w] = tuple(out)
-    return merges
+    return merges, state
 
 
 def test_bpe_train_matches_reference(spark, sf_oracle):
@@ -51,7 +54,7 @@ def test_bpe_train_matches_reference(spark, sf_oracle):
         f"'\\s+')) AS w FROM read_parquet('{sf_oracle}/documents.parquet')) "
         "GROUP BY w"
     ).fetchall()
-    want = _reference_bpe(dict(words), BPE_MERGES)
+    want, _ = _reference_bpe(dict(words), BPE_MERGES)
     got = sorted(
         (r["round"], r["left"], r["right"], r["pair_count"])
         for r in text_bpe_train(spark, sf_oracle).collect()
@@ -86,5 +89,37 @@ def test_bpe_oracle_positional_merge_handles_equal_pair_runs(tmp_path):
     )
     got = sorted(map(tuple, con.execute(_oracle_bpe_train()).fetchall()))
     counts = Counter(w for t in docs for w in t.split())
-    want = sorted(_reference_bpe(dict(counts), BPE_MERGES))
+    want = sorted(_reference_bpe(dict(counts), BPE_MERGES)[0])
+    assert got == want
+
+
+def test_bpe_encode_matches_reference(spark, sf_smoke):
+    """text_bpe_encode's per-doc counts vs the classical reference:
+    train on the corpus's word counts, then every doc's BPE token
+    count is the sum of its words' final symbol-list lengths (BPE is
+    word-local). Also pins n_ws_tokens to the raw token count."""
+    import re
+
+    import duckdb
+
+    from distributed_graph_database_spark.pipeline.text import (
+        BPE_MERGES,
+        text_bpe_encode,
+    )
+
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, trim(text) FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    doc_words = {d: re.split(r"\s+", t) for d, t in rows}
+    counts = Counter(w for ws in doc_words.values() for w in ws)
+    _, state = _reference_bpe(dict(counts), BPE_MERGES)
+    want = {
+        d: (len(ws), sum(len(state[w]) for w in ws))
+        for d, ws in doc_words.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in text_bpe_encode(spark, sf_smoke).collect()
+    }
     assert got == want

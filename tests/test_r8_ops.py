@@ -344,3 +344,84 @@ def test_ppr_multi_mass_conservation_per_seed(spark, sf_smoke):
     assert len(sizes) == 1  # every seed enumerates the same vertex set
     for seed, vals in per_seed.items():
         assert abs(sum(vals) - 1.0) < 1e-4, (seed, sum(vals))
+
+
+def test_readability_matches_python_reference(spark, sf_smoke):
+    """Every readability column vs an independent Python replay of the
+    contract: vowel-group syllables with the max(1,·) floor, [.!?]+
+    sentence runs floored at 1, and the exact (division-free) verdict
+    checked against Fraction arithmetic rather than floats."""
+    import re
+    from fractions import Fraction
+
+    import duckdb
+
+    from distributed_graph_database_spark.pipeline.text import (
+        READ_MIN_FLESCH,
+        text_readability,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_smoke}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for d, t in rows:
+        low = t.strip().lower()
+        words = re.split(r"\s+", low)
+        w = len(words)
+        s = max(1, len(re.findall(r"[.!?]+", t)))
+        y = sum(max(1, len(re.findall(r"[aeiouy]+", word))) for word in words)
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        exact = (
+            Fraction(206835, 1000)
+            - Fraction(1015, 1000) * Fraction(w, s)
+            - Fraction(846, 10) * Fraction(y, w)
+        ) >= READ_MIN_FLESCH
+        want[d] = (w, s, y, round(flesch, 6), exact)
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.n_sentences,
+            r.n_syllables,
+            round(r.flesch, 6),
+            r.readable,
+        )
+        for r in text_readability(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def test_sample_weighted_membership_rule_and_determinism(spark, sf_smoke):
+    """The kept set is exactly {doc : u32(salted md5) · 4 <
+    quality_score · 2^32}, recomputed independently in Python; two
+    runs agree row-for-row (no rand() anywhere); and the weighting is
+    monotone — full-score docs are all kept, zero-score docs never."""
+    import hashlib
+
+    from distributed_graph_database_spark.pipeline.clean import (
+        _U32,
+        _WSAMPLE_SALT,
+        WSAMPLE_DEN,
+        corpus_sample_weighted,
+    )
+    from distributed_graph_database_spark.pipeline.text import text_quality
+
+    scores = {
+        r.doc_id: r.quality_score
+        for r in text_quality(spark, sf_smoke).collect()
+    }
+    want = set()
+    for d, q in scores.items():
+        u32 = int(
+            hashlib.md5(f"{_WSAMPLE_SALT}{d}".encode()).hexdigest()[:8], 16
+        )
+        if u32 * WSAMPLE_DEN < q * _U32:
+            want.add(d)
+    run1 = {r.doc_id: r.quality_score for r in corpus_sample_weighted(spark, sf_smoke).collect()}
+    run2 = {r.doc_id: r.quality_score for r in corpus_sample_weighted(spark, sf_smoke).collect()}
+    assert run1 == run2
+    assert set(run1) == want
+    assert {d for d, q in scores.items() if q == 4} <= set(run1)
+    assert not any(scores[d] == 0 for d in run1)
+    # the emitted score matches the standalone quality key
+    assert all(run1[d] == scores[d] for d in run1)
