@@ -1206,6 +1206,113 @@ FROM g JOIN wd ON wd.dim = g.dim CROSS JOIN n
 """
 
 
+def ml_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS fit (distributed normal equations) →
+    (param, coef): regress the label on embedding dims 0 and 1 plus an
+    intercept, solved exactly from corpus moments — the cheap linear
+    probe every embedding pipeline runs before training anything, and
+    the closed-form complement to the iterative ml_logreg_step /
+    ml_kmeans_step keys.
+
+    Scale shape — the textbook one-pass distributed regression: ONE
+    map-side-combined aggregate folds the corpus into the nine
+    normal-equation moments (n, Σx₀, Σx₁, Σx₀², Σx₀x₁, Σx₁², Σy,
+    Σx₀y, Σx₁y — a single 1-row frame regardless of corpus size);
+    the 3×3 Cramer solve then runs as scalar expressions on that row.
+    No join, no second pass, no driver math. For d features this is
+    the d²-bounded Gram build of ml_pca_power with d = 3.
+
+    Cross-engine exactness (the ml_pca_power discipline): every float
+    moment is ROUNDED to 6dp at the aggregate, so both engines run
+    the identical Cramer expression tree over identical doubles —
+    the determinant subtractions can cancel catastrophically, which
+    would amplify raw summation-order noise past round(6), hence
+    rounding BEFORE the solve, not after."""
+    e = table(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("x0"),
+        F.element_at("embedding", 2).cast("double").alias("x1"),
+        F.col("label").cast("double").alias("y"),
+    )
+    m = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x0"), 6).alias("sx0"),
+        F.round(F.sum("x1"), 6).alias("sx1"),
+        F.round(F.sum(F.col("x0") * F.col("x0")), 6).alias("sx00"),
+        F.round(F.sum(F.col("x0") * F.col("x1")), 6).alias("sx01"),
+        F.round(F.sum(F.col("x1") * F.col("x1")), 6).alias("sx11"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x0") * F.col("y")), 6).alias("sx0y"),
+        F.round(F.sum(F.col("x1") * F.col("y")), 6).alias("sx1y"),
+    )
+    n, sx0, sx1 = F.col("n"), F.col("sx0"), F.col("sx1")
+    sx00, sx01, sx11 = F.col("sx00"), F.col("sx01"), F.col("sx11")
+    sy, sx0y, sx1y = F.col("sy"), F.col("sx0y"), F.col("sx1y")
+
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        return (
+            a1 * (b2 * c3 - b3 * c2)
+            - a2 * (b1 * c3 - b3 * c1)
+            + a3 * (b1 * c2 - b2 * c1)
+        )
+
+    # A = [[n,sx0,sx1],[sx0,sx00,sx01],[sx1,sx01,sx11]], b = (sy,sx0y,sx1y);
+    # det_i replaces column i of A with b (Cramer).
+    solved = m.select(
+        det3(n, sx0, sx1, sx0, sx00, sx01, sx1, sx01, sx11).alias("det"),
+        det3(sy, sx0, sx1, sx0y, sx00, sx01, sx1y, sx01, sx11).alias("d0"),
+        det3(n, sy, sx1, sx0, sx0y, sx01, sx1, sx1y, sx11).alias("d1"),
+        det3(n, sx0, sy, sx0, sx00, sx0y, sx1, sx01, sx1y).alias("d2"),
+    )
+    return solved.select(
+        F.expr(
+            "stack(3, 'intercept', round(d0 / det, 6),"
+            "         'x0',        round(d1 / det, 6),"
+            "         'x1',        round(d2 / det, 6))"
+        ).alias("param", "coef")
+    )
+
+
+ORACLE_ML_LINREG_FIT = """
+WITH e AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS x0,
+         CAST(embedding[2] AS DOUBLE) AS x1,
+         CAST(label AS DOUBLE) AS y
+  FROM embeddings
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         ROUND(SUM(x0), 6) AS sx0,
+         ROUND(SUM(x1), 6) AS sx1,
+         ROUND(SUM(x0 * x0), 6) AS sx00,
+         ROUND(SUM(x0 * x1), 6) AS sx01,
+         ROUND(SUM(x1 * x1), 6) AS sx11,
+         ROUND(SUM(y), 6) AS sy,
+         ROUND(SUM(x0 * y), 6) AS sx0y,
+         ROUND(SUM(x1 * y), 6) AS sx1y
+  FROM e
+),
+d AS (
+  SELECT
+    (n * (sx00 * sx11 - sx01 * sx01)
+      - sx0 * (sx0 * sx11 - sx01 * sx1)
+      + sx1 * (sx0 * sx01 - sx00 * sx1)) AS det,
+    (sy * (sx00 * sx11 - sx01 * sx01)
+      - sx0 * (sx0y * sx11 - sx01 * sx1y)
+      + sx1 * (sx0y * sx01 - sx00 * sx1y)) AS d0,
+    (n * (sx0y * sx11 - sx01 * sx1y)
+      - sy * (sx0 * sx11 - sx01 * sx1)
+      + sx1 * (sx0 * sx1y - sx0y * sx1)) AS d1,
+    (n * (sx00 * sx1y - sx0y * sx01)
+      - sx0 * (sx0 * sx1y - sx0y * sx1)
+      + sy * (sx0 * sx01 - sx00 * sx1)) AS d2
+  FROM m
+)
+SELECT 'intercept' AS param, ROUND(d0 / det, 6) AS coef FROM d
+UNION ALL SELECT 'x0', ROUND(d1 / det, 6) FROM d
+UNION ALL SELECT 'x1', ROUND(d2 / det, 6) FROM d
+"""
+
+
 # --- product quantization (PQ) --------------------------------------------
 #
 # The COMPRESSION leg of the ANN surface (IVF partitions the corpus;
@@ -1932,6 +2039,7 @@ QUERIES = {
     "dedup_embed": dedup_embed,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_logreg_step": ml_logreg_step,
+    "ml_linreg_fit": ml_linreg_fit,
     "ml_score": ml_score,
     "ml_centroid_classify": ml_centroid_classify,
     "ml_confusion_metrics": ml_confusion_metrics,
@@ -1956,6 +2064,7 @@ ORACLE_SQL = {
     "dedup_embed": ORACLE_DEDUP_EMBED,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
     "ml_logreg_step": ORACLE_ML_LOGREG_STEP,
+    "ml_linreg_fit": ORACLE_ML_LINREG_FIT,
     "ml_score": ORACLE_ML_SCORE,
     "ml_centroid_classify": ORACLE_ML_CENTROID_CLASSIFY,
     "ml_confusion_metrics": ORACLE_ML_CONFUSION_METRICS,

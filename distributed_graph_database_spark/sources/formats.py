@@ -685,6 +685,83 @@ GROUP BY o_orderpriority
 """
 
 
+# Bloom-filter row-group skipping: the third leg of the layout
+# toolkit. Partition pruning needs low cardinality, min/max needs a
+# clustered sort; a parquet bloom filter buys point-lookup skipping on
+# a column that is NEITHER — unsorted high-cardinality keys. parquet
+# only writes a bloom when the chunk is not fully dictionary-encoded
+# (a dictionary already answers membership exactly), so the stage
+# disables dictionary for the keyed column — the real-world regime,
+# since at 100 TB a high-NDV column has long overflowed the
+# dictionary-page budget anyway.
+BLOOM_FILES = 8
+BLOOM_NDV_HINT = 20000
+BLOOM_KEYS = (7, 121, 733, 1450)
+
+
+def _bloom_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "bloom")
+    hit = _STAGED.get(key)
+    if hit is not None:
+        return hit
+    d = os.path.join(
+        staging_root(spark),
+        f"dgdb_fmt_{spark.sparkContext.applicationId}_bloom_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .coalesce(BLOOM_FILES)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option(
+            "parquet.bloom.filter.expected.ndv#o_custkey",
+            str(BLOOM_NDV_HINT),
+        )
+        .parquet(d)
+    )
+    _STAGED[key] = d
+    return d
+
+
+def store_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup store: orders staged with a parquet
+    bloom filter on o_custkey (unsorted, non-dictionary — the layout
+    where neither partition pruning nor min/max spans can help), then
+    a pinned IN-list lookup aggregated per customer. The pushed
+    equality set (PushedFilters in the plan) lets parquet-mr's
+    row-group filter consult the bloom and skip whole row groups that
+    provably lack the keys — the needle-in-haystack access path at
+    100 TB, where a full scan for four customers is absurd but no
+    sort order serves point lookups. The filter is layout metadata
+    only (false positives fall through to the exact pushed predicate),
+    so results are layout-invisible and the oracle is the plain
+    filter over orders; tests/test_r8_ops.py proves the filter bytes
+    are physically present (no-bloom twin is smaller) and the
+    predicate reaches the scan.
+    Output: (o_custkey, n_orders, revenue_cents) per pinned key."""
+    o = spark.read.parquet(_bloom_dir(spark, sf_dir)).filter(
+        F.col("o_custkey").isin(*BLOOM_KEYS)
+    )
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+ORACLE_STORE_BLOOM_PRUNE = f"""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_custkey IN {BLOOM_KEYS}
+GROUP BY o_custkey
+"""
+
+
 def store_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-statistics collection (the ANALYZE TABLE op a warehouse
     runs after ingest — the numbers that feed broadcast decisions,
@@ -1104,6 +1181,7 @@ QUERIES = {
     "store_schema_evolve": store_schema_evolve,
     "store_sorted_prune": store_sorted_prune,
     "store_zorder_prune": store_zorder_prune,
+    "store_bloom_prune": store_bloom_prune,
     "store_time_travel": store_time_travel,
     "store_stats_collect": store_stats_collect,
     "store_stats_approx": store_stats_approx,
@@ -1123,6 +1201,7 @@ ORACLE_SQL = {
     "store_schema_evolve": ORACLE_STORE_SCHEMA_EVOLVE,
     "store_sorted_prune": ORACLE_STORE_SORTED_PRUNE,
     "store_zorder_prune": ORACLE_STORE_ZORDER_PRUNE,
+    "store_bloom_prune": ORACLE_STORE_BLOOM_PRUNE,
     "store_time_travel": ORACLE_STORE_TIME_TRAVEL,
     "store_stats_collect": _oracle_store_stats(),
     # Exact-parity since r8: the declared key is the self-auditing

@@ -425,3 +425,66 @@ def test_sample_weighted_membership_rule_and_determinism(spark, sf_smoke):
     assert not any(scores[d] == 0 for d in run1)
     # the emitted score matches the standalone quality key
     assert all(run1[d] == scores[d] for d in run1)
+
+
+def test_linreg_fit_matches_numpy_lstsq(spark, sf_smoke):
+    """Closed-form OLS vs numpy's least-squares on the same design
+    matrix: the Cramer solve over 6dp-rounded moments must land
+    within rounding distance of the full-precision solution."""
+    import numpy as np
+
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.similarity import (
+        ml_linreg_fit,
+    )
+
+    rows = table(spark, sf_smoke, "embeddings").select(
+        "embedding", "label"
+    ).collect()
+    X = np.array([[1.0, r.embedding[0], r.embedding[1]] for r in rows])
+    y = np.array([float(r.label) for r in rows])
+    want, *_ = np.linalg.lstsq(X, y, rcond=None)
+    got = {r.param: r.coef for r in ml_linreg_fit(spark, sf_smoke).collect()}
+    assert abs(got["intercept"] - want[0]) < 1e-4
+    assert abs(got["x0"] - want[1]) < 1e-4
+    assert abs(got["x1"] - want[2]) < 1e-4
+
+
+def test_bloom_store_physically_writes_filter_and_pushes_lookup(
+    spark, sf_oracle, tmp_path
+):
+    """The staged bloom store must actually CARRY the filter bytes —
+    parquet silently skips blooms on fully-dictionary-encoded chunks,
+    so an identical no-bloom twin pins the size delta — and the
+    IN-list must reach the scan as a pushed filter (the precondition
+    for parquet-mr's bloom row-group skipping)."""
+    import os
+
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.sources import formats as fm
+
+    def part_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.startswith("part-")
+        )
+
+    twin = str(tmp_path / "nobloom")
+    (
+        table(spark, sf_oracle, "orders")
+        .coalesce(fm.BLOOM_FILES)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(twin)
+    )
+    staged = fm._bloom_dir(spark, sf_oracle)
+    assert part_bytes(staged) > part_bytes(twin)
+
+    plan = (
+        fm.store_bloom_prune(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(o_custkey" in plan

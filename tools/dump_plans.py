@@ -276,6 +276,34 @@ HEADLINERS: dict[str, str] = {
         "partitions — the reference's readers-writers lock dissolves "
         "into immutable layout."
     ),
+    "text_bpe_encode": (
+        "Tokenize with the trained merges: the encoded corpus length "
+        "is a pure function of the word-frequency dict the trainer "
+        "folds, so the plan is one exploded-token groupBy joined "
+        "against the final dict on the token key — a shuffle hash "
+        "join on a vocabulary TABLE, never a broadcast of it, and "
+        "document text never shuffles."
+    ),
+    "ml_linreg_fit": (
+        "Closed-form OLS: one map-side-combined aggregate folds the "
+        "corpus to nine normal-equation moments (partial_sum lanes "
+        "before the single-row exchange); the Cramer solve is scalar "
+        "projection on the 1-row frame — no join, no second scan."
+    ),
+    "store_bloom_prune": (
+        "Bloom point lookups: the IN-list reaches the scan as "
+        "PushedFilters In(o_custkey, ...), which is what parquet-mr's "
+        "row-group filter evaluates against the column's bloom filter "
+        "— row groups that provably lack the keys are skipped at the "
+        "footer, no sort order required."
+    ),
+    "corpus_sample_weighted": (
+        "Quality-weighted sampling: the quality gates and the salted "
+        "md5 draw are all per-row expressions inside one "
+        "WholeStageCodegen span over a single documents scan — "
+        "membership is a Filter, never a join against a quality "
+        "table and never a rand()."
+    ),
 }
 
 
