@@ -40,6 +40,21 @@ KEEP_LANG = "en"
 KEEP_MIN_QUALITY = 3
 
 
+def _md5_u32(salt: str = "") -> F.Column:
+    """The ONE content-stable uniform draw every membership decision
+    in this module derives from: the first 8 hex chars of
+    md5(salt || doc_id) as a bigint in [0, 2³²). sample/split/mix/
+    stratified consume it unsalted (so a doc's memberships are
+    mutually consistent by construction); weighted sampling salts it
+    (so composing with corpus_sample multiplies rates instead of
+    nesting). Single definition — a change to the draw (hash, width,
+    salt convention) must land here and nowhere else."""
+    key = F.col("doc_id").cast("string")
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept documents after exact dedup (keep-first per fingerprint),
     quality gating (score >= KEEP_MIN_QUALITY) and language filtering
@@ -125,9 +140,7 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (driver-biased); a hash-mod filter is embarrassingly parallel,
     pushdown-friendly, and yields the same rows on any cluster layout.
     md5 keeps it engine-portable for the oracle."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % SAMPLE_MOD
+    bucket = _md5_u32() % SAMPLE_MOD
     return (
         table(spark, sf_dir, "documents")
         .filter(bucket == 0)
@@ -168,19 +181,7 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     level precisely so this never self-joins documents against the
     quality key), then a per-row filter. Embarrassingly parallel; no
     shuffle at any corpus size."""
-    u32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(_WSAMPLE_SALT), F.col("doc_id").cast("string")
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    u32 = _md5_u32(_WSAMPLE_SALT)
     return (
         table(spark, sf_dir, "documents")
         .select("doc_id", "source", *quality_base_cols())
@@ -228,9 +229,7 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     space; the split expression is the same md5-bucket idiom as
     corpus_sample/corpus_mix, so all three stay consistent (a doc's
     sample membership and split assignment derive from one hash)."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 100
+    bucket = _md5_u32() % 100
     split = (
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
         .when(bucket < SPLIT_VAL_PCT, "val")
@@ -435,9 +434,7 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a pure scan-side filter (bucket < rate(lang)); the rate
     lookup is a CASE over the tiny strata map — no join, no shuffle,
     pushdown-eligible."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 100
+    bucket = _md5_u32() % 100
     rate = F.lit(STRATA_DEFAULT_PCT)
     for lg, pct in STRATA_PCT.items():
         rate = F.when(F.col("lang") == lg, pct).otherwise(rate)
@@ -461,9 +458,7 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 
 
 def _mix_bucket() -> F.Column:
-    return F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 100
+    return _md5_u32() % 100
 
 
 def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

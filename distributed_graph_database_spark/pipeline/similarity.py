@@ -1263,11 +1263,17 @@ def ml_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         det3(n, sy, sx1, sx0, sx0y, sx01, sx1, sx1y, sx11).alias("d1"),
         det3(n, sx0, sy, sx0, sx00, sx0y, sx1, sx01, sx1y).alias("d2"),
     )
+    # Singular normal equations (collinear/constant features) emit
+    # NULL coefficients on BOTH engines: without the guard Spark's
+    # non-ANSI divide returns NULL while DuckDB's double divide
+    # returns inf/nan — a cross-engine divergence on exactly the
+    # degenerate input a user most needs flagged.
     return solved.select(
         F.expr(
-            "stack(3, 'intercept', round(d0 / det, 6),"
-            "         'x0',        round(d1 / det, 6),"
-            "         'x1',        round(d2 / det, 6))"
+            "stack(3,"
+            " 'intercept', CASE WHEN det <> 0 THEN round(d0 / det, 6) END,"
+            " 'x0',        CASE WHEN det <> 0 THEN round(d1 / det, 6) END,"
+            " 'x1',        CASE WHEN det <> 0 THEN round(d2 / det, 6) END)"
         ).alias("param", "coef")
     )
 
@@ -1307,9 +1313,10 @@ d AS (
       + sy * (sx0 * sx01 - sx00 * sx1)) AS d2
   FROM m
 )
-SELECT 'intercept' AS param, ROUND(d0 / det, 6) AS coef FROM d
-UNION ALL SELECT 'x0', ROUND(d1 / det, 6) FROM d
-UNION ALL SELECT 'x1', ROUND(d2 / det, 6) FROM d
+SELECT 'intercept' AS param,
+       CASE WHEN det <> 0 THEN ROUND(d0 / det, 6) END AS coef FROM d
+UNION ALL SELECT 'x0', CASE WHEN det <> 0 THEN ROUND(d1 / det, 6) END FROM d
+UNION ALL SELECT 'x1', CASE WHEN det <> 0 THEN ROUND(d2 / det, 6) END FROM d
 """
 
 

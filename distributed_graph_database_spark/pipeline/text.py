@@ -863,9 +863,15 @@ def _bpe_loop(
     hit = _BPE_LOOP.get(k)
     if hit is not None:
         return hit
+    # Drop the empty token a whitespace-only document tokenizes to:
+    # the engines genuinely disagree on ''-word symbol lists (Spark
+    # split('', '') → [''], DuckDB's range-transform → []), and an
+    # empty word carries no pairs anyway — the trained table is
+    # unchanged on any corpus with real text.
     words = (
         table(spark, sf_dir, "documents")
         .select(F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -902,7 +908,15 @@ def _bpe_loop(
                 F.col("pair_count").cast("bigint").alias("pair_count"),
             )
         )
-        state = state.crossJoin(F.broadcast(best.select("l", "r"))).select(
+        # LEFT join, not crossJoin: when a tiny corpus exhausts its
+        # merge rules before BPE_MERGES rounds, `best` is EMPTY and a
+        # cross join would wipe the word state (on both engines —
+        # parity would hold while the dict silently vanished). With
+        # null (l, r) the fold's merge condition is never true, so
+        # the state passes through unchanged.
+        state = state.join(
+            F.broadcast(best.select("l", "r")), F.lit(True), "left"
+        ).select(
             "w", "cnt", _bpe_merge_fold("sym").alias("sym")
         ).localCheckpoint(eager=True)
     out = rounds[0]
@@ -931,13 +945,16 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless here because the dict is trained on the same corpus;
     encoding NEW text against a frozen tokenizer would left-join and
     fall back to character count (documented contract, untested
-    path). Exact oracle: the unrolled state CTEs (_oracle_bpe_states)
+    path). Whitespace-only documents contribute no tokens and emit NO
+    row — the ''-token is filtered on both engines, which disagree on
+    its symbol list. Exact oracle: the unrolled state CTEs (_oracle_bpe_states)
     expose the same final dict to DuckDB."""
     dict_state = _bpe_loop(spark, sf_dir)[1]
     vocab = dict_state.select("w", F.size("sym").alias("nb"))
     occurrences = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(_tokens()).alias("w"))
+        .filter(F.col("w") != "")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
@@ -1056,7 +1073,7 @@ WITH w0 AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
     SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
     FROM documents
-  ) GROUP BY w
+  ) WHERE w <> '' GROUP BY w
 ),
 s0 AS MATERIALIZED (
   SELECT w, cnt,
@@ -1085,7 +1102,7 @@ pos{k} AS MATERIALIZED (
               THEN 1 ELSE 0 END AS m
   FROM (SELECT w, cnt, sym, len(sym) AS n,
                UNNEST(range(1, len(sym) + 1)) AS i FROM s{p}) u
-  CROSS JOIN b{k} b
+  LEFT JOIN b{k} b ON TRUE
 ),
 st{k} AS MATERIALIZED (
   SELECT *, CASE WHEN m = 1 AND (l <> r OR off % 2 = 0)
@@ -1119,9 +1136,10 @@ def _oracle_bpe_encode() -> str:
 SELECT d.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
        CAST(SUM(len(s.sym)) AS BIGINT) AS n_bpe_tokens
-FROM (SELECT doc_id,
-             UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
-      FROM documents) d
+FROM (SELECT doc_id, w FROM (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+        FROM documents) WHERE w <> '') d
 JOIN s{BPE_MERGES} s USING (w)
 GROUP BY d.doc_id"""
 
@@ -1385,11 +1403,14 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts are bigint; `flesch` is a genuinely-float
     output (round 6, the repo idiom); `readable` (flesch ≥ 60) is NOT
-    derived from the float — it is the division-free bigint
+    derived from the float — it is the division-free
     cross-multiplication 206835·s·w − 1015·w² − 84600·y·s ≥
-    60000·s·w, exact at any corpus size long before bigint overflow
-    (w,y ≤ 10⁸ tokens/doc). Scale shape: one scan, per-row
-    expressions only — no shuffle, no UDF."""
+    60000·s·w evaluated in DECIMAL with pinned widths (constants
+    decimal(6,0), counts decimal(13,0)), so every product stays
+    inside decimal(38) headroom and the verdict is exact for any
+    document up to 10¹³ tokens — bigint products would silently wrap
+    (Spark non-ANSI) or raise (DuckDB) from w ≈ 10⁸. Scale shape:
+    one scan, per-row expressions only — no shuffle, no UDF."""
     low = F.lower(F.trim(F.col("text")))
     toks = F.split(low, r"\s+")
     base = table(spark, sf_dir, "documents").select(
@@ -1413,10 +1434,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(84.6) * (y.cast("double") / w),
         6,
     )
-    readable = (
-        F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * y * s
-        >= F.lit(60000) * s * w
-    )
+    readable = _readable_verdict(w, s, y)
     return base.select(
         "doc_id",
         "n_words",
@@ -1424,6 +1442,24 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         flesch.alias("flesch"),
         readable.alias("readable"),
+    )
+
+
+def _readable_verdict(w: F.Column, s: F.Column, y: F.Column) -> F.Column:
+    """flesch(w, s, y) ≥ READ_MIN_FLESCH as a division-free DECIMAL
+    cross-multiplication with pinned widths: constants decimal(6,0),
+    counts decimal(13,0) — every product stays inside decimal(38)
+    headroom, so the verdict is exact for any document up to 10¹³
+    tokens. Factored out so the overflow regime is directly testable
+    (bigint products would wrap from w ≈ 10⁸)."""
+    wd, sd, yd = (c.cast("decimal(13,0)") for c in (w, s, y))
+
+    def dc(v: int) -> F.Column:
+        return F.lit(v).cast("decimal(6,0)")
+
+    return (
+        dc(206835) * sd * wd - dc(1015) * wd * wd - dc(84600) * yd * sd
+        >= dc(1000 * READ_MIN_FLESCH) * sd * wd
     )
 
 
@@ -1446,9 +1482,14 @@ SELECT doc_id, n_words, n_sentences, n_syllables,
        ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
                      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
              6) AS flesch,
-       206835 * n_sentences * n_words - 1015 * n_words * n_words
-         - 84600 * n_syllables * n_sentences
-         >= 60000 * n_sentences * n_words AS readable
+       CAST(206835 AS DECIMAL(6,0)) * CAST(n_sentences AS DECIMAL(13,0))
+           * CAST(n_words AS DECIMAL(13,0))
+         - CAST(1015 AS DECIMAL(6,0)) * CAST(n_words AS DECIMAL(13,0))
+           * CAST(n_words AS DECIMAL(13,0))
+         - CAST(84600 AS DECIMAL(6,0)) * CAST(n_syllables AS DECIMAL(13,0))
+           * CAST(n_sentences AS DECIMAL(13,0))
+         >= CAST(60000 AS DECIMAL(6,0)) * CAST(n_sentences AS DECIMAL(13,0))
+           * CAST(n_words AS DECIMAL(13,0)) AS readable
 FROM b
 """
 

@@ -488,3 +488,143 @@ def test_bloom_store_physically_writes_filter_and_pushes_lookup(
         .toString()
     )
     assert "PushedFilters: [In(o_custkey" in plan
+
+
+def test_readable_verdict_exact_past_bigint_overflow(spark):
+    """The decimal verdict must stay correct in the regime where
+    bigint products would wrap: at w = 10⁸ the 1015·w² term is
+    1.015e19 > 2⁶³−1. Pin the column against Fraction arithmetic on
+    both sides of the band edge."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from distributed_graph_database_spark.pipeline.text import (
+        READ_MIN_FLESCH,
+        _readable_verdict,
+    )
+
+    cases = [
+        (100_000_000, 1, 120_000_000),   # giant doc, clearly unreadable
+        (100_000_000, 3_000_000, 120_000_000),
+        (10, 1, 12),                     # tiny, readable
+        (1_000_000_000_000, 1, 1_000_000_000_000),  # decimal(12) edge
+    ]
+    df = spark.createDataFrame(cases, "w long, s long, y long")
+    got = [
+        r.readable
+        for r in df.select(
+            _readable_verdict(F.col("w"), F.col("s"), F.col("y")).alias(
+                "readable"
+            )
+        ).collect()
+    ]
+    want = [
+        (
+            Fraction(206835, 1000)
+            - Fraction(1015, 1000) * Fraction(w, s)
+            - Fraction(846, 10) * Fraction(y, w)
+        )
+        >= READ_MIN_FLESCH
+        for w, s, y in cases
+    ]
+    assert got == want
+
+
+def _clone_sf_with_documents(sf_smoke, tmp_path, docs_pdf):
+    """A tmp sf_dir whose documents.parquet is `docs_pdf` and whose
+    other tables are symlinks into sf_smoke (the oracle harness
+    eagerly binds a view per table)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_smoke):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(sf_smoke, f), os.path.join(d, f))
+    pq.write_table(pa.Table.from_pandas(docs_pdf), f"{d}/documents.parquet")
+    return d
+
+
+def test_bpe_keys_agree_on_whitespace_only_documents(spark, sf_smoke, tmp_path):
+    """The '' token a whitespace-only doc tokenizes to is filtered on
+    BOTH engines (they disagree on its symbol list), so train and
+    encode stay at exact parity on a corpus containing empty docs —
+    and such docs emit no encode row."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import assert_parity
+
+    from distributed_graph_database_spark.pipeline.text import (
+        _oracle_bpe_encode,
+        _oracle_bpe_train,
+        text_bpe_encode,
+        text_bpe_train,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["", "   ", "ab ab ba", "abab ab"],
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": [0, 3, 8, 7],
+        }
+    )
+    d = _clone_sf_with_documents(sf_smoke, tmp_path, docs)
+    assert_parity(text_bpe_train(spark, d), _oracle_bpe_train(), d, "bpe_train_empty")
+    assert_parity(text_bpe_encode(spark, d), _oracle_bpe_encode(), d, "bpe_encode_empty")
+    got = {r.doc_id for r in text_bpe_encode(spark, d).collect()}
+    assert got == {2, 3}
+
+
+def test_linreg_singular_design_yields_null_coefs_both_engines(
+    spark, sf_smoke, tmp_path
+):
+    """Collinear features (dim1 == dim0 for every row) make the normal
+    equations singular; both engines must emit NULL coefficients —
+    not a NULL-vs-inf divergence."""
+    import os
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import assert_parity
+
+    from distributed_graph_database_spark.pipeline.similarity import (
+        ORACLE_ML_LINREG_FIT,
+        ml_linreg_fit,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(sf_smoke):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(sf_smoke, f), os.path.join(d, f))
+    rng = [float(i % 7) / 7 for i in range(50)]
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(50),
+            "embedding": [
+                np.array([v, v] + [0.0] * 30, dtype=np.float32)
+                for v in rng
+            ],
+            "label": [i % 3 for i in range(50)],
+        }
+    )
+    emb["label"] = emb["label"].astype("int32")
+    pq.write_table(pa.Table.from_pandas(emb), f"{d}/embeddings.parquet")
+    res = ml_linreg_fit(spark, d).collect()
+    assert all(r.coef is None for r in res)
+    assert_parity(ml_linreg_fit(spark, d), ORACLE_ML_LINREG_FIT, d, "linreg_singular")
