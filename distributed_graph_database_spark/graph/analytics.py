@@ -22,6 +22,8 @@ Scale notes (the point of each shape):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -879,6 +881,153 @@ SELECT CAST(v AS BIGINT) AS vid,
        CAST(COUNT(*) AS BIGINT) AS n_seeds,
        ROUND(SUM(delta), 6) AS betweenness
 FROM alld WHERE v <> s GROUP BY v"""
+    )
+
+
+# Exact-harmonic scale: lcm(1..BETW_H), so Σ cnt_h/h has the integer
+# numerator Σ cnt_h·(LCM/h) — the float harmonic is ONE division of
+# that exact bigint, identical on both engines, instead of a
+# summation-order-dependent float fold.
+CLOSE_LCM = math.lcm(*range(1, BETW_H + 1))
+
+
+def graph_closeness(
+    spark: SparkSession, sf_dir: str, n_seeds: int = BETW_SEEDS
+) -> DataFrame:
+    """Bounded-horizon closeness centrality for the BETW_SEEDS
+    minimum-id seeds → (vid, n_reached, sum_dist, harmonic_num,
+    closeness, harmonic): per seed, the BETW_H-hop reachable count,
+    total shortest-path distance, Wasserman–Faust closeness
+    n_reached/sum_dist, and harmonic centrality Σ 1/d(v,·) — the last
+    classic centrality the family lacked (degree, pagerank, HITS,
+    betweenness, k-core are declared keys). Harmonic is the form that
+    stays meaningful on disconnected graphs; the bounded horizon is
+    the same truncated-BFS approximation as graph_betweenness
+    (Eppstein–Wang-style seed sampling: scale by |V|/K for the
+    estimate).
+
+    Exactness: every level's reach count is integer, so sum_dist =
+    Σ cnt_h·h and harmonic_num = Σ cnt_h·(LCM/h) are exact bigints
+    (LCM = lcm(1..BETW_H) makes every per-level weight integral);
+    the two float columns are each ONE division of exact integers —
+    no float accumulates across rows, so round(6) can never see
+    summation-order noise. Shape: the multi-seed BFS of
+    graph_betweenness_multi minus the σ/δ machinery — per round one
+    join + distinct + left_anti on the (seed, vertex) key, frontier
+    per-level counts folded map-side; K seeds ride one plan."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.union(
+        e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    ).select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).localCheckpoint(eager=True)
+    seeds = (
+        sym.select("src").distinct().orderBy("src").limit(n_seeds)
+        .select(F.col("src").alias("s"))
+    )
+    frontier = seeds.select("s", F.col("s").alias("v")).localCheckpoint(
+        eager=True
+    )
+    visited = frontier
+    per_level = []
+    for h in range(1, BETW_H + 1):
+        nxt = (
+            sym.join(frontier, sym.src == F.col("v"))
+            .select("s", F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, ["s", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        per_level.append(
+            nxt.groupBy("s").agg(F.count(F.lit(1)).alias("cnt")).select(
+                "s",
+                "cnt",
+                F.lit(h).cast("bigint").alias("level"),
+                # LCM/h is a Python-int literal per unrolled level, so
+                # the harmonic numerator never divides at runtime.
+                (F.col("cnt") * F.lit(CLOSE_LCM // h)).alias("hnum"),
+            )
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    counts = per_level[0]
+    for p in per_level[1:]:
+        counts = counts.unionByName(p)
+    agg = counts.groupBy(F.col("s").alias("vid")).agg(
+        F.sum("cnt").cast("bigint").alias("n_reached"),
+        F.sum(F.col("cnt") * F.col("level")).cast("bigint").alias("sum_dist"),
+        F.sum("hnum").cast("bigint").alias("harmonic_num"),
+    )
+    return agg.select(
+        "vid",
+        "n_reached",
+        "sum_dist",
+        "harmonic_num",
+        F.round(
+            F.col("n_reached").cast("double") / F.col("sum_dist"), 6
+        ).alias("closeness"),
+        F.round(
+            F.col("harmonic_num").cast("double") / F.lit(CLOSE_LCM), 6
+        ).alias("harmonic"),
+    )
+
+
+def _oracle_closeness() -> str:
+    """Seed-batched BFS unroll (the betweenness-multi frontier chain
+    without σ/δ), folded to per-level counts then the exact-integer
+    closeness algebra."""
+    base = f"""
+WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+li AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n FROM li0
+  ) WHERE basket_n <= {COPURCHASE_MAX_BASKET}
+),
+e AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+),
+sym AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM e
+        UNION ALL SELECT p2 AS src, p1 AS dst FROM e),
+sv AS (SELECT src AS s FROM (
+         SELECT DISTINCT src FROM sym ORDER BY src LIMIT {BETW_SEEDS})),
+f0 AS MATERIALIZED (SELECT s, s AS v FROM sv),
+vis0 AS MATERIALIZED (SELECT s, v FROM f0)"""
+    parts = []
+    for k in range(1, BETW_H + 1):
+        parts.append(f""",
+f{k} AS MATERIALIZED (
+  SELECT t.s, t.v FROM (
+    SELECT DISTINCT f.s AS s, sym.dst AS v
+    FROM sym JOIN f{k - 1} f ON sym.src = f.v
+  ) t LEFT JOIN vis{k - 1} vx ON vx.s = t.s AND vx.v = t.v
+  WHERE vx.v IS NULL
+),
+vis{k} AS MATERIALIZED (
+  SELECT s, v FROM vis{k - 1} UNION ALL SELECT s, v FROM f{k}
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,"
+        f" CAST({k} AS BIGINT) AS level,"
+        f" CAST(COUNT(*) * {CLOSE_LCM // k} AS BIGINT) AS hnum"
+        f" FROM f{k} GROUP BY s"
+        for k in range(1, BETW_H + 1)
+    )
+    return (
+        base
+        + "".join(parts)
+        + f""",
+counts AS ({unions})
+SELECT CAST(s AS BIGINT) AS vid,
+       CAST(SUM(cnt) AS BIGINT) AS n_reached,
+       CAST(SUM(cnt * level) AS BIGINT) AS sum_dist,
+       CAST(SUM(hnum) AS BIGINT) AS harmonic_num,
+       ROUND(CAST(SUM(cnt) AS DOUBLE) / SUM(cnt * level), 6) AS closeness,
+       ROUND(CAST(SUM(hnum) AS DOUBLE) / {CLOSE_LCM}, 6) AS harmonic
+FROM counts GROUP BY s"""
     )
 
 
@@ -2088,6 +2237,7 @@ QUERIES = {
     "graph_hits": graph_hits,
     "graph_betweenness": graph_betweenness,
     "graph_betweenness_multi": graph_betweenness_multi,
+    "graph_closeness": graph_closeness,
     "graph_sssp": graph_sssp,
     "graph_kcore": graph_kcore,
     "graph_jaccard": graph_jaccard,
@@ -2109,6 +2259,7 @@ ORACLE_SQL = {
     "graph_hits": _oracle_hits(),
     "graph_betweenness": _oracle_betweenness(),
     "graph_betweenness_multi": _oracle_betweenness_multi(),
+    "graph_closeness": _oracle_closeness(),
     "graph_sssp": _oracle_sssp(),
     "graph_kcore": _oracle_kcore(),
     "graph_jaccard": ORACLE_GRAPH_JACCARD,

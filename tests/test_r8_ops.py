@@ -628,3 +628,56 @@ def test_linreg_singular_design_yields_null_coefs_both_engines(
     res = ml_linreg_fit(spark, d).collect()
     assert all(r.coef is None for r in res)
     assert_parity(ml_linreg_fit(spark, d), ORACLE_ML_LINREG_FIT, d, "linreg_singular")
+
+
+def test_closeness_matches_python_bfs(spark, sf_smoke):
+    """Every closeness column vs an independent Python BFS over the
+    collected co-purchase edges: per min-id seed, level counts within
+    the BETW_H horizon, the exact integer sums, and the two
+    single-division floats."""
+    from collections import deque
+
+    from distributed_graph_database_spark.graph import analytics as g
+
+    edges = [
+        (r.p1, r.p2)
+        for r in g._copurchase_edges(spark, sf_smoke).select("p1", "p2").collect()
+    ]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(adj)[: g.BETW_SEEDS]
+    want = {}
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == g.BETW_H:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        reached = {v: d for v, d in dist.items() if d > 0}
+        n, sd = len(reached), sum(reached.values())
+        hnum = sum(g.CLOSE_LCM // d for d in reached.values())
+        want[s] = (
+            n,
+            sd,
+            hnum,
+            round(n / sd, 6),
+            round(hnum / g.CLOSE_LCM, 6),
+        )
+    got = {
+        r.vid: (
+            r.n_reached,
+            r.sum_dist,
+            r.harmonic_num,
+            round(r.closeness, 6),
+            round(r.harmonic, 6),
+        )
+        for r in g.graph_closeness(spark, sf_smoke).collect()
+    }
+    assert got == want
