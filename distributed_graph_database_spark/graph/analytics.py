@@ -60,6 +60,32 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sym_edges(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = False
+) -> DataFrame:
+    """Undirected co-purchase adjacency → (src, dst): both directions
+    of the deduped edge list — THE single definition every unweighted
+    graph kernel symmetrizes through (a tie-break or checkpoint-policy
+    change lands here, not in N hand-copied blocks).
+    checkpoint=True for kernels that re-consume the table across
+    rounds (the loop-invariant-table rule); leave False when it feeds
+    one lazy plan."""
+    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
+    sym = e.union(
+        e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    ).select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+    return sym.localCheckpoint(eager=True) if checkpoint else sym
+
+
+def _min_id_seeds(sym: DataFrame, n_seeds: int) -> DataFrame:
+    """The n smallest vertex ids as (s,) — the deterministic seed set
+    the multi-seed kernels (betweenness, PPR, closeness) share."""
+    return (
+        sym.select("src").distinct().orderBy("src").limit(n_seeds)
+        .select(F.col("src").alias("s"))
+    )
+
+
 def _copurchase_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part pairs (p1 < p2) co-occurring in ≥ COPURCHASE_MIN_ORDERS
     orders, with the co-occurrence count: (p1, p2, n_orders).
@@ -240,10 +266,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the edge table is the bucketed canonical one and this loop
     is GraphX's Pregel superstep expressed in DataFrame algebra.
     """
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    )
+    sym = _sym_edges(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # The two loop-invariant tables are checkpointed ONCE; the rounds
     # themselves stay lazy — with a fixed small round count the whole
@@ -339,10 +362,7 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes identical to pagerank; at 100 TB many seeds run as
     one plan by adding a seed column to the rank state (the batched-
     PPR layout), which this single-seed kernel is the s=1 case of."""
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    )
+    sym = _sym_edges(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = sym.join(deg, "src").localCheckpoint(eager=True)
     s1 = deg.agg(F.min("src").alias("s"))
@@ -394,10 +414,7 @@ def graph_ppr_multi(
     per-seed mass vector (zero mass beyond the PR_ROUNDS-hop horizon
     by construction)."""
     k = PPR_SEEDS if n_seeds is None else n_seeds
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    )
+    sym = _sym_edges(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = sym.join(deg, "src").localCheckpoint(eager=True)
     seeds = (
@@ -514,10 +531,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MATERIALIZED per round — the same reuse argument).
     Normalization sums are float (order-jitter ~1e-13 over 4 rounds,
     absorbed by round(6) — the pagerank contract)."""
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).localCheckpoint(eager=True)
+    sym = _sym_edges(spark, sf_dir, checkpoint=True)
     verts = sym.select(F.col("src").alias("v")).distinct().localCheckpoint(
         eager=True
     )
@@ -646,10 +660,7 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     level l+1's (σ, δ) through the edge table. Level count is the
     horizon, not the vertex count; σ stays exact bigint, only δ is
     float (round 6)."""
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).localCheckpoint(eager=True)
+    sym = _sym_edges(spark, sf_dir, checkpoint=True)
     s0 = sym.agg(F.min("src").alias("s"))
     lv = [
         s0.select(F.col("s").alias("v"), F.lit(1).cast("bigint").alias("sigma"))
@@ -736,14 +747,8 @@ def graph_betweenness_multi(
     the backward pass re-consumes each level's σ and δ). δ stays the
     only float; the final Σ over ≤K values rounds at 6 like every
     genuinely-float output."""
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))).select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).localCheckpoint(eager=True)
-    seeds = (
-        sym.select("src").distinct().orderBy("src").limit(n_seeds)
-        .select(F.col("src").alias("s"))
-    )
+    sym = _sym_edges(spark, sf_dir, checkpoint=True)
+    seeds = _min_id_seeds(sym, n_seeds)
     lv = [
         seeds.select(
             "s", F.col("s").alias("v"), F.lit(1).cast("bigint").alias("sigma")
@@ -897,14 +902,16 @@ def graph_closeness(
     """Bounded-horizon closeness centrality for the BETW_SEEDS
     minimum-id seeds → (vid, n_reached, sum_dist, harmonic_num,
     closeness, harmonic): per seed, the BETW_H-hop reachable count,
-    total shortest-path distance, Wasserman–Faust closeness
-    n_reached/sum_dist, and harmonic centrality Σ 1/d(v,·) — the last
-    classic centrality the family lacked (degree, pagerank, HITS,
-    betweenness, k-core are declared keys). Harmonic is the form that
-    stays meaningful on disconnected graphs; the bounded horizon is
-    the same truncated-BFS approximation as graph_betweenness
-    (Eppstein–Wang-style seed sampling: scale by |V|/K for the
-    estimate).
+    total shortest-path distance, truncated closeness
+    n_reached/sum_dist (the within-reachable-set form; multiply by
+    n_reached/(N−1) for the Wasserman–Faust variant — both factors
+    are in the output), and harmonic centrality Σ 1/d(v,·) — the
+    last classic centrality the family lacked (degree, pagerank,
+    HITS, betweenness, k-core are declared keys). Harmonic is the
+    form that stays meaningful on disconnected graphs. Each row is
+    that seed's own EXACT truncated centrality — nothing is sampled
+    or estimated; widening coverage means widening the seed set (the
+    n_seeds parameter), K seeds still riding one plan.
 
     Exactness: every level's reach count is integer, so sum_dist =
     Σ cnt_h·h and harmonic_num = Σ cnt_h·(LCM/h) are exact bigints
@@ -915,16 +922,8 @@ def graph_closeness(
     graph_betweenness_multi minus the σ/δ machinery — per round one
     join + distinct + left_anti on the (seed, vertex) key, frontier
     per-level counts folded map-side; K seeds ride one plan."""
-    e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
-    sym = e.union(
-        e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
-    ).select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).localCheckpoint(eager=True)
-    seeds = (
-        sym.select("src").distinct().orderBy("src").limit(n_seeds)
-        .select(F.col("src").alias("s"))
-    )
+    sym = _sym_edges(spark, sf_dir, checkpoint=True)
+    seeds = _min_id_seeds(sym, n_seeds)
     frontier = seeds.select("s", F.col("s").alias("v")).localCheckpoint(
         eager=True
     )

@@ -663,21 +663,12 @@ def test_closeness_matches_python_bfs(spark, sf_smoke):
         reached = {v: d for v, d in dist.items() if d > 0}
         n, sd = len(reached), sum(reached.values())
         hnum = sum(g.CLOSE_LCM // d for d in reached.values())
-        want[s] = (
-            n,
-            sd,
-            hnum,
-            round(n / sd, 6),
-            round(hnum / g.CLOSE_LCM, 6),
-        )
-    got = {
-        r.vid: (
-            r.n_reached,
-            r.sum_dist,
-            r.harmonic_num,
-            round(r.closeness, 6),
-            round(r.harmonic, 6),
-        )
-        for r in g.graph_closeness(spark, sf_smoke).collect()
-    }
-    assert got == want
+        want[s] = (n, sd, hnum)
+    rows = {r.vid: r for r in g.graph_closeness(spark, sf_smoke).collect()}
+    # Exact-integer columns compare exactly; the floats within 1e-6
+    # (Python round() is half-even on the binary value, Spark's is
+    # HALF_UP on the shortest repr — equality would flake on ties).
+    assert {v: (r.n_reached, r.sum_dist, r.harmonic_num) for v, r in rows.items()} == want
+    for v, (n, sd, hnum) in want.items():
+        assert abs(rows[v].closeness - n / sd) < 1e-6
+        assert abs(rows[v].harmonic - hnum / g.CLOSE_LCM) < 1e-6
