@@ -26,7 +26,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline.events import DEDUP_UNIT, SESSION_GAP_MIN
+from ..pipeline.events import (
+    DEDUP_UNIT,
+    ORACLE_EVENTS_TOPK_WINDOW,
+    SESSION_GAP_MIN,
+)
 
 WATERMARK = "2 hours"
 
@@ -374,6 +378,59 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """The STATEFUL half of events_topk_window: per-(hour window,
+    user) spend under the watermark. Ranking is not a streaming
+    operation (no window functions over streaming aggs), so the
+    top-k cut belongs to the post-drain reduction — this stream's
+    state is one row per active (window, user), finalized and
+    evicted as event time passes the watermark."""
+    ev = _events_stream(spark, src_dir).withWatermark("ts", WATERMARK)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "spend_cents"
+            )
+        )
+        .select(
+            F.col("w.start").cast("string").alias("hour"),
+            "user_id",
+            "spend_cents",
+        )
+    )
+
+
+def stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the per-window leaderboard
+    (events_topk_window's twin). The stream maintains the per-(hour,
+    user) spend state — the part that must be incremental at 100 TB/
+    day; the availableNow drain's complete-mode output is each
+    window's FINAL per-user total, and the top-WINDOW_TOPK rank runs
+    as the post-drain batch reduction (the stream_dedup discipline:
+    production would rank in the serving store, not in stream state).
+    Exact oracle: final ranked rows ≡ the batch key, so the twin
+    shares ORACLE_EVENTS_TOPK_WINDOW verbatim — one definition for
+    both engines and both execution modes."""
+    from pyspark.sql import Window
+
+    from ..pipeline.events import WINDOW_TOPK
+
+    src = _events_src_dir(spark, sf_dir)
+    name = f"stream_topk_window_{next(_STREAM_SEQ)}"
+    res = run_available_now(
+        topk_window_stream(spark, src), name, mode="complete"
+    )
+    w = Window.partitionBy("hour").orderBy(
+        F.col("spend_cents").desc(), F.col("user_id")
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WINDOW_TOPK)
+        .select("hour", "rank", "user_id", "spend_cents")
+    )
+
+
 ORACLE_STREAM_USER_TOTALS = """
 SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
@@ -604,6 +661,7 @@ GROUP BY 1
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_user_totals": stream_user_totals,
+    "stream_topk_window": stream_topk_window,
     "stream_dedup": stream_dedup,
     "stream_hopping": stream_hopping,
     "stream_sessionize": stream_sessionize,
@@ -615,6 +673,8 @@ QUERIES = {
 ORACLE_SQL = {
     "stream_tumbling": ORACLE_STREAM_TUMBLING,
     "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
+    # the twin's final ranked rows equal the batch key — one oracle
+    "stream_topk_window": ORACLE_EVENTS_TOPK_WINDOW,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "stream_hopping": ORACLE_STREAM_HOPPING,
     "stream_sessionize": ORACLE_STREAM_SESSIONIZE,

@@ -672,3 +672,20 @@ def test_closeness_matches_python_bfs(spark, sf_smoke):
     for v, (n, sd, hnum) in want.items():
         assert abs(rows[v].closeness - n / sd) < 1e-6
         assert abs(rows[v].harmonic - hnum / g.CLOSE_LCM) < 1e-6
+
+
+def test_stream_topk_window_equals_batch_key(spark, sf_smoke):
+    """The streaming leaderboard's drained-and-ranked rows must equal
+    the batch events_topk_window exactly — window start vs
+    date_trunc('hour') agree for hour-aligned tumbling windows, and
+    the post-drain rank uses the same (spend DESC, user_id) tiebreak."""
+    from distributed_graph_database_spark.pipeline.events import (
+        events_topk_window,
+    )
+    from distributed_graph_database_spark.streaming.events_stream import (
+        stream_topk_window,
+    )
+
+    got = sorted(map(tuple, stream_topk_window(spark, sf_smoke).collect()))
+    want = sorted(map(tuple, events_topk_window(spark, sf_smoke).collect()))
+    assert got == want
