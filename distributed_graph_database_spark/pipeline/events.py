@@ -312,6 +312,15 @@ def events_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("spend_cents")
     )
+    return rank_topk(per_user)
+
+
+def rank_topk(per_user: DataFrame) -> DataFrame:
+    """The leaderboard cut over a (hour, user_id, spend_cents) frame —
+    ONE definition of the rank semantics (spend DESC, user_id
+    tiebreak, top WINDOW_TOPK) shared by the batch key and its
+    streaming twin's post-drain reduction, so the two can never
+    diverge on tiebreak or k."""
     w = Window.partitionBy("hour").orderBy(
         F.col("spend_cents").desc(), F.col("user_id")
     )

@@ -382,9 +382,14 @@ def topk_window_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """The STATEFUL half of events_topk_window: per-(hour window,
     user) spend under the watermark. Ranking is not a streaming
     operation (no window functions over streaming aggs), so the
-    top-k cut belongs to the post-drain reduction — this stream's
-    state is one row per active (window, user), finalized and
-    evicted as event time passes the watermark."""
+    top-k cut belongs to the post-drain reduction. Drained in UPDATE
+    mode (stream_user_totals' discipline) — that is what makes the
+    bounded-state claim true: the watermark finalizes and EVICTS
+    closed windows' state, each key's last emitted update is its
+    final total (spend is monotone within a key), and the sink-side
+    max-spend row per key recovers it. Complete mode would retain
+    every window ever seen and re-emit all of them per trigger —
+    exactly the unbounded state this key exists to avoid."""
     ev = _events_stream(spark, src_dir).withWatermark("ts", WATERMARK)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
@@ -405,30 +410,34 @@ def stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECLARED streaming key: the per-window leaderboard
     (events_topk_window's twin). The stream maintains the per-(hour,
     user) spend state — the part that must be incremental at 100 TB/
-    day; the availableNow drain's complete-mode output is each
-    window's FINAL per-user total, and the top-WINDOW_TOPK rank runs
-    as the post-drain batch reduction (the stream_dedup discipline:
-    production would rank in the serving store, not in stream state).
-    Exact oracle: final ranked rows ≡ the batch key, so the twin
-    shares ORACLE_EVENTS_TOPK_WINDOW verbatim — one definition for
-    both engines and both execution modes."""
+    day — drained in UPDATE mode so watermark eviction bounds the
+    state (see topk_window_stream); the sink-side max-spend row per
+    (hour, user) is that key's final total (update mode can emit one
+    row per key per micro-batch; spend is monotone), and the
+    top-WINDOW_TOPK rank runs as the post-drain batch reduction via
+    the SAME rank_topk the batch key uses (production ranks in the
+    serving store, not in stream state). Exact oracle: final ranked
+    rows ≡ the batch key, so the twin shares
+    ORACLE_EVENTS_TOPK_WINDOW verbatim — one rank definition and one
+    oracle for both execution modes."""
     from pyspark.sql import Window
 
-    from ..pipeline.events import WINDOW_TOPK
+    from ..pipeline.events import rank_topk
 
     src = _events_src_dir(spark, sf_dir)
     name = f"stream_topk_window_{next(_STREAM_SEQ)}"
     res = run_available_now(
-        topk_window_stream(spark, src), name, mode="complete"
+        topk_window_stream(spark, src), name, mode="update"
     )
-    w = Window.partitionBy("hour").orderBy(
-        F.col("spend_cents").desc(), F.col("user_id")
+    w = Window.partitionBy("hour", "user_id").orderBy(
+        F.col("spend_cents").desc()
     )
-    return (
-        res.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= WINDOW_TOPK)
-        .select("hour", "rank", "user_id", "spend_cents")
+    final = (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("hour", "user_id", "spend_cents")
     )
+    return rank_topk(final)
 
 
 ORACLE_STREAM_USER_TOTALS = """
