@@ -326,4 +326,6 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "graph_triangles": g_analytics._triangles_plan,
     "graph_jaccard": g_analytics._jaccard_plan,
     "graph_clustering_coef": g_analytics._clustering_plan,
+    "store_stats_collect": formats._store_stats_collect_plan,
+    "store_stats_approx": formats._store_stats_approx_plan,
 }

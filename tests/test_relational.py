@@ -115,3 +115,40 @@ def test_eqdepth_histogram_masses_are_balanced(spark, sf_oracle):
         assert abs(r.n_orders - target) <= max(2, 0.02 * target), r
     for a, b in zip(rows, rows[1:]):
         assert a.max_cents <= b.min_cents
+
+
+def test_regr_bigint_moment_headroom(spark, sf_oracle):
+    """ql_regr accumulates its moment sums in bigint (VERDICT r8 item
+    3); this pins the width budget to the TPC-H generator bounds so a
+    future data change can't silently wrap the int64 accumulator.
+    Bounds: quantity ∈ [1, 50], extendedprice < 110 000.00 → cents
+    y < 1.1e7; the largest per-group sum is Σxy ≤ n·50·1.1e7. The
+    declared headroom claim is ≥600× the sf1 row count."""
+    X_MAX = 50
+    Y_MAX_CENTS = 11_000_000
+    SF1_LINEITEM_ROWS = 6_001_215
+    INT64_MAX = 2**63 - 1
+    per_row_xy = X_MAX * Y_MAX_CENTS
+    assert INT64_MAX // per_row_xy >= 600 * SF1_LINEITEM_ROWS
+
+    # And the live data actually honors the pinned bounds.
+    from pyspark.sql import functions as F
+    from distributed_graph_database_spark.catalog import table
+
+    li = table(spark, sf_oracle, "lineitem")
+    row = li.agg(
+        F.max("l_quantity").alias("mx"),
+        F.max("l_extendedprice").alias("my"),
+    ).collect()[0]
+    assert row.mx <= X_MAX and round(row.my * 100) <= Y_MAX_CENTS
+
+    # The aggregate itself must be bigint-side (no per-row decimal
+    # multiplies): the partial-aggregate schema carries no decimal.
+    from distributed_graph_database_spark.relational import ql_regr
+
+    plan = ql_regr(spark, sf_oracle)._jdf.queryExecution().executedPlan().toString()
+    agg_lines = [
+        ln for ln in plan.splitlines() if "partial" in ln.lower() and "sum" in ln.lower()
+    ]
+    assert agg_lines, plan
+    assert all("Decimal" not in ln and "decimal" not in ln for ln in agg_lines), agg_lines
