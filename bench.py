@@ -153,6 +153,9 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         # requests execute once when they arrive; downstream scans
         # read the served results (see the key's docstring).
         ("concurrent_replay_serve", lambda: ops_mod.ops_concurrent_replay(spark, sf_dir)),
+        # stream_late_data's three-file arrival timeline (per-session
+        # staging write, like stream_source_stage).
+        ("stream_late_src_stage", lambda: streaming._late_src_dir(spark, sf_dir)),
     ]
     for name, fill in cache_fills:
         t0 = time.perf_counter()

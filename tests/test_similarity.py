@@ -167,3 +167,35 @@ def test_knn_recall_floor(spark, sf_oracle):
     assert len(rows) > 0
     mean = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean >= 0.35, f"kNN-graph mean recall collapsed: {mean}"
+
+
+def test_tree_split_gain_table_invariants(spark, sf_oracle):
+    """ml_tree_split laws: 15 internal thresholds per feature at any
+    sf; per-feature left counts monotone in threshold; left+right
+    constant = the orders row count; Gini gain non-negative (exact
+    rational math guarantees it; allow one 6dp rounding ulp)."""
+    from collections import defaultdict
+
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.similarity import (
+        TREE_BINS,
+        ml_tree_split,
+    )
+
+    rows = ml_tree_split(spark, sf_oracle).collect()
+    n_orders = table(spark, sf_oracle, "orders").count()
+    by_feat = defaultdict(list)
+    for r in rows:
+        by_feat[r.feature].append(r)
+    assert set(by_feat) == {"price_cents", "order_day"}
+    for feat, rs in by_feat.items():
+        rs.sort(key=lambda r: r.threshold)
+        assert len(rs) == TREE_BINS - 1, feat
+        for r in rs:
+            assert r.n_left + r.n_right == n_orders
+            assert r.pos_left + r.pos_right == rs[0].pos_left + rs[0].pos_right
+            assert 0 <= r.pos_left <= r.n_left
+            assert 0 <= r.pos_right <= r.n_right
+            assert r.gain >= -1e-6, (feat, r.threshold, r.gain)
+        for a, b in zip(rs, rs[1:]):
+            assert a.n_left <= b.n_left

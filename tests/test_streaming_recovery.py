@@ -206,3 +206,68 @@ def test_tumbling_multibatch_diverges_by_exactly_the_late_rows(
     n, s = got[k]
     got_plus_late = {**got, k: (n + 1, s + round(late[3] * 100))}
     assert got_plus_late == batch_all
+
+
+def test_stream_late_data_accounts_every_drop(spark, sf_oracle):
+    """The declared stream_late_data key's drop claim, counted from
+    the engine's own books: drain the same three-batch staged source
+    and sum numRowsDroppedByWatermark across batch progress events.
+    The metric counts rows reaching the STATE STORE, i.e. after the
+    map-side partial aggregate — the single-partition staged late file
+    partially aggregates to one row per hour window before the
+    watermark filter — so the pinned number is the late file's
+    DISTINCT WINDOW count, and it must be fully dropped (no on-time
+    window contributes)."""
+    from distributed_graph_database_spark.streaming import events_stream as es
+
+    src = es._late_src_dir(spark, sf_oracle)
+    late = spark.read.parquet(src + "/2_late.parquet")
+    n_late = late.count()
+    n_late_windows = (
+        late.select(F.date_trunc("hour", "ts").alias("h")).distinct().count()
+    )
+    assert n_late > 0, "staging produced no late rows — timeline broken"
+
+    ev = es._events_stream(spark, src, max_files_per_trigger=1).withWatermark(
+        "ts", es.WATERMARK
+    )
+    agg = ev.groupBy(F.window("ts", "1 hour")).count()
+    with es._state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_drop_audit")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    dropped = sum(
+        int(op.get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == n_late_windows, (dropped, n_late_windows, n_late)
+
+
+def test_stream_late_data_margin_is_wide(spark, sf_oracle):
+    """The exact-oracle contract of stream_late_data needs the
+    admit/evict boundary to be decided by a wide margin, never by the
+    <= vs < edge: assert the watermark after the on-time batches sits
+    at least 1 day past the latest late window end."""
+    import duckdb
+
+    from distributed_graph_database_spark.streaming import events_stream as es
+
+    con = duckdb.connect()
+    row = con.execute(
+        f"""
+        SELECT MAX(ts) - INTERVAL 2 HOUR AS wm
+        FROM read_parquet('{sf_oracle}/events.parquet')
+        WHERE NOT (ts >= TIMESTAMP '{es.LATE_LO}'
+                   AND ts < TIMESTAMP '{es.LATE_HI}')
+        """
+    ).fetchone()
+    import datetime as dt
+
+    latest_late_window_end = dt.datetime.fromisoformat(es.LATE_HI)
+    assert row[0] - latest_late_window_end >= dt.timedelta(days=1), row

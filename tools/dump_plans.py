@@ -297,6 +297,22 @@ HEADLINERS: dict[str, str] = {
         "— row groups that provably lack the keys are skipped at the "
         "footer, no sort order required."
     ),
+    "ml_tree_split": (
+        "Histogram split finder (r9): rows are binned by integer "
+        "arithmetic inside one WholeStageCodegen scan span, the "
+        "exchange carries at most features×bins combined count rows, "
+        "and per-threshold left/right counts are running sums over the "
+        "16-row histogram (a Window over BINS) — O(N)+O(bins), never "
+        "a per-threshold rescan."
+    ),
+    "ops_graph_merge": (
+        "Edge/node-granular MERGE (r9): the delta log is compacted by "
+        "one max(struct(seq,action)) groupBy, then every application "
+        "join is a BroadcastHashJoin/anti of the delta-sized frame "
+        "against the store scan — adds union in, deletes and the "
+        "vertex-delete cascade are broadcast anti-joins; the store is "
+        "never shuffled."
+    ),
     "corpus_sample_weighted": (
         "Quality-weighted sampling: the quality gates and the salted "
         "md5 draw are all per-row expressions inside one "
