@@ -2031,6 +2031,59 @@ FROM pred p JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
 """
 
 
+# ml_auc's positive class (embeddings.label value scored as "relevant").
+AUC_POS_LABEL = 0
+
+
+def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the ml_score classifier against the embeddings'
+    ground-truth label → one row (n_pos, n_neg, auc): the eval kernel
+    every scored curation pass needs before trusting a threshold.
+    AUC is computed as the Mann-Whitney rank statistic WITH exact tie
+    handling (6dp-rounded scores tie legitimately): with C_before(s) =
+    rows scoring below s and n_s the tie-group size, twice the average
+    rank of group s is 2·C_before + n_s + 1, so
+    2·U = Σ_s pos_s·(2·C_before + n_s + 1) − n_pos·(n_pos+1) and
+    AUC = U / (n_pos·n_neg) — pure integer algebra until one final
+    division, so both engines emit the identical double.
+
+    Scale shape — the phash hash-value-contraction lesson applied to
+    ranking: the corpus is first CONTRACTED to per-score groups
+    (groupBy(score): ≤10⁶ rows, bounded by the 6dp value DOMAIN, not
+    the corpus), and the rank cumulative runs as a window over those
+    groups. No global sort or window ever touches corpus rows; the
+    only corpus-sized ops are the score scan and one map-side-combined
+    groupBy."""
+    labels = table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") == AUC_POS_LABEL).cast("bigint").alias("y")
+    )
+    scored = ml_score(spark, sf_dir).join(labels, "vec_id")
+    grp = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("y").alias("pos_s")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    # C_before: cumulative row count over STRICTLY lower score groups
+    # (the window is over ≤1e6 contracted rows — see docstring).
+    cum = grp.withColumn(
+        "c_before", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum("pos_s").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).alias("n_neg"),
+        F.sum(
+            F.col("pos_s")
+            * (F.lit(2) * F.col("c_before") + F.col("n_s") + F.lit(1))
+        ).alias("s2"),
+    )
+    auc = (
+        (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    )
+    return agg.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+
+
 # ml_tree_split: pinned histogram geometry. Bin edges are CONSTANTS
 # (not data-derived) so the Spark binning, the oracle, and the output
 # thresholds are one definition; both ranges divide evenly by the bin
@@ -2206,6 +2259,30 @@ WHERE bin < {TREE_BINS - 1}
 """
 
 
+# One scoring definition: the AUC oracle nests ORACLE_ML_SCORE as its
+# scored CTE, so the two keys can never disagree about the score.
+ORACLE_ML_AUC = f"""
+WITH scored AS ({{ml_score_sql}}),
+lab AS (SELECT vec_id, CAST(label = {AUC_POS_LABEL} AS BIGINT) AS y
+        FROM embeddings),
+j AS (SELECT s.score, l.y FROM scored s JOIN lab l USING (vec_id)),
+grp AS (SELECT score, COUNT(*) AS n_s, SUM(y) AS pos_s FROM j GROUP BY score),
+cum AS (
+    SELECT score, n_s, pos_s,
+           COALESCE(SUM(n_s) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS c_before
+    FROM grp
+)
+SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+       CAST(SUM(n_s - pos_s) AS BIGINT) AS n_neg,
+       ROUND(CAST(SUM(pos_s * (2 * c_before + n_s + 1))
+                  - SUM(pos_s) * (SUM(pos_s) + 1) AS DOUBLE)
+             / (2.0 * SUM(pos_s) * SUM(n_s - pos_s)), 6) AS auc
+FROM cum
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
@@ -2228,6 +2305,7 @@ QUERIES = {
     "ml_naive_bayes": ml_naive_bayes,
     "ml_pca_power": ml_pca_power,
     "ml_tree_split": ml_tree_split,
+    "ml_auc": ml_auc,
 }
 
 # Every key exact-oracled: IVF blocking is deterministic algebra,
@@ -2254,4 +2332,5 @@ ORACLE_SQL = {
     "ml_naive_bayes": ORACLE_ML_NAIVE_BAYES,
     "ml_pca_power": ORACLE_ML_PCA_POWER,
     "ml_tree_split": ORACLE_ML_TREE_SPLIT,
+    "ml_auc": ORACLE_ML_AUC.format(ml_score_sql=ORACLE_ML_SCORE),
 }

@@ -199,3 +199,40 @@ def test_tree_split_gain_table_invariants(spark, sf_oracle):
             assert r.gain >= -1e-6, (feat, r.threshold, r.gain)
         for a, b in zip(rs, rs[1:]):
             assert a.n_left <= b.n_left
+
+
+def test_auc_rank_statistic_matches_pair_counting(spark, sf_oracle):
+    """ml_auc's tie-corrected rank formula must equal the DEFINITION:
+    P(score_pos > score_neg) + 0.5·P(tie), counted over all pos×neg
+    pairs driver-side at oracle scale. Also pins the degenerate
+    bounds and that both classes are populated."""
+    from distributed_graph_database_spark.pipeline.similarity import (
+        AUC_POS_LABEL,
+        ml_auc,
+        ml_score,
+    )
+    from distributed_graph_database_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    row = ml_auc(spark, sf_oracle).collect()[0]
+    assert row.n_pos > 0 and row.n_neg > 0
+    assert 0.0 <= row.auc <= 1.0
+
+    labels = table(spark, sf_oracle, "embeddings").select(
+        "vec_id", (F.col("label") == AUC_POS_LABEL).alias("y")
+    )
+    scored = [
+        (r.score, r.y)
+        for r in ml_score(spark, sf_oracle).join(labels, "vec_id").collect()
+    ]
+    pos = sorted(s for s, y in scored if y)
+    neg = sorted(s for s, y in scored if not y)
+    assert (len(pos), len(neg)) == (row.n_pos, row.n_neg)
+    import bisect
+
+    num = 0.0
+    for p in pos:
+        lt = bisect.bisect_left(neg, p)
+        eq = bisect.bisect_right(neg, p) - lt
+        num += lt + 0.5 * eq
+    assert abs(num / (len(pos) * len(neg)) - row.auc) < 1e-6
