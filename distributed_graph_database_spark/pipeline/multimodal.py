@@ -302,6 +302,130 @@ FROM s
 """
 
 
+# --- scene cut ---------------------------------------------------------------
+
+# A cut between consecutive frames when the mean-byte ("luma") delta
+# exceeds this many byte units — compared by integer cross-
+# multiplication so ragged last frames never force a division.
+SCENE_CUT_T = 8
+
+SCENE_FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_sum bigint"
+
+
+def scene_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: EVERY frame's (index, length, byte sum) —
+    the dense per-frame signature pass a scene-cut detector needs
+    (mm_frame_sample keeps every SAMPLE_EVERY-th frame; cut detection
+    must see consecutive frames). Same opaque-binary contract: a real
+    deployment swaps the byte sum for a decoded-frame luma histogram
+    inside the same batch loop."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = (n + FRAME_LEN - 1) // FRAME_LEN
+            for fi in range(n_frames):
+                off = fi * FRAME_LEN
+                chunk = payload[off : off + FRAME_LEN]
+                rows.append((doc_id, fi, len(chunk), sum(chunk)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_len", "frame_sum"]
+        )
+
+
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-boundary detection over the frame-signature stream
+    → per video (doc_id, n_frames, n_cuts, n_scenes, first_cut): a cut
+    lands between frames i−1 and i when the mean-byte delta exceeds
+    SCENE_CUT_T, i.e. |sum_i·len_{i−1} − sum_{i−1}·len_i| >
+    SCENE_CUT_T·len_i·len_{i−1} — pure integer algebra (the ragged
+    last frame never forces a division), so the oracle is exact.
+
+    Scale shape: the Arrow kernel streams each payload once and emits
+    ≤ n/FRAME_LEN signature rows (payload bytes never shuffle); the
+    lag comparison is a window PARTITIONED BY doc_id ordered by
+    frame_idx — per-video state, no global ordering — and the rollup
+    is one map-side-combined groupBy. This is the frame-level sibling
+    of mm_phash's corpus-level near-dup: per-asset temporal structure
+    instead of cross-asset similarity."""
+    docs = table(spark, sf_dir, "documents")
+    frames = with_binary_payload(docs).mapInPandas(
+        scene_frames, SCENE_FRAME_SCHEMA
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_len",
+        "frame_sum",
+        F.lag("frame_len").over(w).alias("p_len"),
+        F.lag("frame_sum").over(w).alias("p_sum"),
+    )
+    cut = (
+        F.abs(
+            F.col("frame_sum") * F.col("p_len")
+            - F.col("p_sum") * F.col("frame_len")
+        )
+        > F.lit(SCENE_CUT_T) * F.col("frame_len") * F.col("p_len")
+    )
+    marked = lagged.withColumn(
+        "is_cut", F.when(F.col("p_len").isNull(), F.lit(False)).otherwise(cut)
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.col("is_cut").cast("bigint")).alias("n_cuts"),
+        (F.sum(F.col("is_cut").cast("bigint")) + 1).alias("n_scenes"),
+        F.min(F.when(F.col("is_cut"), F.col("frame_idx"))).alias("first_cut"),
+    )
+
+
+ORACLE_MM_SCENE_CUT = f"""
+WITH b AS (
+  SELECT doc_id, text, CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         CAST(UNNEST(range(0, CAST(CEIL(n / {FRAME_LEN}.0) AS INT))) AS INT)
+           AS frame_idx,
+         text
+  FROM b
+),
+fr AS (
+  SELECT doc_id, frame_idx,
+         CAST(LEAST({FRAME_LEN}, n - frame_idx * {FRAME_LEN}) AS INT)
+           AS frame_len,
+         CAST(list_sum(list_transform(
+                range(frame_idx * {FRAME_LEN} + 1,
+                      LEAST(frame_idx * {FRAME_LEN} + {FRAME_LEN}, n) + 1),
+                i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+           AS frame_sum
+  FROM s
+),
+lagged AS (
+  SELECT doc_id, frame_idx, frame_len, frame_sum,
+         LAG(frame_len) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS p_len,
+         LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS p_sum
+  FROM fr
+),
+marked AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN p_len IS NULL THEN FALSE
+              ELSE ABS(frame_sum * p_len - p_sum * frame_len)
+                   > {SCENE_CUT_T} * frame_len * p_len
+         END AS is_cut
+  FROM lagged
+)
+SELECT doc_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes,
+       CAST(MIN(CASE WHEN is_cut THEN frame_idx END) AS INT) AS first_cut
+FROM marked
+GROUP BY doc_id
+"""
+
+
 # --- resize -----------------------------------------------------------------
 
 RESIZE_FACTOR = 4    # keep every 4th byte ("pixel") — fake 4:1 downsample
@@ -1098,6 +1222,7 @@ QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_decode_real": mm_decode_real,
     "mm_frame_sample": mm_frame_sample,
+    "mm_scene_cut": mm_scene_cut,
     "mm_resize": mm_resize,
     "mm_audio_windows": mm_audio_windows,
     "mm_audio_fingerprint": mm_audio_fingerprint,
@@ -1112,6 +1237,7 @@ ORACLE_SQL = {
     "mm_decode_meta": ORACLE_MM_DECODE_META,
     "mm_decode_real": ORACLE_MM_DECODE_REAL,
     "mm_frame_sample": ORACLE_MM_FRAME_SAMPLE,
+    "mm_scene_cut": ORACLE_MM_SCENE_CUT,
     "mm_resize": ORACLE_MM_RESIZE,
     "mm_audio_windows": ORACLE_MM_AUDIO_WINDOWS,
     "mm_audio_fingerprint": _oracle_audio_fp(),

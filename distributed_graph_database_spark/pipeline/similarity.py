@@ -235,10 +235,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(spark, sf_dir, "sim_topk_ivf", lambda: _sim_topk_ivf(spark, sf_dir))
 
 
-def _sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_topk_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """IVF approximate top-k: corpus assigned to 1 cell, queries probe
-    their IVF_NPROBE nearest cells; exact cosine + top-k inside the
-    probed cells only → same schema as sim_topk."""
+    their `nprobe` nearest cells (default IVF_NPROBE — the declared
+    sim_topk_ivf operating point; sim_recall_curve sweeps it); exact
+    cosine + top-k inside the probed cells only → same schema as
+    sim_topk."""
     emb = _embeddings(spark, sf_dir)
     cells = _cells(spark, sf_dir)
 
@@ -246,7 +250,7 @@ def _sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", F.explode("cells").alias("cell_id")
     )
     q = _raw_queries(spark, sf_dir)
-    probes = _assign(q, cells, "qv", "probe_cells", IVF_NPROBE).select(
+    probes = _assign(q, cells, "qv", "probe_cells", nprobe).select(
         "query_id", "qv", F.explode("probe_cells").alias("cell_id")
     )
     scored = (
@@ -386,7 +390,11 @@ WHERE list_dot_product(va, vb) >= {EMBED_COSINE_T}
 # tie-break-sensitive expressions (rank by raw cosine, cell_id / vec_id
 # tie-breaks) cannot drift between the two oracles — the Spark twins
 # share _cells/_assign/_raw_queries the same way.
-_ORACLE_IVF_ROUTE = f"""
+def _oracle_ivf_route(nprobe: int = IVF_NPROBE) -> str:
+    """The IVF routing CTE set, parameterized by probe count (the
+    declared keys use the IVF_NPROBE default; sim_recall_curve sweeps
+    it) — one definition for every IVF oracle."""
+    return f"""
 e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -417,9 +425,12 @@ probes AS (
                         / (sqrt(list_dot_product(q.qv, q.qv))
                            * sqrt(list_dot_product(c.cv, c.cv))) DESC,
                       c.cell_id) AS rn
-    FROM qr q CROSS JOIN cells c) WHERE rn <= {IVF_NPROBE}
+    FROM qr q CROSS JOIN cells c) WHERE rn <= {nprobe}
 )
 """
+
+
+_ORACLE_IVF_ROUTE = _oracle_ivf_route()
 
 ORACLE_SIM_TOPK_IVF = f"""
 WITH {_ORACLE_IVF_ROUTE},
@@ -481,6 +492,124 @@ LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """
+
+
+# sim_recall_curve's probe sweep (the declared sim_topk_ivf point,
+# IVF_NPROBE=4, sits inside it).
+RECALL_CURVE_PROBES = (1, 2, 4, 8)
+
+
+def sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/probe-count tuning curve an ANN deployment reads
+    before picking its operating point → one row per probed cell
+    count: (nprobe, n_hits, recall_at_k). sim_ivf_recall hash-checks
+    the SINGLE declared operating point; this key sweeps nprobe over
+    RECALL_CURVE_PROBES against the same exact baseline, so the driver
+    artifact records the whole cost/quality frontier (recall must be
+    non-decreasing in nprobe — asserted in tests).
+
+    Cost/scale — ONE cell-blocked search for the whole curve, not one
+    per leg: probes are ranked once at the LARGEST probe count (a leg
+    with nprobe=p is exactly the probe-rank ≤ p subset, because probe
+    assignment is top-p by the same (sim desc, cell_id) order —
+    _assign's tie-break, enforced per leg by the oracle), the
+    candidate join against the corpus runs once, and the legs expand
+    as a broadcast ≤-join on the tiny probe_rank column before the
+    per-(leg, query) top-k window. Candidate work stays bounded by
+    max(nprobe)/cells of the corpus; the recall join is over
+    N_QUERIES·K·legs rows. At 100 TB this is the offline index-tuning
+    job vector stores run on a sample."""
+    emb = _embeddings(spark, sf_dir)
+    cells = _cells(spark, sf_dir)
+    corpus = _assign(emb, cells, "v", "cells", 1).select(
+        "vec_id", "v", F.explode("cells").alias("cell_id")
+    )
+    q = _raw_queries(spark, sf_dir)
+    max_np = max(RECALL_CURVE_PROBES)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cell_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cells))
+        .withColumn(
+            "sim", _dot(F.col("qv"), F.col("cv")) / (_norm("qv") * _norm("cv"))
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= max_np)
+        .select("query_id", "qv", "cell_id", "probe_rank")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(corpus, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("v")) / (_norm("qv") * _norm("v"))
+        )
+        .select("query_id", "vec_id", "probe_rank", "cosine")
+    )
+    legs = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(p,) for p in RECALL_CURVE_PROBES], 1
+        ),
+        "nprobe int",
+    )
+    wk = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    approx = (
+        cand.join(F.broadcast(legs), F.col("probe_rank") <= F.col("nprobe"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= TOP_K)
+        .select("nprobe", "query_id", F.col("vec_id").alias("neighbor_id"),
+                F.lit(1).alias("hit"))
+    )
+    exact = (
+        sim_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .crossJoin(F.broadcast(legs))
+    )
+    return (
+        exact.join(approx, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+        .select(
+            "nprobe",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall_at_k"),
+        )
+    )
+
+
+def _oracle_recall_curve() -> str:
+    legs = []
+    for np_ in RECALL_CURVE_PROBES:
+        legs.append(f"""
+SELECT {np_} AS nprobe,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS recall_at_k
+FROM (SELECT query_id, neighbor_id FROM ({{exact}}) x) e
+LEFT JOIN (
+  WITH {_oracle_ivf_route(np_)},
+  scored AS (
+    SELECT p.query_id, ca.vec_id AS neighbor_id,
+           list_dot_product(p.qv, ca.v)
+             / (sqrt(list_dot_product(p.qv, p.qv))
+                * sqrt(list_dot_product(ca.v, ca.v))) AS cosine
+    FROM probes p JOIN corpus ca ON p.cell_id = ca.cell_id
+    WHERE ca.vec_id <> p.query_id
+  )
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= {TOP_K}
+) a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id""")
+    return "\nUNION ALL\n".join(legs)
 
 
 RANGE_SEARCH_T = 0.3  # cosine radius (testdata cosines top out ~0.40)
@@ -2295,6 +2424,7 @@ QUERIES = {
     "sim_pq_recall": sim_pq_recall,
     "sim_ivfpq_topk": sim_ivfpq_topk,
     "sim_ivfpq_recall": sim_ivfpq_recall,
+    "sim_recall_curve": sim_recall_curve,
     "dedup_embed": dedup_embed,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_logreg_step": ml_logreg_step,
@@ -2322,6 +2452,7 @@ ORACLE_SQL = {
     "sim_pq_recall": ORACLE_SIM_PQ_RECALL,
     "sim_ivfpq_topk": ORACLE_SIM_IVFPQ_TOPK,
     "sim_ivfpq_recall": ORACLE_SIM_IVFPQ_RECALL,
+    "sim_recall_curve": _oracle_recall_curve().format(exact=ORACLE_SIM_TOPK),
     "dedup_embed": ORACLE_DEDUP_EMBED,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
     "ml_logreg_step": ORACLE_ML_LOGREG_STEP,

@@ -185,3 +185,34 @@ def test_phash_clusters_partition_the_pair_graph(spark, sf_smoke):
     assert clusters == want
     assert all(n >= 2 for n in clusters.values())
     assert sum(clusters.values()) == len(parent)
+
+
+def test_scene_cut_laws(spark, sf_oracle):
+    """mm_scene_cut invariants: n_scenes = n_cuts + 1; first_cut set
+    iff any cut; frame counts match the byte arithmetic (ceil(n/32));
+    a single-frame doc can never cut; and the detector actually fires
+    somewhere on the corpus."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.multimodal import (
+        FRAME_LEN,
+        mm_scene_cut,
+    )
+    from pyspark.sql import functions as F
+
+    rows = mm_scene_cut(spark, sf_oracle).collect()
+    assert rows and any(r.n_cuts > 0 for r in rows)
+    n_bytes = {
+        r.doc_id: r.n
+        for r in table(spark, sf_oracle, "documents")
+        .select("doc_id", F.octet_length(F.encode("text", "utf-8")).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_scenes == r.n_cuts + 1
+        assert (r.first_cut is not None) == (r.n_cuts > 0)
+        expect_frames = -(-n_bytes[r.doc_id] // FRAME_LEN)
+        assert r.n_frames == expect_frames, (r.doc_id, r.n_frames, expect_frames)
+        if r.n_frames == 1:
+            assert r.n_cuts == 0
+        if r.first_cut is not None:
+            assert 1 <= r.first_cut < r.n_frames

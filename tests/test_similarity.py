@@ -236,3 +236,32 @@ def test_auc_rank_statistic_matches_pair_counting(spark, sf_oracle):
         eq = bisect.bisect_right(neg, p) - lt
         num += lt + 0.5 * eq
     assert abs(num / (len(pos) * len(neg)) - row.auc) < 1e-6
+
+
+def test_recall_curve_is_monotone_and_anchored(spark, sf_oracle):
+    """sim_recall_curve laws: one row per probed count; recall
+    non-decreasing in nprobe; the declared sim_topk_ivf operating
+    point (IVF_NPROBE) appears on the curve with the same total hits
+    sim_ivf_recall reports; recall ∈ [0, 1] with n_hits consistent."""
+    from distributed_graph_database_spark.pipeline.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        RECALL_CURVE_PROBES,
+        TOP_K,
+        sim_ivf_recall,
+        sim_recall_curve,
+    )
+
+    rows = sorted(
+        sim_recall_curve(spark, sf_oracle).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == list(RECALL_CURVE_PROBES)
+    truth = N_QUERIES * TOP_K
+    for r in rows:
+        assert 0 <= r.n_hits <= truth
+        assert abs(r.recall_at_k - r.n_hits / truth) < 1e-6
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_hits <= b.n_hits, (a, b)
+    anchor = {r.nprobe: r.n_hits for r in rows}[IVF_NPROBE]
+    per_query = sim_ivf_recall(spark, sf_oracle).collect()
+    assert sum(r.n_hits for r in per_query) == anchor
