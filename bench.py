@@ -156,6 +156,10 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         # stream_late_data's three-file arrival timeline (per-session
         # staging write, like stream_source_stage).
         ("stream_late_src_stage", lambda: streaming._late_src_dir(spark, sf_dir)),
+        # stream_cdc_apply's four-microbatch foreachBatch materialize
+        # (per-session ingest; the declared key reads the final
+        # snapshot).
+        ("stream_cdc_drain", lambda: streaming._cdc_stream_snap_dir(spark, sf_dir)),
     ]
     for name, fill in cache_fills:
         t0 = time.perf_counter()

@@ -806,9 +806,159 @@ GROUP BY 1
 """
 
 
+# --- streaming CDC materializer ----------------------------------------------
+
+_CDC_STREAM_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _cdc_version_frames(spark: SparkSession, sf_dir: str):
+    """The four CDC versions of store_cdc_apply's log, as separate
+    frames in version order — ONE derivation shared with the batch key
+    (same mods, same re-pricings), so the streaming twin can share
+    ORACLE_STORE_CDC_APPLY verbatim."""
+    from ..catalog import table
+    from ..sources.formats import CDC_DEL_MOD, CDC_UPD2_MOD, CDC_UPD3_MOD
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def version(df, seq, op, cents_col):
+        return df.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            cents_col.alias("cents"),
+        )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return [
+        version(o, 1, "I", cents),
+        version(
+            o.filter(F.col("o_orderkey") % CDC_UPD2_MOD == 0),
+            2, "U", F.round(F.col("o_totalprice") * 110).cast("bigint"),
+        ),
+        version(
+            o.filter(F.col("o_orderkey") % CDC_UPD3_MOD == 0),
+            3, "U", F.round(F.col("o_totalprice") * 90).cast("bigint"),
+        ),
+        version(
+            o.filter(F.col("o_orderkey") % CDC_DEL_MOD == 0),
+            4, "D", F.lit(None).cast("bigint"),
+        ),
+    ]
+
+
+def _cdc_stream_snap_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Run the streaming CDC materialization once per (session, sf):
+    the four log versions staged as mtime-ordered files, drained with
+    maxFilesPerTrigger=1 (one version per micro-batch, the transport's
+    total order), each batch MERGED into the snapshot store by
+    foreachBatch — read snapshot v(i−1), union the batch, compact with
+    the SAME cdc_compact_frame kernel the batch key uses, write
+    snapshot v(i). Returns the FINAL snapshot dir; every intermediate
+    version stays on disk (tests replay them against log-prefix
+    compaction — the time-travel face of streaming ingest).
+
+    Idempotence (the foreachBatch retry contract): snapshot v(i) is a
+    deterministic pure function of (v(i−1), batch i) — re-running a
+    crashed batch rewrites identical bytes; max(struct) is idempotent
+    on replayed rows because seqs are unique per key."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CDC_STREAM_STAGED.get(key)
+    if hit is not None:
+        return hit
+    import glob
+
+    from ..sources.formats import cdc_compact_frame
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = os.path.join(
+        staging_root(spark),
+        f"dgdb_stream_cdc_{spark.sparkContext.applicationId}_{slug}",
+    )
+    src = os.path.join(base, "log")
+    os.makedirs(src, exist_ok=True)
+    for i, vf in enumerate(_cdc_version_frames(spark, sf_dir)):
+        tmp = os.path.join(base, f"_tmp_v{i + 1}")
+        vf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"v{i + 1}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(tmp)
+        mtime = 1_000_000_000 + 100 * i
+        os.utime(dst, (mtime, mtime))
+
+    schema = spark.read.parquet(src).schema
+    state = {"prev": None, "last": None}
+
+    def commit(bdf: DataFrame, batch_id: int) -> None:
+        if state["prev"] is not None:
+            prev = spark.read.parquet(state["prev"]).withColumn(
+                # stored survivors re-enter the merge as plain upserts;
+                # their seq already encodes their write order
+                "op", F.lit("U")
+            ).select("o_orderkey", "o_orderstatus", "seq", "op", "cents")
+            log = prev.unionByName(
+                bdf.select("o_orderkey", "o_orderstatus", "seq", "op", "cents")
+            )
+        else:
+            log = bdf.select("o_orderkey", "o_orderstatus", "seq", "op", "cents")
+        out = os.path.join(base, f"snap_{batch_id}")
+        cdc_compact_frame(log).write.mode("overwrite").parquet(out)
+        state["prev"] = out
+        state["last"] = out
+
+    with _state_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(commit)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if state["last"] is None:
+        raise RuntimeError("CDC stream drained zero batches")
+    _CDC_STREAM_STAGED[key] = state["last"]
+    return state["last"]
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the STREAMING-INGEST materializer
+    store_cdc_apply's docstring promises — the same multi-version CDC
+    log arriving as four micro-batches in sequence order, each batch
+    MERGED into a versioned parquet snapshot store via foreachBatch
+    (the Hudi/Paimon continuous-compaction shape), then the final
+    snapshot audited with the batch key's aggregate → (o_orderstatus,
+    n_rows, sum_cents, n_from_v2, n_from_v3). Shares
+    ORACLE_STORE_CDC_APPLY VERBATIM: one log derivation, one
+    compaction kernel (cdc_compact_frame), two execution modes under
+    one hash.
+
+    Scale shape: each micro-batch's merge is the map-side-combined
+    max(struct) compaction over (stored survivors ∪ batch) — at
+    deployment the store side is partition-pruned to the keys the
+    batch touches (MERGE INTO), and snapshots are retained for time
+    travel exactly as written here; tests replay every intermediate
+    snapshot against the log-prefix compaction."""
+    d = _cdc_stream_snap_dir(spark, sf_dir)
+    snap = spark.read.parquet(d)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum((F.col("seq") == 2).cast("bigint")).cast("bigint").alias("n_from_v2"),
+        F.sum((F.col("seq") == 3).cast("bigint")).cast("bigint").alias("n_from_v3"),
+    )
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_late_data": stream_late_data,
+    "stream_cdc_apply": stream_cdc_apply,
     "stream_user_totals": stream_user_totals,
     "stream_topk_window": stream_topk_window,
     "stream_dedup": stream_dedup,
@@ -822,6 +972,9 @@ QUERIES = {
 ORACLE_SQL = {
     "stream_tumbling": ORACLE_STREAM_TUMBLING,
     "stream_late_data": ORACLE_STREAM_LATE_DATA,
+    # one log derivation + one compaction kernel, two execution modes
+    # under one hash (set below; import placed after dict for clarity)
+    "stream_cdc_apply": None,
     "stream_user_totals": ORACLE_STREAM_USER_TOTALS,
     # the twin's final ranked rows equal the batch key — one oracle
     "stream_topk_window": ORACLE_EVENTS_TOPK_WINDOW,
@@ -845,6 +998,10 @@ ORACLE_SQL = {
 # size-partitions-to-input discipline applied downward: a deployment
 # sets it to cluster scale exactly as it sets shuffle.partitions; the
 # first start's checkpoint pins it thereafter.
+from ..sources.formats import ORACLE_STORE_CDC_APPLY as _ORACLE_CDC
+
+ORACLE_SQL["stream_cdc_apply"] = _ORACLE_CDC
+
 STREAM_STATE_PARTITIONS = "4"
 
 

@@ -271,3 +271,38 @@ def test_stream_late_data_margin_is_wide(spark, sf_oracle):
 
     latest_late_window_end = dt.datetime.fromisoformat(es.LATE_HI)
     assert row[0] - latest_late_window_end >= dt.timedelta(days=1), row
+
+
+def test_stream_cdc_snapshots_equal_prefix_compaction(spark, sf_oracle):
+    """stream_cdc_apply's versioned store is real time travel: every
+    intermediate snapshot written by the foreachBatch merge must equal
+    the batch compaction of the corresponding log PREFIX — the
+    invariant that makes a crashed/retried batch rewrite identical
+    bytes and a snapshot read AS-OF version i trustworthy."""
+    import os
+
+    from distributed_graph_database_spark.sources.formats import (
+        cdc_compact_frame,
+    )
+    from distributed_graph_database_spark.streaming import events_stream as es
+
+    last = es._cdc_stream_snap_dir(spark, sf_oracle)
+    base = os.path.dirname(last)
+    snaps = sorted(
+        (d for d in os.listdir(base) if d.startswith("snap_")),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    versions = es._cdc_version_frames(spark, sf_oracle)
+    assert len(snaps) == len(versions)
+    prefix = None
+    for i, snap in enumerate(snaps):
+        prefix = versions[i] if prefix is None else prefix.unionByName(versions[i])
+        want = {
+            (r.o_orderkey): (r.o_orderstatus, r.seq, r.cents)
+            for r in cdc_compact_frame(prefix).collect()
+        }
+        got = {
+            (r.o_orderkey): (r.o_orderstatus, r.seq, r.cents)
+            for r in spark.read.parquet(os.path.join(base, snap)).collect()
+        }
+        assert got == want, f"snapshot {snap} diverges from prefix compaction"
