@@ -131,12 +131,22 @@ GRAPH_DELTAS: list[tuple[int, str, str, str, int, int]] = [
     (13, "G3", "vertex", "add", 4, 0),
     (14, "G3", "edge", "add", 3, 4),
     (15, "G3", "edge", "del", 3, 4),   # add-then-delete → vertex 4 isolated
+    # vertex delete-then-RE-ADD: the cascade at seq 16 kills (1,2) and
+    # the re-add does NOT restore it — last-writer-wins on the vertex
+    # alone would wrongly keep the edge (r9 review finding).
+    (16, "G2", "vertex", "del", 2, 0),
+    (17, "G2", "vertex", "add", 2, 0),
+    # ...and the edge DOES come back when explicitly re-added after the
+    # cascade (presence seq 20 > the endpoint's delete seq 18).
+    (18, "G1", "vertex", "del", 3, 0),
+    (19, "G1", "vertex", "add", 3, 0),
+    (20, "G1", "edge", "add", 2, 3),
 ]
 
 
 def graph_deltas_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
-        GRAPH_DELTAS,
+        spark.sparkContext.parallelize(GRAPH_DELTAS, 1),
         "seq bigint, graph_id string, kind string, action string, "
         "a bigint, b bigint",
     )
@@ -164,18 +174,26 @@ def fixture_edges_rows() -> list[tuple[str, int, int]]:
 
 def fixture_vertices_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
-        fixture_vertices_rows(), "graph_id string, vid bigint"
+        spark.sparkContext.parallelize(fixture_vertices_rows(), 1),
+        "graph_id string, vid bigint",
     )
 
 
 def fixture_edges_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
-        fixture_edges_rows(), "graph_id string, src bigint, dst bigint"
+        spark.sparkContext.parallelize(fixture_edges_rows(), 1),
+        "graph_id string, src bigint, dst bigint",
     )
 
 
 def ops_log_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(OPS_LOG, "seq bigint, op int, graph_id string")
+    # 1-slice at creation: constant frames as 32 pickled slices cost
+    # 32 near-empty Python partition reads per action (ops.py
+    # _read_result documents the measured pathology)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(OPS_LOG, 1),
+        "seq bigint, op int, graph_id string",
+    )
 
 
 def existing_graph_ids() -> list[str]:
@@ -235,7 +253,8 @@ def write_payload_rows() -> list[tuple[int, int, int]]:
 
 def write_payloads_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
-        write_payload_rows(), "seq bigint, src bigint, dst bigint"
+        spark.sparkContext.parallelize(write_payload_rows(), 1),
+        "seq bigint, src bigint, dst bigint",
     )
 
 

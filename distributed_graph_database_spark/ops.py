@@ -39,7 +39,10 @@ def _annotated_log(spark: SparkSession) -> DataFrame:
     """Ops log + per-row validity verdict (the R10 predicate set)."""
     log = fixtures.ops_log_df(spark)
     pre = spark.createDataFrame(
-        [(g,) for g in fixtures.existing_graph_ids()], "graph_id string"
+        spark.sparkContext.parallelize(
+            [(g,) for g in fixtures.existing_graph_ids()], 1
+        ),
+        "graph_id string",
     ).withColumn("pre_existing", F.lit(True))
 
     # Earliest op-1 per non-fixture graph = its creation seq.
@@ -157,7 +160,10 @@ def _snapshot_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this check rejects missing ones.
     pay = fixtures.write_payloads_df(spark)
     payload_seqs = spark.createDataFrame(
-        [(s,) for s in fixtures.WRITE_PAYLOADS], "seq bigint"
+        spark.sparkContext.parallelize(
+            [(s,) for s in fixtures.WRITE_PAYLOADS], 1
+        ),
+        "seq bigint",
     )
     n_orphan = writes.join(
         F.broadcast(payload_seqs), "seq", "left_anti"
@@ -246,13 +252,18 @@ def ops_graph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Merge contract (order-independent closed form of sequential
     replay; tests/test_ops.py proves the equivalence against a Python
-    replay of the log): presence per element = last-writer-wins over
-    its delta rows, else its fixture state; then a vertex delete
-    CASCADES its incident edges (the DELETE-cascade a relational MERGE
-    would enforce). Edge adds must reference vertices that exist in
-    the final state — a log precondition (like WRITE_PAYLOADS'
-    non-empty rule) asserted in tests, not re-checked per row here, so
-    the cascade only ever consults the delta-sized deleted-vertex set.
+    replay of the log): vertex presence = last-writer-wins; edge
+    presence = last-writer-wins WITH a presence seq p (0 for an
+    untouched fixture edge, else the last delta's seq), and a vertex
+    delete at seq s CASCADES every incident edge whose p < s — even if
+    the vertex is later re-added — while an edge explicitly re-added
+    after the cascade (p > s) survives. Comparing p against every
+    delete seq (not the vertex's final state) is what makes
+    delete-then-re-add correct (r9 review finding; fixture seqs 16–20
+    pin both branches). Edge adds must reference vertices that exist
+    AT THEIR SEQ — a log precondition (like WRITE_PAYLOADS' non-empty
+    rule) asserted in tests, not re-checked per row here, so the
+    cascade only ever consults the delta-sized vertex-delete set.
 
     Scale shape: the store is the big side, the delta log the small
     one — last-writer-wins is one map-side-combined groupBy over the
@@ -265,7 +276,8 @@ def ops_graph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast source."""
     deltas = fixtures.graph_deltas_df(spark)
     last = deltas.groupBy("graph_id", "kind", "a", "b").agg(
-        F.max(F.struct("seq", "action")).getField("action").alias("act")
+        F.max(F.struct("seq", "action")).getField("action").alias("act"),
+        F.max("seq").alias("last_seq"),
     )
     v_add = last.filter(
         (F.col("kind") == "vertex") & (F.col("act") == "add")
@@ -279,26 +291,65 @@ def ops_graph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(F.broadcast(v_del), ["graph_id", "vid"], "left_anti")
     )
-    e_add = last.filter(
-        (F.col("kind") == "edge") & (F.col("act") == "add")
-    ).select("graph_id", F.col("a").alias("src"), F.col("b").alias("dst"))
-    e_del = last.filter(
-        (F.col("kind") == "edge") & (F.col("act") == "del")
-    ).select("graph_id", F.col("a").alias("src"), F.col("b").alias("dst"))
+    # Edge presence carries a PRESENCE SEQ p (when the surviving state
+    # last became present: 0 for an untouched fixture edge, else the
+    # last delta's seq), and the cascade compares p against EVERY
+    # vertex delete's seq — not the vertex's last-writer state — so a
+    # delete-then-re-added vertex still kills the edges that existed
+    # before its delete, while an edge explicitly re-added AFTER the
+    # cascade survives (sequential-replay semantics; the equivalence
+    # test in tests/test_ops.py is the authority).
+    e_last = last.filter(F.col("kind") == "edge").select(
+        "graph_id",
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        "act",
+        "last_seq",
+    )
+    fix_e = fixtures.fixture_edges_df(spark)
+    cand_fix = fix_e.join(
+        F.broadcast(e_last), ["graph_id", "src", "dst"], "left"
+    ).select(
+        "graph_id", "src", "dst",
+        F.coalesce("last_seq", F.lit(0)).alias("p"),
+        F.coalesce("act", F.lit("add")).alias("act"),
+    )
+    cand_new = (
+        e_last.filter(F.col("act") == "add")
+        .join(fix_e, ["graph_id", "src", "dst"], "left_anti")
+        .select("graph_id", "src", "dst", F.col("last_seq").alias("p"), "act")
+    )
+    vdel_max = deltas.filter(
+        (F.col("kind") == "vertex") & (F.col("action") == "del")
+    ).groupBy("graph_id", F.col("a").alias("vid")).agg(
+        F.max("seq").alias("dmax")
+    )
     edges = (
-        fixtures.fixture_edges_df(spark)
-        .unionByName(e_add)
-        .distinct()
-        .join(F.broadcast(e_del), ["graph_id", "src", "dst"], "left_anti")
+        cand_fix.unionByName(cand_new)
+        .filter(F.col("act") == "add")
         .join(
-            F.broadcast(v_del.select("graph_id", F.col("vid").alias("src"))),
+            F.broadcast(
+                vdel_max.select(
+                    "graph_id", F.col("vid").alias("src"),
+                    F.col("dmax").alias("dmax_s"),
+                )
+            ),
             ["graph_id", "src"],
-            "left_anti",
+            "left",
         )
         .join(
-            F.broadcast(v_del.select("graph_id", F.col("vid").alias("dst"))),
+            F.broadcast(
+                vdel_max.select(
+                    "graph_id", F.col("vid").alias("dst"),
+                    F.col("dmax").alias("dmax_d"),
+                )
+            ),
             ["graph_id", "dst"],
-            "left_anti",
+            "left",
+        )
+        .filter(
+            (F.col("p") > F.coalesce("dmax_s", F.lit(-1)))
+            & (F.col("p") > F.coalesce("dmax_d", F.lit(-1)))
         )
     )
     return verts.select(
@@ -556,11 +607,17 @@ WITH d(seq, graph_id, kind, action, a, b) AS (
 fv(graph_id, vid) AS (VALUES {fixtures.fixture_vertices_values_sql()}),
 fe(graph_id, src, dst) AS (VALUES {fixtures.fixture_edges_values_sql()}),
 last AS (
-    SELECT graph_id, kind, a, b, ARG_MAX(action, seq) AS act
+    SELECT graph_id, kind, a, b, ARG_MAX(action, seq) AS act,
+           MAX(seq) AS last_seq
     FROM d GROUP BY graph_id, kind, a, b
 ),
 v_del AS (SELECT graph_id, a AS vid FROM last
           WHERE kind = 'vertex' AND act = 'del'),
+vdel_max AS (
+    SELECT graph_id, a AS vid, MAX(seq) AS dmax
+    FROM d WHERE kind = 'vertex' AND action = 'del'
+    GROUP BY graph_id, a
+),
 verts AS (
     SELECT graph_id, vid FROM (
         SELECT graph_id, vid FROM fv
@@ -571,21 +628,28 @@ verts AS (
     WHERE NOT EXISTS (SELECT 1 FROM v_del x
                       WHERE x.graph_id = u.graph_id AND x.vid = u.vid)
 ),
+cand AS (
+    SELECT f.graph_id, f.src, f.dst,
+           COALESCE(l.last_seq, 0) AS p, COALESCE(l.act, 'add') AS act
+    FROM fe f
+    LEFT JOIN last l ON l.kind = 'edge' AND l.graph_id = f.graph_id
+                    AND l.a = f.src AND l.b = f.dst
+    UNION
+    SELECT l.graph_id, l.a AS src, l.b AS dst, l.last_seq AS p, l.act
+    FROM last l
+    WHERE l.kind = 'edge' AND l.act = 'add'
+      AND NOT EXISTS (SELECT 1 FROM fe f2
+                      WHERE f2.graph_id = l.graph_id
+                        AND f2.src = l.a AND f2.dst = l.b)
+),
 edges AS (
-    SELECT graph_id, src, dst FROM (
-        SELECT graph_id, src, dst FROM fe
-        UNION
-        SELECT graph_id, a AS src, b AS dst FROM last
-        WHERE kind = 'edge' AND act = 'add'
-    ) u
-    WHERE NOT EXISTS (SELECT 1 FROM last l
-                      WHERE l.kind = 'edge' AND l.act = 'del'
-                        AND l.graph_id = u.graph_id
-                        AND l.a = u.src AND l.b = u.dst)
-      AND NOT EXISTS (SELECT 1 FROM v_del x
-                      WHERE x.graph_id = u.graph_id AND x.vid = u.src)
-      AND NOT EXISTS (SELECT 1 FROM v_del x
-                      WHERE x.graph_id = u.graph_id AND x.vid = u.dst)
+    SELECT c.graph_id, c.src, c.dst
+    FROM cand c
+    LEFT JOIN vdel_max ms ON ms.graph_id = c.graph_id AND ms.vid = c.src
+    LEFT JOIN vdel_max md ON md.graph_id = c.graph_id AND md.vid = c.dst
+    WHERE c.act = 'add'
+      AND c.p > COALESCE(ms.dmax, -1)
+      AND c.p > COALESCE(md.dmax, -1)
 )
 SELECT graph_id, 'vertex' AS kind, CAST(vid AS BIGINT) AS a,
        CAST(NULL AS BIGINT) AS b

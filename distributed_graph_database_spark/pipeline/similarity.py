@@ -235,14 +235,13 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(spark, sf_dir, "sim_topk_ivf", lambda: _sim_topk_ivf(spark, sf_dir))
 
 
-def _sim_topk_ivf(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
-) -> DataFrame:
+def _sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: corpus assigned to 1 cell, queries probe
-    their `nprobe` nearest cells (default IVF_NPROBE — the declared
-    sim_topk_ivf operating point; sim_recall_curve sweeps it); exact
-    cosine + top-k inside the probed cells only → same schema as
-    sim_topk."""
+    their IVF_NPROBE nearest cells; exact cosine + top-k inside the
+    probed cells only → same schema as sim_topk. (sim_recall_curve
+    does NOT call this per leg — it ranks probes once at the largest
+    count and filters, see its docstring; only the ORACLE side is
+    parameterized, _oracle_ivf_route(nprobe).)"""
     emb = _embeddings(spark, sf_dir)
     cells = _cells(spark, sf_dir)
 
@@ -250,7 +249,7 @@ def _sim_topk_ivf(
         "vec_id", "v", F.explode("cells").alias("cell_id")
     )
     q = _raw_queries(spark, sf_dir)
-    probes = _assign(q, cells, "qv", "probe_cells", nprobe).select(
+    probes = _assign(q, cells, "qv", "probe_cells", IVF_NPROBE).select(
         "query_id", "qv", F.explode("probe_cells").alias("cell_id")
     )
     scored = (
@@ -2290,7 +2289,10 @@ def ml_tree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )
     grid = spark.createDataFrame(
-        [(f, b) for f in ("price_cents", "order_day") for b in range(TREE_BINS)],
+        spark.sparkContext.parallelize(
+            [(f, b) for f in ("price_cents", "order_day")
+             for b in range(TREE_BINS)], 1,
+        ),
         "feature string, bin int",
     )
     full = F.broadcast(grid).join(hist, ["feature", "bin"], "left").select(

@@ -983,6 +983,46 @@ CDC_UPD3_MOD = 5
 CDC_DEL_MOD = 7
 
 
+def cdc_version_frames(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """THE CDC log derivation — the four versions of the changelog in
+    sequence order, each a frame with (o_orderkey, o_orderstatus, seq,
+    op, cents). Single definition consumed by BOTH execution modes:
+    store_cdc_apply unions them into one batch compaction;
+    stream_cdc_apply stages them as one micro-batch each
+    (streaming/events_stream.py) — so the two keys can share
+    ORACLE_STORE_CDC_APPLY without drift (r9 review finding: this used
+    to exist in two Spark copies)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def version(df, seq, op, cents_col):
+        return df.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            cents_col.alias("cents"),
+        )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return [
+        version(o, 1, "I", cents),
+        version(
+            o.filter(F.col("o_orderkey") % CDC_UPD2_MOD == 0),
+            2, "U", F.round(F.col("o_totalprice") * 110).cast("bigint"),
+        ),
+        version(
+            o.filter(F.col("o_orderkey") % CDC_UPD3_MOD == 0),
+            3, "U", F.round(F.col("o_totalprice") * 90).cast("bigint"),
+        ),
+        version(
+            o.filter(F.col("o_orderkey") % CDC_DEL_MOD == 0),
+            4, "D", F.lit(None).cast("bigint"),
+        ),
+    ]
+
+
 def store_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequenced-changelog replay (log compaction): materialize the
     final snapshot from a multi-version CDC log — several ops per key,
@@ -1006,41 +1046,10 @@ def store_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the same log through a ROW_NUMBER window — a
     different algorithm, so parity checks the last-writer-wins
     semantics, not the implementation."""
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-
-    def version(df, seq, op, cents_col):
-        return df.select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.lit(seq).alias("seq"),
-            F.lit(op).alias("op"),
-            cents_col.alias("cents"),
-        )
-
-    log = (
-        version(o, 1, "I", cents)
-        .unionByName(
-            version(
-                o.filter(F.col("o_orderkey") % CDC_UPD2_MOD == 0),
-                2, "U", F.round(F.col("o_totalprice") * 110).cast("bigint"),
-            )
-        )
-        .unionByName(
-            version(
-                o.filter(F.col("o_orderkey") % CDC_UPD3_MOD == 0),
-                3, "U", F.round(F.col("o_totalprice") * 90).cast("bigint"),
-            )
-        )
-        .unionByName(
-            version(
-                o.filter(F.col("o_orderkey") % CDC_DEL_MOD == 0),
-                4, "D", F.lit(None).cast("bigint"),
-            )
-        )
-    )
+    frames = cdc_version_frames(spark, sf_dir)
+    log = frames[0]
+    for vf in frames[1:]:
+        log = log.unionByName(vf)
     snap = cdc_compact_frame(log)
     return snap.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -812,42 +812,11 @@ _CDC_STREAM_STAGED: dict[tuple[str, str], str] = {}
 
 
 def _cdc_version_frames(spark: SparkSession, sf_dir: str):
-    """The four CDC versions of store_cdc_apply's log, as separate
-    frames in version order — ONE derivation shared with the batch key
-    (same mods, same re-pricings), so the streaming twin can share
-    ORACLE_STORE_CDC_APPLY verbatim."""
-    from ..catalog import table
-    from ..sources.formats import CDC_DEL_MOD, CDC_UPD2_MOD, CDC_UPD3_MOD
+    """The shared CDC log derivation (sources/formats.py
+    cdc_version_frames) — one definition for both execution modes."""
+    from ..sources.formats import cdc_version_frames
 
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-
-    def version(df, seq, op, cents_col):
-        return df.select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.lit(seq).cast("int").alias("seq"),
-            F.lit(op).alias("op"),
-            cents_col.alias("cents"),
-        )
-
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    return [
-        version(o, 1, "I", cents),
-        version(
-            o.filter(F.col("o_orderkey") % CDC_UPD2_MOD == 0),
-            2, "U", F.round(F.col("o_totalprice") * 110).cast("bigint"),
-        ),
-        version(
-            o.filter(F.col("o_orderkey") % CDC_UPD3_MOD == 0),
-            3, "U", F.round(F.col("o_totalprice") * 90).cast("bigint"),
-        ),
-        version(
-            o.filter(F.col("o_orderkey") % CDC_DEL_MOD == 0),
-            4, "D", F.lit(None).cast("bigint"),
-        ),
-    ]
+    return cdc_version_frames(spark, sf_dir)
 
 
 def _cdc_stream_snap_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -891,7 +860,7 @@ def _cdc_stream_snap_dir(spark: SparkSession, sf_dir: str) -> str:
         os.utime(dst, (mtime, mtime))
 
     schema = spark.read.parquet(src).schema
-    state = {"prev": None, "last": None}
+    state = {"prev": None}
 
     def commit(bdf: DataFrame, batch_id: int) -> None:
         if state["prev"] is not None:
@@ -908,7 +877,6 @@ def _cdc_stream_snap_dir(spark: SparkSession, sf_dir: str) -> str:
         out = os.path.join(base, f"snap_{batch_id}")
         cdc_compact_frame(log).write.mode("overwrite").parquet(out)
         state["prev"] = out
-        state["last"] = out
 
     with _state_partitions(spark):
         q = (
@@ -921,10 +889,10 @@ def _cdc_stream_snap_dir(spark: SparkSession, sf_dir: str) -> str:
             .start()
         )
         q.awaitTermination()
-    if state["last"] is None:
+    if state["prev"] is None:
         raise RuntimeError("CDC stream drained zero batches")
-    _CDC_STREAM_STAGED[key] = state["last"]
-    return state["last"]
+    _CDC_STREAM_STAGED[key] = state["prev"]
+    return state["prev"]
 
 
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

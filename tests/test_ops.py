@@ -126,20 +126,25 @@ def test_ops_graph_merge_equals_sequential_replay(spark, sf_oracle):
 
 
 def test_ops_graph_merge_log_precondition_and_delta_diff(spark, sf_oracle):
-    """(1) Log precondition: every edge add's endpoints exist in the
-    FINAL vertex state (the rule that lets the engine cascade against
-    the delta-sized deleted set only). (2) The merge differs from the
+    """(1) Log precondition: every edge add's endpoints exist at the
+    add's OWN seq (the rule that lets the engine cascade against the
+    delta-sized vertex-delete set only). (2) The merge differs from the
     fixture store by exactly the compacted delta: untouched graphs are
     byte-identical, and every changed element traces to a delta row."""
     from distributed_graph_database_spark import fixtures
 
     verts, edges = _replay_deltas_sequentially()
     last: dict = {}
+    vstate = {(g, v) for g, v in fixtures.fixture_vertices_rows()}
     for seq, g, kind, action, a, b in sorted(fixtures.GRAPH_DELTAS):
         last[(g, kind, a, b)] = action
-    for (g, kind, a, b), action in last.items():
-        if kind == "edge" and action == "add":
-            assert (g, a) in verts and (g, b) in verts, (g, a, b)
+        if kind == "vertex":
+            (vstate.add if action == "add" else vstate.discard)((g, a))
+        elif action == "add":
+            # the log precondition: an edge add's endpoints must exist
+            # AT ITS SEQ (not merely in the final state) — what lets
+            # the engine cascade against the vertex-delete set alone
+            assert (g, a) in vstate and (g, b) in vstate, (seq, g, a, b)
 
     fix_v = {(g, v) for g, v in fixtures.fixture_vertices_rows()}
     fix_e = {(g, s, d) for g, s, d in fixtures.fixture_edges_rows()}
