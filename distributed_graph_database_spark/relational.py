@@ -1472,16 +1472,52 @@ def ql_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # All money flows in integer cents (the Q1 rule), so cross-engine
 # hashes are exact.
 
+# The derived-partsupp aggregate is a MATERIALIZED ingest artifact:
+# two of the eight (Q2, Q11) consume it, Q11 three separate ways
+# (rows + two scalar subqueries), so deriving it inline re-aggregated
+# lineitem up to three times per query run (the driver's r9 bench
+# showed Q11 at 4.3 s, the slowest relational key — VERDICT r9 item
+# 1). At 100 TB this frame IS the partsupp table TPC-H ships — small
+# (|parts| × avg suppliers-per-part rows), written once at ingest —
+# so the engine materializes it once per (session, sf_dir) via
+# cache.shared (the orders_exact_profile discipline,
+# sources/formats.py) and both front doors read the checkpoint. The
+# ORACLE keeps the full single-statement derivation (the `{partsupp}`
+# template below), so parity still proves the materialization equals
+# the inline CTE.
+_PARTSUPP_DERIVE_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS ps_supplycost_cents,
+         CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+"""
+
+# The serve-side body reads whatever relation is bound to the name
+# `partsupp` — the oracle binds the derivation CTE, the Spark front
+# doors bind the session-materialized view.
+_PARTSUPP_VIEW = "partsupp_agg"
+
+
+def _partsupp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized per-(partkey, suppkey) aggregate: min unit
+    price in cents (supplycost) + Σ quantity (availqty). One lineitem
+    scan per (session, sf_dir); bench.py bills the build to the
+    `partsupp_agg` setup line item."""
+    from .cache import shared as cache_shared
+
+    def build() -> DataFrame:
+        table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+        return spark.sql(_PARTSUPP_DERIVE_SQL)
+
+    return cache_shared(spark, sf_dir, "partsupp_agg", build)
+
+
 # TPC-H Q2, min-cost supplier: the CORRELATED-MIN subquery — for each
 # part, only the supplier(s) achieving the minimum cost OVER THE SAME
 # FILTERED REGION survive. The classic argmin-per-group as pure SQL.
-TPCH_Q2_SQL = """
-WITH partsupp AS (
-  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS ps_supplycost_cents
-  FROM lineitem
-  GROUP BY l_partkey, l_suppkey
-)
+_TPCH_Q2_TEMPLATE = """
+WITH partsupp AS ({partsupp})
 SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
        s_name, n_name, p_partkey, ps_supplycost_cents
 FROM part, supplier, partsupp, nation, region
@@ -1499,18 +1535,27 @@ WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
 ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
 """
 
+TPCH_Q2_SQL = _TPCH_Q2_TEMPLATE.format(partsupp=_PARTSUPP_DERIVE_SQL)
+_TPCH_Q2_SERVE_SQL = _TPCH_Q2_TEMPLATE.format(
+    partsupp=f"SELECT * FROM {_PARTSUPP_VIEW}"
+)
+
 
 def ql_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL front door #15, TPC-H Q2: correlated MIN subquery — argmin
     supplier per part within a region. Catalyst decorrelates the inner
-    min into one grouped aggregate over the shared partsupp CTE joined
+    min into one grouped aggregate over the partsupp relation joined
     back on p_partkey (never a per-row re-execution), and the region
     restriction appears in BOTH the outer tree and the decorrelated
     aggregate — the correlation-under-filter case one step past
-    ql_sql_q17's single-table correlation."""
-    for t in ("lineitem", "part", "supplier", "nation", "region"):
+    ql_sql_q17's single-table correlation. partsupp is the
+    session-materialized ingest artifact (_partsupp_shared); the
+    oracle re-derives it inline, so parity proves the two forms
+    equal."""
+    for t in ("part", "supplier", "nation", "region"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(TPCH_Q2_SQL)
+    _partsupp_shared(spark, sf_dir).createOrReplaceTempView(_PARTSUPP_VIEW)
+    return spark.sql(_TPCH_Q2_SERVE_SQL)
 
 
 # TPC-H Q9, product-type profit: five-table join grouped by a
@@ -1553,14 +1598,8 @@ def ql_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "parts worth more than 2× the mean part value" — all-integer
 # arithmetic (value × n_parts > 2 × total), so the threshold predicate
 # is exact on both engines at every SF.
-TPCH_Q11_SQL = """
-WITH partsupp AS (
-  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS ps_supplycost_cents,
-         CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty
-  FROM lineitem
-  GROUP BY l_partkey, l_suppkey
-),
+_TPCH_Q11_TEMPLATE = """
+WITH partsupp AS ({partsupp}),
 natsupp AS (
   SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS value_cents
   FROM partsupp, supplier, nation
@@ -1575,6 +1614,11 @@ HAVING SUM(value_cents) * (SELECT COUNT(DISTINCT ps_partkey) FROM natsupp)
 ORDER BY value_cents DESC, ps_partkey
 """
 
+TPCH_Q11_SQL = _TPCH_Q11_TEMPLATE.format(partsupp=_PARTSUPP_DERIVE_SQL)
+_TPCH_Q11_SERVE_SQL = _TPCH_Q11_TEMPLATE.format(
+    partsupp=f"SELECT * FROM {_PARTSUPP_VIEW}"
+)
+
 
 def ql_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL front door #17, TPC-H Q11: HAVING over scalar subqueries —
@@ -1582,10 +1626,17 @@ def ql_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     it came from. Catalyst plans natsupp once, feeds the two
     uncorrelated scalar subqueries (count, sum) as broadcast
     one-row plans, and the threshold compare is pure int64 — no
-    float fraction, so it cannot jitter across engines or scales."""
-    for t in ("lineitem", "supplier", "nation"):
+    float fraction, so it cannot jitter across engines or scales.
+    The three natsupp consumers (rows + count + sum subqueries) used
+    to re-derive partsupp from lineitem per consumer — three fact
+    aggregations per run, the driver's slowest relational key at r9
+    (4.3 s); they now read the session-materialized partsupp artifact
+    (_partsupp_shared), while the oracle keeps the full in-statement
+    derivation so parity proves the rewrite."""
+    for t in ("supplier", "nation"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(TPCH_Q11_SQL)
+    _partsupp_shared(spark, sf_dir).createOrReplaceTempView(_PARTSUPP_VIEW)
+    return spark.sql(_TPCH_Q11_SERVE_SQL)
 
 
 # TPC-H Q12, shipping priority by mode: conditional (pivot-style)
@@ -2091,6 +2142,25 @@ def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("decimal(38,0)").alias("sy"),
         F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        # per-row maxima of every summed term, for the runtime
+        # overflow guard below (bigint-safe: x·y ≤ ~5.5e8 per row)
+        F.max(F.greatest(F.col("y"), F.col("x") * F.col("x"),
+                         F.col("x") * F.col("y")))
+         .cast("decimal(38,0)").alias("max_term"),
+    )
+    # Runtime overflow guard (ADVICE r9 #2): the static width budget
+    # below holds for TPC-H-shaped data, but non-ANSI bigint SUM wraps
+    # SILENTLY — so the guard re-derives the budget from the data at
+    # run time: n · max(per-row term) bounds every Σ, computed in
+    # decimal (can't itself wrap) and asserted ≤ int64 max. JVM-side,
+    # evaluated once per group (≤3 rows), zero cost on the hot path;
+    # a corpus that outgrows the budget now fails loudly instead of
+    # returning wrong slopes.
+    _INT64_MAX = "9223372036854775807"
+    guard = F.assert_true(
+        F.col("n") * F.col("max_term") <= F.expr(f"CAST({_INT64_MAX} AS DECIMAL(38,0))"),
+        F.lit("ql_regr: moment sums exceed int64 headroom — "
+              "re-derive with wider accumulators"),
     )
     # slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²); intercept = (Σy − slope·Σx)/n.
     # The numerators/denominators stay exact decimal; only the final
@@ -2105,7 +2175,9 @@ def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n").cast("double")
     return agg.select(
         "l_linestatus",
-        F.col("n").cast("bigint").alias("n"),
+        # the guard rides the n output expression (assert_true is
+        # always NULL or throws) so column pruning can never drop it
+        F.when(guard.isNull(), F.col("n")).cast("bigint").alias("n"),
         F.round(slope, 6).alias("slope_cents"),
         F.round(intercept, 6).alias("intercept_cents"),
     )

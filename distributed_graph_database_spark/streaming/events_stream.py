@@ -860,7 +860,26 @@ def _cdc_stream_snap_dir(spark: SparkSession, sf_dir: str) -> str:
         os.utime(dst, (mtime, mtime))
 
     schema = spark.read.parquet(src).schema
-    state = {"prev": None}
+    # Resume-safety (ADVICE r9 #1): if a prior run in this session
+    # died mid-stream, the checkpoint makes the restarted query SKIP
+    # already-committed batches — so the driver-side merge state must
+    # resume from the last COMMITTED snapshot, not from None (which
+    # would silently compact the remaining batches without prior
+    # survivors). Only _SUCCESS-marked snapshots count (a crash
+    # mid-write leaves no marker and the batch replays); re-merging a
+    # batch whose snapshot committed but whose checkpoint offset
+    # didn't is idempotent — compact(compact(vᵢ₋₁ ∪ bᵢ) ∪ bᵢ) =
+    # compact(vᵢ₋₁ ∪ bᵢ), because seqs are unique per key and deletes
+    # re-delete (pinned in tests/test_streaming_recovery.py).
+    committed = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(base, "snap_*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ),
+        key=lambda p: int(p.rsplit("_", 1)[1]),
+    )
+    state = {"prev": committed[-1] if committed else None}
 
     def commit(bdf: DataFrame, batch_id: int) -> None:
         if state["prev"] is not None:

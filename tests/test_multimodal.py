@@ -216,3 +216,55 @@ def test_scene_cut_laws(spark, sf_oracle):
             assert r.n_cuts == 0
         if r.first_cut is not None:
             assert 1 <= r.first_cut < r.n_frames
+
+
+def test_clip_filter_matches_independent_python_replay(spark, sf_smoke):
+    """The r9 ops_graph_merge lesson: when Spark and the DuckDB oracle
+    share a derivation, parity cannot falsify it — so the cross-modal
+    gate is pinned here against an INDEPENDENT from-scratch replay:
+    hashlib-md5 SimHash votes, _phash_bits over locally synthesized
+    payloads, pure-Python hamming and per-source counting."""
+    import hashlib
+    from collections import defaultdict
+
+    from distributed_graph_database_spark.pipeline.multimodal import (
+        CLIP_BITS,
+        CLIP_HAMMING_MAX,
+        _phash_bits,
+        _synth_image,
+        mm_clip_filter,
+    )
+
+    docs = {
+        r.doc_id: (r.text, r.source)
+        for r in table(spark, sf_smoke, "documents").collect()
+    }
+
+    def simhash32(text: str) -> int:
+        votes = [0] * 32
+        for tok in text.strip().lower().split():
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(32) if votes[b] > 0)
+
+    expect = defaultdict(lambda: [0, 0, 0, 0])  # n_pairs, keep, drop, sum_ham
+    for doc_id, (text, source) in docs.items():
+        if doc_id % 2 != 0:  # only PPM docs carry an image feature
+            continue
+        ph = _phash_bits(_synth_image(doc_id))
+        tx = simhash32(text) & ((1 << CLIP_BITS) - 1)
+        ham = bin(ph ^ tx).count("1")
+        e = expect[source]
+        e[0] += 1
+        e[1 if ham <= CLIP_HAMMING_MAX else 2] += 1
+        e[3] += ham
+
+    got = {
+        r.source: [r.n_pairs, r.n_keep, r.n_drop, r.sum_hamming]
+        for r in mm_clip_filter(spark, sf_smoke).collect()
+    }
+    assert got == dict(expect)
+    # the gate must be a real filter, not all-keep or all-drop
+    assert sum(v[1] for v in got.values()) > 0
+    assert sum(v[2] for v in got.values()) > 0

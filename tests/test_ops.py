@@ -187,25 +187,35 @@ def test_concurrent_replay_pools_ran_concurrently(spark, sf_oracle):
     clock — concurrent execution, not interleaved turns."""
     assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
 
-    ops._REPLAY_INTERVALS.clear()
-    df = ops._concurrent_replay_serve(spark, sf_oracle)
-    # results are deterministic regardless of scheduling
-    got = {(r.seq, r.server): r.result for r in df.collect()}
-    assert got == {
-        (2, "secondary_2"): "3 4",
-        (3, "secondary_1"): "1 2 4 3",
-        (5, "secondary_1"): "2 4",
-        (10, "secondary_2"): "1 2 3 4",
-    }
+    # The serve now barriers its threads before the first request
+    # (ADVICE r9 #4), so an overlap miss means the host scheduler
+    # starved one thread mid-batch — possible under heavy load, so the
+    # overlap claim gets up to 3 serves before it counts as a failure.
+    # Results and job-group attribution are asserted on EVERY attempt:
+    # only the wall-clock overlap is scheduler-dependent.
+    overlap = False
+    for _attempt in range(3):
+        ops._REPLAY_INTERVALS.clear()
+        df = ops._concurrent_replay_serve(spark, sf_oracle)
+        # results are deterministic regardless of scheduling
+        got = {(r.seq, r.server): r.result for r in df.collect()}
+        assert got == {
+            (2, "secondary_2"): "3 4",
+            (3, "secondary_1"): "1 2 4 3",
+            (5, "secondary_1"): "2 4",
+            (10, "secondary_2"): "1 2 3 4",
+        }
 
-    tracker = spark.sparkContext.statusTracker()
-    for srv in ("secondary_1", "secondary_2"):
-        assert tracker.getJobIdsForGroup(f"replay-{srv}"), srv
+        tracker = spark.sparkContext.statusTracker()
+        for srv in ("secondary_1", "secondary_2"):
+            assert tracker.getJobIdsForGroup(f"replay-{srv}"), srv
 
-    iv1 = ops._REPLAY_INTERVALS["secondary_1"]
-    iv2 = ops._REPLAY_INTERVALS["secondary_2"]
-    assert len(iv1) == 2 and len(iv2) == 2
-    overlap = any(
-        a0 < b1 and b0 < a1 for a0, a1 in iv1 for b0, b1 in iv2
-    )
+        iv1 = ops._REPLAY_INTERVALS["secondary_1"]
+        iv2 = ops._REPLAY_INTERVALS["secondary_2"]
+        assert len(iv1) == 2 and len(iv2) == 2
+        overlap = any(
+            a0 < b1 and b0 < a1 for a0, a1 in iv1 for b0, b1 in iv2
+        )
+        if overlap:
+            break
     assert overlap, (iv1, iv2)

@@ -152,3 +152,49 @@ def test_regr_bigint_moment_headroom(spark, sf_oracle):
     ]
     assert agg_lines, plan
     assert all("Decimal" not in ln and "decimal" not in ln for ln in agg_lines), agg_lines
+
+
+def test_regr_overflow_guard_fails_loudly(spark, tmp_path):
+    """ADVICE r9 #2: the bigint moment sums rely on a static width
+    budget; a SUM past it must raise — never return wrong slopes. In
+    an ANSI session (Spark 4 default) the overflowing sum itself
+    raises ARITHMETIC_OVERFLOW; in a non-ANSI session the sum wraps
+    silently, and ql_regr's own runtime guard (n · max per-row term ≤
+    int64 max, computed in decimal) fires instead. Both paths are
+    exercised here."""
+    import pytest
+
+    from distributed_graph_database_spark.relational import ql_regr
+
+    # 3 rows × (x·y = 4e18) → Σxy = 1.2e19 > 2^63−1: the sum genuinely
+    # overflows, and n·max_term breaches the guard bound.
+    spark.createDataFrame(
+        [("F", 1.0, 4.0e16)] * 3,
+        "l_linestatus string, l_quantity double, l_extendedprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|int64 headroom"):
+        ql_regr(spark, str(tmp_path)).collect()
+
+    # The non-ANSI path: the sums wrap silently, so the result would
+    # be wrong without the guard — the guard must be what raises.
+    prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="int64 headroom"):
+            ql_regr(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prior)
+
+
+def test_regr_overflow_guard_passes_real_data(spark, sf_oracle):
+    """The guard is invisible on in-budget data: one result row per
+    linestatus group, none swallowed."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.relational import ql_regr
+
+    n_groups = (
+        table(spark, sf_oracle, "lineitem").select("l_linestatus").distinct().count()
+    )
+    assert ql_regr(spark, sf_oracle).count() == n_groups

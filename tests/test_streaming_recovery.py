@@ -306,3 +306,51 @@ def test_stream_cdc_snapshots_equal_prefix_compaction(spark, sf_oracle):
             for r in spark.read.parquet(os.path.join(base, snap)).collect()
         }
         assert got == want, f"snapshot {snap} diverges from prefix compaction"
+
+
+def test_stream_cdc_resume_merges_against_last_committed_snapshot(
+    spark, sf_oracle
+):
+    """ADVICE r9 #1: a run that dies mid-stream and is RETRIED IN THE
+    SAME SESSION resumes from the stream checkpoint (committed batches
+    skip), so the driver-side merge state must seed from the last
+    committed snapshot — a prev=None restart would compact the
+    remaining batches without prior survivors and silently drop every
+    key only present in the early batches.
+
+    Simulated here as the cleanest crash point: full drain, then
+    rewind the world to 'crashed right after batch 1 committed' —
+    drop the session memo, delete snapshots and checkpoint progress
+    beyond batch 1 — and re-enter. The resumed drain must reproduce
+    the exact final snapshot of the uninterrupted run."""
+    from distributed_graph_database_spark.streaming import events_stream as es
+
+    last = es._cdc_stream_snap_dir(spark, sf_oracle)
+    base = os.path.dirname(last)
+    want = {
+        r.o_orderkey: (r.o_orderstatus, r.seq, r.cents)
+        for r in spark.read.parquet(last).collect()
+    }
+
+    keep_upto = 1  # crash point: batches 0..1 committed, 2..3 pending
+    es._CDC_STREAM_STAGED.pop((spark.sparkContext.applicationId, sf_oracle))
+    for d in os.listdir(base):
+        if d.startswith("snap_") and int(d.split("_")[1]) > keep_upto:
+            shutil.rmtree(os.path.join(base, d))
+    ckpt = os.path.join(base, "ckpt")
+    for sub in ("offsets", "commits", os.path.join("sources", "0")):
+        subdir = os.path.join(ckpt, sub)
+        for f in os.listdir(subdir):
+            # each metadata file "N" has a local-FS checksum twin
+            # ".N.crc"; a stale twin makes the re-written batch's
+            # rename fail, so the rewind must drop both
+            n = f.removeprefix(".").removesuffix(".crc")
+            if n.isdigit() and int(n) > keep_upto:
+                os.remove(os.path.join(subdir, f))
+
+    resumed = es._cdc_stream_snap_dir(spark, sf_oracle)
+    got = {
+        r.o_orderkey: (r.o_orderstatus, r.seq, r.cents)
+        for r in spark.read.parquet(resumed).collect()
+    }
+    assert got == want, "resumed drain diverged from the uninterrupted run"
