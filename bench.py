@@ -158,6 +158,10 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         # requests execute once when they arrive; downstream scans
         # read the served results (see the key's docstring).
         ("concurrent_replay_serve", lambda: ops_mod.ops_concurrent_replay(spark, sf_dir)),
+        # The full readers-writers serve (primary applying writes
+        # while the secondaries read AS-OF states) — same serving-
+        # layer rule: each arriving request executes once.
+        ("concurrent_full_serve", lambda: ops_mod.ops_concurrent_full(spark, sf_dir)),
         # stream_late_data's three-file arrival timeline (per-session
         # staging write, like stream_source_stage).
         ("stream_late_src_stage", lambda: streaming._late_src_dir(spark, sf_dir)),
@@ -196,6 +200,7 @@ SETUP_SERVES = {
     "orders_exact_profile": ["store_stats_collect", "store_stats_approx"],
     "partsupp_agg": ["ql_sql_q2", "ql_sql_q11"],
     "concurrent_replay_serve": ["ops_concurrent_replay"],
+    "concurrent_full_serve": ["ops_concurrent_full"],
     "stream_late_src_stage": ["stream_late_data"],
     "stream_cdc_drain": ["stream_cdc_apply"],
 }

@@ -219,3 +219,76 @@ def test_concurrent_replay_pools_ran_concurrently(spark, sf_oracle):
         if overlap:
             break
     assert overlap, (iv1, iv2)
+
+
+def test_concurrent_full_writes_and_reads_overlap(spark, sf_oracle):
+    """ops_concurrent_full's readers-writers claim (VERDICT r9 item
+    4) made falsifiable: run the uncached serve and assert (1) the
+    primary's write jobs and the secondaries' read jobs ran under
+    their own job groups, (2) the primary's write interval overlaps a
+    reader's interval in wall clock (writes and reads genuinely
+    concurrent), (3) every read that depends on a write finished
+    AFTER that write's apply completed (seq-ordered visibility), and
+    (4) the read rows are byte-identical to ops_concurrent_replay's —
+    scheduling never changes answers. Overlap (scheduler-dependent)
+    gets up to 3 serves; everything else is asserted every attempt."""
+    from distributed_graph_database_spark import fixtures
+
+    writes = [(s, op, g) for s, op, g in fixtures.valid_ops() if op <= 2]
+    reads = [(s, op, g) for s, op, g in fixtures.valid_ops() if op >= 3]
+    dep_of = {
+        rs: max((ws for ws, _, wg in writes if wg == g and ws < rs), default=0)
+        for rs, _, g in reads
+    }
+    assert any(d > 0 for d in dep_of.values())  # the claim has teeth
+
+    replay_rows = {
+        (r.seq, r.server): r.result
+        for r in ops._concurrent_replay_serve(spark, sf_oracle).collect()
+    }
+
+    overlap = False
+    for _attempt in range(3):
+        ops._FULL_INTERVALS.clear()
+        ops._FULL_APPLIED_AT.clear()
+        df = ops._concurrent_full_serve(spark, sf_oracle)
+        rows = df.collect()
+        # (4) read rows identical to the read-only serve
+        got_reads = {
+            (r.seq, r.server): r.result for r in rows if r.server != "primary"
+        }
+        assert got_reads == replay_rows
+        # write acks present and versioned
+        got_writes = {r.seq: r.result for r in rows if r.server == "primary"}
+        assert set(got_writes) == {s for s, _, _ in writes}
+        assert all(v.startswith("v") for v in got_writes.values())
+
+        # (1) job-group attribution
+        tracker = spark.sparkContext.statusTracker()
+        for grp in ("full-primary", "full-secondary_1", "full-secondary_2"):
+            assert tracker.getJobIdsForGroup(grp), grp
+
+        # (3) visibility: a dependent read never finishes before its
+        # write's apply instant — this is the lock semantics, so it
+        # holds on EVERY attempt, not just lucky ones
+        read_end = {}
+        for srv in ("secondary_1", "secondary_2"):
+            batch = [r for r in reads if (r[0] % 2 == 1) == (srv == "secondary_1")]
+            for (rs, _, _), (t0, t1) in zip(batch, ops._FULL_INTERVALS[srv]):
+                read_end[rs] = t1
+        for rs, dep in dep_of.items():
+            if dep > 0:
+                assert read_end[rs] > ops._FULL_APPLIED_AT[dep], (rs, dep)
+
+        # (2) wall-clock overlap between the write pool and a reader
+        wiv = ops._FULL_INTERVALS["primary"]
+        riv = (
+            ops._FULL_INTERVALS["secondary_1"]
+            + ops._FULL_INTERVALS["secondary_2"]
+        )
+        overlap = any(
+            a0 < b1 and b0 < a1 for a0, a1 in wiv for b0, b1 in riv
+        )
+        if overlap:
+            break
+    assert overlap, (wiv, riv)
