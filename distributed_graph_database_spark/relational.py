@@ -517,21 +517,64 @@ FROM orders GROUP BY o_orderstatus
 APPROX_QUANTILE_ACC = 10_000  # percentile_approx accuracy parameter
 
 
+# GK sketch at APPROX_QUANTILE_ACC must land within 1% of the exact
+# percentile value (the r2-#5 measured-error policy, promoted r10
+# from a companion test to a hashed claim): 100·|a−e| ≤ e, evaluated
+# on cents so both sides are exact-integer-derived.
+APPROX_QUANTILE_TOL_X100 = 100
+
+
 def ql_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles of extendedprice per returnflag via
-    percentile_approx (Greenwald-Khanna sketch) -> (l_returnflag,
-    p50, p95). The mergeable-sketch path for quantiles at 100 TB,
-    where exact percentile means a full sort per group; the sketch is
-    one pass + tiny merge. No oracle (sketch internals differ across
-    engines by design) - the companion error-bound test measures
-    |approx - exact| <= 1% against the exact percentile, same policy
-    as the recall keys (VERDICT r2 #5: approximations ship with their
-    measured error)."""
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, APPROX_QUANTILE_ACC).alias("p50"),
-        F.percentile_approx("l_extendedprice", 0.95, APPROX_QUANTILE_ACC).alias("p95"),
+    percentile_approx (Greenwald-Khanna sketch), SELF-AUDITING
+    (graduated r10 from rows-only to hash-checked): one grouped
+    aggregate computes the EXACT p50/p95 over integer cents (the
+    ql_percentiles_exact interpolation contract, hash-stable) AND the
+    GK estimates, and signs `approx_ok` = both estimates within 1% of
+    exact → (l_returnflag, p50_exact, p95_exact, approx_ok). The
+    oracle replays the exact quantiles with `TRUE AS approx_ok`. The
+    sketch stays the 100 TB production path (one pass + tiny merge vs
+    a full sort per group); the declared form is the audit pass that
+    certifies its error — the same graduation store_stats_approx and
+    ql_approx_distinct made. The sketch-vs-exact margin is wide
+    (measured GK error ≪ 0.1% at this accuracy), so the boolean can't
+    1-ulp-flip across engines."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(cents, array(0.5D, 0.95D))").alias("e"),
+        F.percentile_approx("cents", 0.5, APPROX_QUANTILE_ACC).alias("a50"),
+        F.percentile_approx("cents", 0.95, APPROX_QUANTILE_ACC).alias("a95"),
+    )
+    ok = (
+        F.abs(F.col("a50") - F.col("e")[0]) * APPROX_QUANTILE_TOL_X100
+        <= F.col("e")[0]
+    ) & (
+        F.abs(F.col("a95") - F.col("e")[1]) * APPROX_QUANTILE_TOL_X100
+        <= F.col("e")[1]
+    )
+    return g.select(
+        "l_returnflag",
+        F.round(F.col("e")[0], 6).alias("p50_exact"),
+        F.round(F.col("e")[1], 6).alias("p95_exact"),
+        ok.alias("approx_ok"),
+    )
+
+
+ORACLE_QL_APPROX_QUANTILES = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(quantile_cont(cents, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(cents, 0.95), 6) AS p95_exact,
+       TRUE AS approx_ok
+FROM li GROUP BY l_returnflag
+"""
 
 
 def ql_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2297,14 +2340,46 @@ FROM o GROUP BY o_orderpriority
 
 # --- approximate ------------------------------------------------------------
 
+# HLL++ rsd 2% must land within 5% of exact (≈2.5σ headroom) — the
+# store_stats_approx bound, integer cross-multiplied in both engines.
+APPROX_DISTINCT_TOL_X20 = 20
+
+
 def ql_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count of order customers. Sketch values
-    differ across engines by design → no value oracle (rows-only
-    check); tests assert within 5% of the exact count."""
-    return (
-        table(spark, sf_dir, "orders")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"))
+    """HyperLogLog++ distinct-count of order customers, SELF-AUDITING
+    (graduated r10 from rows-only to hash-checked — the
+    store_stats_approx discipline): one run computes the exact
+    distinct count AND the HLL++ estimate (rsd 2%), and signs
+    `approx_ok` = estimate within 5% of exact by integer
+    cross-multiplication → (n_exact, approx_ok). The DuckDB oracle
+    replays the exact count with `TRUE AS approx_ok`, so any
+    sketch-quality regression flips a hashed bit instead of hiding
+    behind a row count. The two 1-row legs stay SEPARATE aggregates
+    joined by a broadcast crossJoin: mixing the imperative HLL buffer
+    into the exact-distinct aggregate forces SortAggregate (the
+    store_stats_approx 34-s lesson); split, each keeps its optimal
+    shape. At 100 TB the sketch leg alone is the production call —
+    this declared form is the audit pass that certifies it."""
+    o = table(spark, sf_dir, "orders")
+    exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    sketch = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx")
     )
+    return exact.crossJoin(F.broadcast(sketch)).select(
+        "n_exact",
+        (
+            F.lit(APPROX_DISTINCT_TOL_X20)
+            * F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact")
+        ).alias("approx_ok"),
+    )
+
+
+ORACLE_QL_APPROX_DISTINCT = """
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS approx_ok
+FROM orders
+"""
 
 
 QUERIES = {
@@ -2367,7 +2442,8 @@ QUERIES = {
     "ql_approx_quantiles": ql_approx_quantiles,
 }
 
-# ql_approx_distinct intentionally absent: approximate sketch → rows-only.
+# The approx keys carry AUDIT oracles since r10 (exact columns + a
+# TRUE bound column — the store_stats_approx discipline).
 ORACLE_SQL = {
     "ql_scan_project": ORACLE_SCAN_PROJECT,
     "ql_filter": ORACLE_FILTER,
@@ -2424,4 +2500,6 @@ ORACLE_SQL = {
     "ql_regr": ORACLE_QL_REGR,
     "ql_window_misc": ORACLE_QL_WINDOW_MISC,
     "ql_percentiles_exact": ORACLE_QL_PERCENTILES_EXACT,
+    "ql_approx_distinct": ORACLE_QL_APPROX_DISTINCT,
+    "ql_approx_quantiles": ORACLE_QL_APPROX_QUANTILES,
 }
