@@ -201,7 +201,12 @@ SETUP_SERVES = {
     "partsupp_agg": ["ql_sql_q2", "ql_sql_q11"],
     "concurrent_replay_serve": ["ops_concurrent_replay"],
     "concurrent_full_serve": ["ops_concurrent_full"],
-    "stream_late_src_stage": ["stream_late_data"],
+    # stream_late_src_stage deliberately absent (r10 review finding):
+    # it only stages the three SOURCE files — stream_late_data's
+    # per-key number still measures the real 3-batch drain, so listing
+    # it here would cause exactly the discounting error this map
+    # exists to prevent. stream_cdc_drain, by contrast, genuinely
+    # memoizes the drained snapshot (_CDC_STREAM_STAGED).
     "stream_cdc_drain": ["stream_cdc_apply"],
 }
 

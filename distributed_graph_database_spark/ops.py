@@ -400,6 +400,18 @@ def _read_result(spark: SparkSession, op: int, gid: str, rseq: int) -> DataFrame
     lv = traversal.bfs_levels(
         spark, sym, READ_START_VERTEX, cache_edges=False
     )
+    return _format_read(op, lv, sym)
+
+
+def _format_read(op: int, lv: DataFrame, sym: DataFrame) -> DataFrame:
+    """The reference's single-string read formatting (R9) over a
+    traversal's levels frame: op 4 → BFS level order, op 3 → DFS
+    terminal vertices, both under the BFS_ORDER_MAX_VERTICES cap that
+    the oracle mirrors (ADVICE r9 #3). ONE definition shared by every
+    read path (_read_result and the concurrent-full serve) so the cap
+    and format can never drift between them (r10 review finding)."""
+    from .graph import traversal
+
     if op == 4:
         return traversal.bfs_order_from_levels(lv).select(
             F.col("bfs_order").alias("result")
@@ -581,10 +593,19 @@ def _concurrent_full_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "secondary_1": [r for r in reads if r[0] % 2 == 1],
         "secondary_2": [r for r in reads if r[0] % 2 == 0],
     }
-    # last valid write below each read's seq FOR ITS GRAPH — the
-    # visibility dependency the router already knows (fixture-constant
-    # algebra, same rule as edges_as_of / the oracle's as_of CTE)
-    dep_of = {
+    # Two distinct seq maps (r10 review finding — these were conflated):
+    # wait_for = last valid write below the read's seq GLOBALLY — the
+    #   reference's single writer lock serializes ALL writes, so "the
+    #   store holds every write below my seq" is a global watermark
+    #   condition, which is what each read blocks on;
+    # as_of = last valid write below the read's seq FOR ITS GRAPH —
+    #   the partition the read actually scans (edges_as_of / the
+    #   oracle's as_of CTE rule).
+    wait_for = {
+        rs: max((ws for ws, _, _ in writes if ws < rs), default=0)
+        for rs, _, _ in reads
+    }
+    as_of = {
         rs: max((ws for ws, _, wg in writes if wg == g and ws < rs), default=0)
         for rs, _, g in reads
     }
@@ -674,10 +695,10 @@ def _concurrent_full_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             for rseq, op, gid in reqs:
                 t0 = time.monotonic()
                 with visibility:
-                    while applied["seq"] < dep_of[rseq]:
+                    while applied["seq"] < wait_for[rseq]:
                         if not visibility.wait(timeout=120):
                             raise RuntimeError(
-                                f"read {rseq}: write {dep_of[rseq]} "
+                                f"read {rseq}: write {wait_for[rseq]} "
                                 "never became visible"
                             )
                 # partition-pruned AS-OF scan of the store the primary
@@ -687,7 +708,7 @@ def _concurrent_full_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     spark.read.parquet(store)
                     .filter(
                         (F.col("graph_id") == gid)
-                        & (F.col("seq") == dep_of[rseq])
+                        & (F.col("seq") == as_of[rseq])
                     )
                     .select("src", "dst")
                 )
@@ -698,26 +719,7 @@ def _concurrent_full_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lv = traversal.bfs_levels(
                     spark, sym, READ_START_VERTEX, cache_edges=False
                 )
-                if op == 4:
-                    res = traversal.bfs_order_from_levels(lv).select(
-                        F.col("bfs_order").alias("result")
-                    )
-                else:
-                    leaves = traversal.dfs_leaves_from_levels(lv, sym)
-                    res = (
-                        leaves.orderBy("vid")
-                        .limit(traversal.BFS_ORDER_MAX_VERTICES)
-                        .agg(
-                            F.array_join(
-                                F.transform(
-                                    F.array_sort(F.collect_list("vid")),
-                                    lambda v: v.cast("string"),
-                                ),
-                                " ",
-                            ).alias("result")
-                        )
-                    )
-                row = res.select(
+                row = _format_read(op, lv, sym).select(
                     F.lit(rseq).cast("bigint").alias("seq"),
                     F.lit(op).cast("int").alias("op"),
                     F.lit(gid).alias("graph_id"),

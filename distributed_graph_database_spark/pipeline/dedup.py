@@ -430,8 +430,12 @@ def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return truth.join(found, ["doc_a", "doc_b"], "left").agg(
         F.count(F.lit(1)).alias("n_true"),
+        # SUM over zero rows is NULL — coalesce so an empty truth set
+        # yields the vacuous-truth TRUE the oracle states (0 ≥ 0),
+        # not a NULL that would hash-diverge (r10 review finding)
         (
-            F.sum(F.coalesce("hit", F.lit(0))) * NEAR_RECALL_FLOOR_DEN
+            F.coalesce(F.sum(F.coalesce("hit", F.lit(0))), F.lit(0))
+            * NEAR_RECALL_FLOOR_DEN
             >= F.count(F.lit(1)) * NEAR_RECALL_FLOOR_NUM
         ).alias("recall_ok"),
     )

@@ -2190,18 +2190,28 @@ def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.greatest(F.col("y"), F.col("x") * F.col("x"),
                          F.col("x") * F.col("y")))
          .cast("decimal(38,0)").alias("max_term"),
+        # per-row INPUT magnitude, so the guard can certify that the
+        # per-row products max_term was built from did not themselves
+        # wrap (abs(bigint) of any parquet-readable value is exact)
+        F.max(F.greatest(F.abs("x"), F.abs("y")))
+         .cast("decimal(38,0)").alias("max_in"),
     )
     # Runtime overflow guard (ADVICE r9 #2): the static width budget
     # below holds for TPC-H-shaped data, but non-ANSI bigint SUM wraps
     # SILENTLY — so the guard re-derives the budget from the data at
-    # run time: n · max(per-row term) bounds every Σ, computed in
-    # decimal (can't itself wrap) and asserted ≤ int64 max. JVM-side,
-    # evaluated once per group (≤3 rows), zero cost on the hot path;
+    # run time, in decimal (can't itself wrap), as TWO conditions:
+    # (1) max_in² ≤ int64 max — every per-row product (x·x, x·y) was
+    #     computed exactly, so max_term is trustworthy (without this,
+    #     a single wrapped product could hide under a small max_term
+    #     — the r10 review's bypass);
+    # (2) n · max_term ≤ int64 max — every Σ of those exact terms fit.
+    # JVM-side, once per group (≤3 rows), zero cost on the hot path;
     # a corpus that outgrows the budget now fails loudly instead of
     # returning wrong slopes.
-    _INT64_MAX = "9223372036854775807"
+    _I64 = F.expr("CAST(9223372036854775807 AS DECIMAL(38,0))")
     guard = F.assert_true(
-        F.col("n") * F.col("max_term") <= F.expr(f"CAST({_INT64_MAX} AS DECIMAL(38,0))"),
+        (F.col("max_in") * F.col("max_in") <= _I64)
+        & (F.col("n") * F.col("max_term") <= _I64),
         F.lit("ql_regr: moment sums exceed int64 headroom — "
               "re-derive with wider accumulators"),
     )

@@ -236,11 +236,14 @@ def test_concurrent_full_writes_and_reads_overlap(spark, sf_oracle):
 
     writes = [(s, op, g) for s, op, g in fixtures.valid_ops() if op <= 2]
     reads = [(s, op, g) for s, op, g in fixtures.valid_ops() if op >= 3]
-    dep_of = {
-        rs: max((ws for ws, _, wg in writes if wg == g and ws < rs), default=0)
-        for rs, _, g in reads
+    # the GLOBAL watermark each read blocks on (every write below its
+    # seq — the reference's single writer lock, r10 review finding:
+    # this is deliberately stronger than the per-graph AS-OF dep)
+    wait_for = {
+        rs: max((ws for ws, _, _ in writes if ws < rs), default=0)
+        for rs, _, _ in reads
     }
-    assert any(d > 0 for d in dep_of.values())  # the claim has teeth
+    assert any(d > 0 for d in wait_for.values())  # the claim has teeth
 
     replay_rows = {
         (r.seq, r.server): r.result
@@ -268,17 +271,19 @@ def test_concurrent_full_writes_and_reads_overlap(spark, sf_oracle):
         for grp in ("full-primary", "full-secondary_1", "full-secondary_2"):
             assert tracker.getJobIdsForGroup(grp), grp
 
-        # (3) visibility: a dependent read never finishes before its
-        # write's apply instant — this is the lock semantics, so it
-        # holds on EVERY attempt, not just lucky ones
+        # (3) visibility: a read never finishes before the apply
+        # instant of ANY write below its seq (the global watermark) —
+        # this is the lock semantics, so it holds on EVERY attempt,
+        # not just lucky ones
         read_end = {}
         for srv in ("secondary_1", "secondary_2"):
             batch = [r for r in reads if (r[0] % 2 == 1) == (srv == "secondary_1")]
             for (rs, _, _), (t0, t1) in zip(batch, ops._FULL_INTERVALS[srv]):
                 read_end[rs] = t1
-        for rs, dep in dep_of.items():
-            if dep > 0:
-                assert read_end[rs] > ops._FULL_APPLIED_AT[dep], (rs, dep)
+        for rs, dep in wait_for.items():
+            for ws, _, _ in writes:
+                if ws <= dep:
+                    assert read_end[rs] > ops._FULL_APPLIED_AT[ws], (rs, ws)
 
         # (2) wall-clock overlap between the write pool and a reader
         wiv = ops._FULL_INTERVALS["primary"]

@@ -194,6 +194,18 @@ def test_regr_overflow_guard_fails_loudly(spark, tmp_path):
     try:
         with pytest.raises(Exception, match="int64 headroom"):
             ql_regr(spark, str(tmp_path)).collect()
+
+        # The r10 review's bypass scenario: a SINGLE row whose per-row
+        # product wraps (x·y = 1.2e19) while n·max_term would still
+        # look in-budget — the guard's max_in² condition must catch it.
+        spark.createDataFrame(
+            [("F", 3.0, 4.0e16), ("F", 1.0, 1.0)],
+            "l_linestatus string, l_quantity double, l_extendedprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+        with pytest.raises(Exception, match="int64 headroom"):
+            ql_regr(spark, str(tmp_path)).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prior)
 
