@@ -15,6 +15,20 @@ from distributed_graph_database_spark.session import get_spark  # noqa: E402
 
 # key -> why this plan shape is the 100 TB-safe one
 HEADLINERS: dict[str, str] = {
+    "mm_clip_filter": (
+        "Cross-modal pair gate (r10): both encoder stages are map-side "
+        "one-scan features, the three-way join keys on the doc_id primary "
+        "key (broadcast at bench SF, zipper at scale), and the cosine gate "
+        "is an integer `bit_count(xor)` threshold inside the final "
+        "map-side-combined aggregate — no floats, no payload shuffle."
+    ),
+    "ql_sql_q11": (
+        "Q11 with the partsupp CTE served from the session-materialized "
+        "ingest artifact (r10): the three natsupp consumers (rows + two "
+        "scalar subqueries) read the checkpointed aggregate instead of "
+        "re-aggregating lineitem three times — the scan below is "
+        "`ExistingRDD`, not three fact passes."
+    ),
     "ql_filter": (
         "Predicate reaches the parquet scan (`PushedFilters`) and only the "
         "projected columns are read (`ReadSchema`) — I/O scales with the "
