@@ -2212,6 +2212,115 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
 
 
+# Reliability-diagram bin count (deciles — the standard calibration
+# readout).
+CAL_BINS = 10
+
+
+def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability-diagram) readout of the ml_score
+    classifier against the embeddings' ground-truth label → one row
+    per equal-count score bin: (bin, n_rows, n_pos, sum_score_x1e6,
+    mean_pred, frac_pos) — the eval a scored curation pass runs next
+    to ml_auc before trusting its scores AS probabilities (AUC ranks;
+    calibration asks whether score 0.8 really means 80% positive).
+
+    Binning rule (declared, shared verbatim with the oracle):
+    contract to per-score groups, order by score, and assign each
+    whole GROUP to bin ⌊c_before·B / n⌋ where c_before counts rows in
+    strictly lower groups — equal-count deciles except that a tie
+    group never splits across bins (ties are indistinguishable, so
+    splitting them would be arbitrary). All counts and the score sum
+    are exact integers (scores are 6dp by ml_score's contract, so
+    score·10⁶ is integral); the two readout fractions are one final
+    division, round(6), identical expression both engines.
+
+    Scale shape — the ml_auc discipline verbatim: corpus-sized work is
+    the score scan + one map-side-combined groupBy(score); the
+    ordering window and the bin rollup run over the ≤10⁶-row score
+    DOMAIN, never corpus rows; the 1-row total broadcasts."""
+    labels = table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") == AUC_POS_LABEL).cast("bigint").alias("y")
+    )
+    scored = ml_score(spark, sf_dir).join(labels, "vec_id")
+    grp = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("y").alias("pos_s"),
+    ).withColumn(
+        "s6", F.round(F.col("score") * 1_000_000).cast("bigint")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    cum = grp.withColumn(
+        "c_before", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    tot = grp.agg(F.sum("n_s").alias("n_total"))
+    binned = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "bin",
+        F.expr(f"CAST((c_before * {CAL_BINS}) DIV n_total AS INT)"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("n_s").cast("bigint").alias("n_rows"),
+            F.sum("pos_s").cast("bigint").alias("n_pos"),
+            F.sum(F.col("s6") * F.col("n_s")).cast("bigint")
+            .alias("sum_score_x1e6"),
+        )
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            "sum_score_x1e6",
+            F.round(
+                F.col("sum_score_x1e6").cast("double")
+                / (F.lit(1_000_000.0) * F.col("n_rows").cast("double")),
+                6,
+            ).alias("mean_pred"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_rows").cast("double"),
+                6,
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_ML_CALIBRATION = f"""
+WITH scored AS ({{ml_score_sql}}),
+lab AS (SELECT vec_id, CAST(label = {{auc_pos_label}} AS BIGINT) AS y
+        FROM embeddings),
+j AS (SELECT s.score, l.y FROM scored s JOIN lab l USING (vec_id)),
+grp AS (
+  SELECT score, COUNT(*) AS n_s, SUM(y) AS pos_s,
+         CAST(ROUND(score * 1000000) AS BIGINT) AS s6
+  FROM j GROUP BY score
+),
+cum AS (
+  SELECT *, COALESCE(SUM(n_s) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS c_before
+  FROM grp
+),
+tot AS (SELECT SUM(n_s) AS n_total FROM grp),
+b AS (
+  SELECT CAST((c.c_before * {CAL_BINS}) // t.n_total AS INT) AS bin,
+         c.n_s, c.pos_s, c.s6
+  FROM cum c CROSS JOIN tot t
+)
+SELECT bin,
+       CAST(SUM(n_s) AS BIGINT) AS n_rows,
+       CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+       CAST(SUM(s6 * n_s) AS BIGINT) AS sum_score_x1e6,
+       ROUND(CAST(SUM(s6 * n_s) AS DOUBLE)
+               / (1000000.0 * CAST(SUM(n_s) AS DOUBLE)), 6) AS mean_pred,
+       ROUND(CAST(SUM(pos_s) AS DOUBLE) / CAST(SUM(n_s) AS DOUBLE), 6)
+         AS frac_pos
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 # ml_tree_split: pinned histogram geometry. Bin edges are CONSTANTS
 # (not data-derived) so the Spark binning, the oracle, and the output
 # thresholds are one definition; both ranges divide evenly by the bin
@@ -2438,6 +2547,7 @@ QUERIES = {
     "ml_pca_power": ml_pca_power,
     "ml_tree_split": ml_tree_split,
     "ml_auc": ml_auc,
+    "ml_calibration": ml_calibration,
 }
 
 # Every key exact-oracled: IVF blocking is deterministic algebra,
@@ -2466,4 +2576,7 @@ ORACLE_SQL = {
     "ml_pca_power": ORACLE_ML_PCA_POWER,
     "ml_tree_split": ORACLE_ML_TREE_SPLIT,
     "ml_auc": ORACLE_ML_AUC.format(ml_score_sql=ORACLE_ML_SCORE),
+    "ml_calibration": ORACLE_ML_CALIBRATION.format(
+        ml_score_sql=ORACLE_ML_SCORE, auc_pos_label=AUC_POS_LABEL
+    ),
 }

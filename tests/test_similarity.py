@@ -265,3 +265,36 @@ def test_recall_curve_is_monotone_and_anchored(spark, sf_oracle):
     anchor = {r.nprobe: r.n_hits for r in rows}[IVF_NPROBE]
     per_query = sim_ivf_recall(spark, sf_oracle).collect()
     assert sum(r.n_hits for r in per_query) == anchor
+
+
+def test_ml_calibration_binning_laws(spark, sf_oracle):
+    """Reliability-diagram invariants: bins are consecutive from 0,
+    partition the scored corpus exactly, are equal-count up to
+    tie-group granularity, and mean predicted score is strictly
+    increasing across bins (groups are assigned in score order)."""
+    from distributed_graph_database_spark.pipeline.similarity import (
+        CAL_BINS,
+        ml_calibration,
+        ml_score,
+    )
+
+    rows = ml_calibration(spark, sf_oracle).collect()
+    assert [r.bin for r in rows] == list(range(CAL_BINS))
+    n_scored = ml_score(spark, sf_oracle).count()
+    assert sum(r.n_rows for r in rows) == n_scored
+    # equal-count up to the largest tie group (a tie group never
+    # splits across bins)
+    max_tie = (
+        ml_score(spark, sf_oracle)
+        .groupBy("score")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    target = n_scored / CAL_BINS
+    for r in rows:
+        assert abs(r.n_rows - target) <= max(1, max_tie), r
+    means = [r.mean_pred for r in rows]
+    assert means == sorted(means)
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n_rows
