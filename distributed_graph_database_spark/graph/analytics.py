@@ -681,9 +681,10 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         lv.append(nxt)
-        visited = visited.unionByName(nxt.select("v")).localCheckpoint(
-            eager=True
-        )
+        # visited is a union of already-checkpointed frontiers — flat
+        # lineage, so no checkpoint job of its own (the r10 MST/HITS
+        # checkpoint-granularity lesson)
+        visited = visited.unionByName(nxt.select("v"))
     delta = lv[BETW_H].select("v", F.lit(0.0).alias("delta"))
     out = lv[BETW_H].select(
         "v",
@@ -769,9 +770,8 @@ def graph_betweenness_multi(
             .localCheckpoint(eager=True)
         )
         lv.append(nxt)
-        visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint(
-            eager=True
-        )
+        # union of checkpointed frontiers — no checkpoint of its own
+        visited = visited.unionByName(nxt.select("s", "v"))
     delta = lv[BETW_H].select("s", "v", F.lit(0.0).alias("delta"))
     all_delta = [delta]
     for level in range(BETW_H - 1, -1, -1):
@@ -951,7 +951,8 @@ def graph_closeness(
                 (F.col("cnt") * F.lit(CLOSE_LCM // h)).alias("hnum"),
             )
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # union of checkpointed frontiers — no checkpoint of its own
+        visited = visited.unionByName(nxt)
         frontier = nxt
     counts = per_level[0]
     for p in per_level[1:]:
