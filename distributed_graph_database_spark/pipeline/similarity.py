@@ -2181,23 +2181,8 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus), and the rank cumulative runs as a window over those
     groups. No global sort or window ever touches corpus rows; the
     only corpus-sized ops are the score scan and one map-side-combined
-    groupBy."""
-    labels = table(spark, sf_dir, "embeddings").select(
-        "vec_id", (F.col("label") == AUC_POS_LABEL).cast("bigint").alias("y")
-    )
-    scored = ml_score(spark, sf_dir).join(labels, "vec_id")
-    grp = scored.groupBy("score").agg(
-        F.count(F.lit(1)).alias("n_s"), F.sum("y").alias("pos_s")
-    )
-    w = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
-    )
-    # C_before: cumulative row count over STRICTLY lower score groups
-    # (the window is over ≤1e6 contracted rows — see docstring).
-    cum = grp.withColumn(
-        "c_before", F.coalesce(F.sum("n_s").over(w), F.lit(0))
-    )
-    agg = cum.agg(
+    groupBy (both inside the shared _score_groups substrate)."""
+    agg = _score_groups(spark, sf_dir).agg(
         F.sum("pos_s").alias("n_pos"),
         F.sum(F.col("n_s") - F.col("pos_s")).alias("n_neg"),
         F.sum(
@@ -2210,6 +2195,46 @@ def ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
     )
     return agg.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+
+
+def _score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, n_s, pos_s, c_before): the labeled ml_score corpus
+    CONTRACTED to per-score groups, with the strictly-lower-groups
+    cumulative row count — the shared substrate of ml_auc (rank
+    statistic) and ml_calibration (equal-count bins). One definition
+    (r10 review: the contraction + window frame used to exist twice),
+    and the only corpus-sized ops anywhere downstream are the score
+    scan and this one map-side-combined groupBy; the ordering window
+    runs over the ≤10⁶-row score DOMAIN."""
+    labels = table(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("label") == AUC_POS_LABEL).cast("bigint").alias("y")
+    )
+    scored = ml_score(spark, sf_dir).join(labels, "vec_id")
+    grp = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("y").alias("pos_s")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    return grp.withColumn(
+        "c_before", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+
+
+# The oracle twin of _score_groups, one CTE-chain fragment nested by
+# both eval oracles ({ml_score_sql} bound at registration).
+_ORACLE_SCORE_GROUPS_CTES = f"""scored AS ({{ml_score_sql}}),
+lab AS (SELECT vec_id, CAST(label = {AUC_POS_LABEL} AS BIGINT) AS y
+        FROM embeddings),
+j AS (SELECT s.score, l.y FROM scored s JOIN lab l USING (vec_id)),
+grp AS (SELECT score, COUNT(*) AS n_s, SUM(y) AS pos_s FROM j GROUP BY score),
+cum AS (
+    SELECT score, n_s, pos_s,
+           COALESCE(SUM(n_s) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS c_before
+    FROM grp
+)"""
 
 
 # Reliability-diagram bin count (deciles — the standard calibration
@@ -2235,28 +2260,21 @@ def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     score·10⁶ is integral); the two readout fractions are one final
     division, round(6), identical expression both engines.
 
-    Scale shape — the ml_auc discipline verbatim: corpus-sized work is
-    the score scan + one map-side-combined groupBy(score); the
-    ordering window and the bin rollup run over the ≤10⁶-row score
-    DOMAIN, never corpus rows; the 1-row total broadcasts."""
-    labels = table(spark, sf_dir, "embeddings").select(
-        "vec_id", (F.col("label") == AUC_POS_LABEL).cast("bigint").alias("y")
-    )
-    scored = ml_score(spark, sf_dir).join(labels, "vec_id")
-    grp = scored.groupBy("score").agg(
-        F.count(F.lit(1)).alias("n_s"),
-        F.sum("y").alias("pos_s"),
-    ).withColumn(
+    Scale shape — the shared _score_groups substrate: corpus-sized
+    work is the score scan + one map-side-combined groupBy(score);
+    the ordering window and the bin rollup run over the ≤10⁶-row
+    score DOMAIN, never corpus rows; the 1-row total broadcasts."""
+    cum = _score_groups(spark, sf_dir).withColumn(
         "s6", F.round(F.col("score") * 1_000_000).cast("bigint")
     )
-    w = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
+    # n_total as a global window over the CONTRACTED frame (bounded by
+    # the score domain — the sanctioned bounded-global-window shape),
+    # so the labeled corpus is scanned exactly once: a separate
+    # 1-row-total leg would lazily re-run the whole scored pipeline.
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cum = grp.withColumn(
-        "c_before", F.coalesce(F.sum("n_s").over(w), F.lit(0))
-    )
-    tot = grp.agg(F.sum("n_s").alias("n_total"))
-    binned = cum.crossJoin(F.broadcast(tot)).withColumn(
+    binned = cum.withColumn("n_total", F.sum("n_s").over(w_all)).withColumn(
         "bin",
         F.expr(f"CAST((c_before * {CAL_BINS}) DIV n_total AS INT)"),
     )
@@ -2288,25 +2306,12 @@ def ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ML_CALIBRATION = f"""
-WITH scored AS ({{ml_score_sql}}),
-lab AS (SELECT vec_id, CAST(label = {{auc_pos_label}} AS BIGINT) AS y
-        FROM embeddings),
-j AS (SELECT s.score, l.y FROM scored s JOIN lab l USING (vec_id)),
-grp AS (
-  SELECT score, COUNT(*) AS n_s, SUM(y) AS pos_s,
-         CAST(ROUND(score * 1000000) AS BIGINT) AS s6
-  FROM j GROUP BY score
-),
-cum AS (
-  SELECT *, COALESCE(SUM(n_s) OVER (ORDER BY score
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS c_before
-  FROM grp
-),
+WITH {_ORACLE_SCORE_GROUPS_CTES},
 tot AS (SELECT SUM(n_s) AS n_total FROM grp),
 b AS (
   SELECT CAST((c.c_before * {CAL_BINS}) // t.n_total AS INT) AS bin,
-         c.n_s, c.pos_s, c.s6
+         c.n_s, c.pos_s,
+         CAST(ROUND(c.score * 1000000) AS BIGINT) AS s6
   FROM cum c CROSS JOIN tot t
 )
 SELECT bin,
@@ -2502,18 +2507,7 @@ WHERE bin < {TREE_BINS - 1}
 # One scoring definition: the AUC oracle nests ORACLE_ML_SCORE as its
 # scored CTE, so the two keys can never disagree about the score.
 ORACLE_ML_AUC = f"""
-WITH scored AS ({{ml_score_sql}}),
-lab AS (SELECT vec_id, CAST(label = {AUC_POS_LABEL} AS BIGINT) AS y
-        FROM embeddings),
-j AS (SELECT s.score, l.y FROM scored s JOIN lab l USING (vec_id)),
-grp AS (SELECT score, COUNT(*) AS n_s, SUM(y) AS pos_s FROM j GROUP BY score),
-cum AS (
-    SELECT score, n_s, pos_s,
-           COALESCE(SUM(n_s) OVER (ORDER BY score
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS c_before
-    FROM grp
-)
+WITH {_ORACLE_SCORE_GROUPS_CTES}
 SELECT CAST(SUM(pos_s) AS BIGINT) AS n_pos,
        CAST(SUM(n_s - pos_s) AS BIGINT) AS n_neg,
        ROUND(CAST(SUM(pos_s * (2 * c_before + n_s + 1))
@@ -2577,6 +2571,6 @@ ORACLE_SQL = {
     "ml_tree_split": ORACLE_ML_TREE_SPLIT,
     "ml_auc": ORACLE_ML_AUC.format(ml_score_sql=ORACLE_ML_SCORE),
     "ml_calibration": ORACLE_ML_CALIBRATION.format(
-        ml_score_sql=ORACLE_ML_SCORE, auc_pos_label=AUC_POS_LABEL
+        ml_score_sql=ORACLE_ML_SCORE
     ),
 }

@@ -2185,33 +2185,45 @@ def ql_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("decimal(38,0)").alias("sy"),
         F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        # per-row maxima of every summed term, for the runtime
-        # overflow guard below (bigint-safe: x·y ≤ ~5.5e8 per row)
-        F.max(F.greatest(F.col("y"), F.col("x") * F.col("x"),
-                         F.col("x") * F.col("y")))
-         .cast("decimal(38,0)").alias("max_term"),
+        # per-row maximum ABSOLUTE magnitude of every summed term, for
+        # the runtime overflow guard below (bigint-safe once the
+        # saturation condition holds: |x·y| ≤ ~5.5e8 per row)
+        F.max(F.greatest(F.abs("y"), F.col("x") * F.col("x"),
+                         F.abs(F.col("x") * F.col("y"))))
+         .cast("decimal(38,0)").alias("max_abs_term"),
         # per-row INPUT magnitude, so the guard can certify that the
-        # per-row products max_term was built from did not themselves
-        # wrap (abs(bigint) of any parquet-readable value is exact)
+        # per-row products max_abs_term was built from did not
+        # themselves wrap
         F.max(F.greatest(F.abs("x"), F.abs("y")))
          .cast("decimal(38,0)").alias("max_in"),
+        # most-negative raw input — detects a non-ANSI double→bigint
+        # cast saturated to Long.MIN (the one value whose abs() wraps
+        # negative and would hide from both maxima above)
+        F.min(F.least("x", "y")).cast("decimal(38,0)").alias("min_in"),
     )
-    # Runtime overflow guard (ADVICE r9 #2): the static width budget
-    # below holds for TPC-H-shaped data, but non-ANSI bigint SUM wraps
-    # SILENTLY — so the guard re-derives the budget from the data at
-    # run time, in decimal (can't itself wrap), as TWO conditions:
+    # Runtime overflow guard (ADVICE r9 #2 + two r10 review rounds):
+    # the static width budget below holds for TPC-H-shaped data, but
+    # non-ANSI bigint SUM wraps SILENTLY in BOTH directions — so the
+    # guard re-derives the budget from the data at run time, in
+    # decimal (can't itself wrap), as THREE conditions:
+    # (0) min_in ≥ −int64 max — no input is Long.MIN (a saturated
+    #     cast lands exactly there, and abs(Long.MIN) wraps negative,
+    #     which would hide it from the maxima below);
     # (1) max_in² ≤ int64 max — every per-row product (x·x, x·y) was
-    #     computed exactly, so max_term is trustworthy (without this,
-    #     a single wrapped product could hide under a small max_term
-    #     — the r10 review's bypass);
-    # (2) n · max_term ≤ int64 max — every Σ of those exact terms fit.
+    #     computed exactly, so max_abs_term is trustworthy (without
+    #     this, a single wrapped product could hide under a small
+    #     max term);
+    # (2) n · max_abs_term ≤ int64 max — every Σ of those exact terms
+    #     stays inside ±int64 max (absolute magnitudes, so a large
+    #     NEGATIVE sum can't slip under an upper-only bound).
     # JVM-side, once per group (≤3 rows), zero cost on the hot path;
     # a corpus that outgrows the budget now fails loudly instead of
     # returning wrong slopes.
     _I64 = F.expr("CAST(9223372036854775807 AS DECIMAL(38,0))")
     guard = F.assert_true(
-        (F.col("max_in") * F.col("max_in") <= _I64)
-        & (F.col("n") * F.col("max_term") <= _I64),
+        (F.col("min_in") >= -_I64)
+        & (F.col("max_in") * F.col("max_in") <= _I64)
+        & (F.col("n") * F.col("max_abs_term") <= _I64),
         F.lit("ql_regr: moment sums exceed int64 headroom — "
               "re-derive with wider accumulators"),
     )

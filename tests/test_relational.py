@@ -220,3 +220,41 @@ def test_regr_overflow_guard_passes_real_data(spark, sf_oracle):
         table(spark, sf_oracle, "lineitem").select("l_linestatus").distinct().count()
     )
     assert ql_regr(spark, sf_oracle).count() == n_groups
+
+
+def test_regr_overflow_guard_negative_and_saturation_paths(spark, tmp_path):
+    """r10 second-review scenarios: (a) a large NEGATIVE moment sum
+    (wraps below int64 min — an upper-only bound would pass it) and
+    (b) a double→bigint cast saturated to Long.MIN (whose abs() wraps
+    negative and would hide from the maxima) must both fail loudly in
+    non-ANSI mode."""
+    import pytest
+
+    from distributed_graph_database_spark.relational import ql_regr
+
+    prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        # (a) x=-2, y=4e18 per row → per-row x·y=-8e18 exact, but
+        # Σxy over 3 rows = -2.4e19 < int64 min
+        spark.createDataFrame(
+            [("F", -2.0, 4.0e16)] * 3,
+            "l_linestatus string, l_quantity double, l_extendedprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+        with pytest.raises(Exception, match="int64 headroom"):
+            ql_regr(spark, str(tmp_path)).collect()
+
+        # (b) extendedprice so negative the cents cast saturates to
+        # Long.MIN; a second benign row keeps the maxima small
+        spark.createDataFrame(
+            [("F", 1.0, -1.0e18), ("F", 1.0, 1.0)],
+            "l_linestatus string, l_quantity double, l_extendedprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "lineitem.parquet")
+        )
+        with pytest.raises(Exception, match="int64 headroom"):
+            ql_regr(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prior)
