@@ -137,6 +137,10 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         # consume — the Arrow chunk_audio scan + per-doc window pass,
         # paid once here (the mm_phash rule).
         ("mm_audio_fp_features", lambda: pl_mm.mm_audio_fingerprint(spark, sf_dir)),
+        # The (doc_id, simhash) sketch table dedup_simhash AND
+        # mm_clip_filter's text side consume — the md5 vote scan is
+        # the dominant cost, paid once here (the mm_phash rule).
+        ("simhash_features", lambda: pl_dedup.dedup_simhash(spark, sf_dir)),
         # The 8-round merge loop both BPE keys consume (train reads
         # the merge table, encode the final word dict) — paid once
         # here so neither key's timing depends on rotation order.
@@ -195,6 +199,7 @@ SETUP_SERVES = {
     "ivfpq_adc_topk": ["sim_ivfpq_topk"],
     "mm_phash_features": ["mm_phash"],
     "mm_audio_fp_features": ["mm_audio_fingerprint"],
+    "simhash_features": ["dedup_simhash"],
     "bpe_merge_loop": ["text_bpe_train"],
     "ml_confusion_matrix": ["ml_centroid_classify"],
     "orders_exact_profile": ["store_stats_collect", "store_stats_approx"],

@@ -1244,9 +1244,10 @@ def mm_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     image hash and the low CLIP_BITS of the text SimHash agree within
     CLIP_HAMMING_MAX bits (cosine ≥ 0.25 in the sign space).
 
-    Scale shape: both encoder stages are one-scan map-side features
-    (the phash table is the session-cached ingest artifact; the
-    SimHash is a map-side-combined vote aggregate); the three-way join
+    Scale shape: both encoder stages are one-scan map-side features,
+    each a session-cached ingest artifact (the phash table and, since
+    the simhash_features setup item, the SimHash sketch table — both
+    consumed by two declared keys); the three-way join
     keys on doc_id — the PRIMARY KEY, co-partitioned at ingest, so at
     100 TB it is a shuffle-free zipper join (AQE broadcasts at bench
     SF); the gate + per-source counts collapse to one map-side-
