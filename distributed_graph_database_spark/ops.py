@@ -703,7 +703,14 @@ def _concurrent_full_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                 # partition-pruned AS-OF scan of the store the primary
                 # is concurrently appending to — committed partitions
-                # only, selected by the watermark-covered seq
+                # only, selected by the watermark-covered seq.
+                # LOAD-BEARING ASSUMPTION (ADVICE r10): listing while
+                # the primary appends is safe here because the local
+                # FS commits via atomic rename and _temporary/_-
+                # prefixed paths are filtered; on an eventually-
+                # consistent object store this read path needs a
+                # manifest-based table format (Delta/Iceberg) instead
+                # of directory listing.
                 e = (
                     spark.read.parquet(store)
                     .filter(

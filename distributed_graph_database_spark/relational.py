@@ -538,7 +538,18 @@ def ql_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies its error — the same graduation store_stats_approx and
     ql_approx_distinct made. The sketch-vs-exact margin is wide
     (measured GK error ≪ 0.1% at this accuracy), so the boolean can't
-    1-ulp-flip across engines."""
+    1-ulp-flip across engines.
+
+    TRIAGE NOTE (ADVICE r10): the oracle hard-codes `TRUE AS
+    approx_ok`, so a hash mismatch on this key means the SKETCH
+    BREACHED ITS TOLERANCE at that SF/partition layout — a
+    sketch-quality regression, NOT a cross-engine divergence; the raw
+    estimates are pinned non-hashed in `tests/test_r6_ops.py`. Same
+    contract for ql_approx_distinct and dedup_near_recall. Exactness
+    footnote: p50/p95 interpolate at fraction p*(n-1) in both engines
+    over integer cents; if a future SF ever 1-ulp-flips the rounded
+    double, swap to an explicit shared numerator/denominator integer
+    interpolation (the ql_percentiles_exact fallback recipe)."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
