@@ -116,7 +116,11 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         ("copurchase_project", lambda: g_an._copurchase_edges(spark, sf_dir)),
         ("triangle_enumerate", lambda: g_an._tri_cached(spark, sf_dir)),
         ("bfs_levels_persist", lambda: registry._bfs_levels_cached(spark, sf_dir)),
-        ("dedup_near_pairs", lambda: pl_dedup.dedup_near(spark, sf_dir)),
+        ("dedup_near_pairs", lambda: pl_dedup.dedup_near_pairs(spark, sf_dir)),
+        # The corpus-wide exact truth leg the dedup_near audit signs
+        # precision/recall against (r11 graduation) — at 100 TB an
+        # ingest-time materialized table like the pair set above.
+        ("dedup_near_truth", lambda: pl_dedup._near_truth_cached(spark, sf_dir)),
         ("dedup_ngram_pairs", lambda: pl_dedup.dedup_ngram(spark, sf_dir)),
         ("sim_topk_result", lambda: pl_sim.sim_topk(spark, sf_dir)),
         ("sim_topk_ivf_result", lambda: pl_sim.sim_topk_ivf(spark, sf_dir)),
@@ -191,6 +195,7 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
 # "cached serves" in that sense.
 SETUP_SERVES = {
     "dedup_near_pairs": ["dedup_near"],
+    "dedup_near_truth": ["dedup_near"],
     "dedup_ngram_pairs": ["dedup_ngram"],
     "sim_topk_result": ["sim_topk"],
     "sim_topk_ivf_result": ["sim_topk_ivf"],

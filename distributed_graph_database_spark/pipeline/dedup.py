@@ -9,7 +9,10 @@ SimHash, and blocked n-gram Jaccard (BASELINE.json north star).
   B band keys → explode(B) → groupBy(band). Candidate pairs only form
   inside a band bucket, so the join is |bucket|²-bounded, never all-
   pairs; a cartesian product never appears in the plan (tested). The
-  exact-Jaccard verification filter runs only on candidates.
+  exact-Jaccard verification filter runs only on candidates. The
+  DECLARED key is the audit form (r11): one hash-checked row signing
+  precision 1 and the ≥0.8 recall floor against the corpus-wide exact
+  truth; the pair detail stays available as `dedup_near_pairs`.
 - `dedup_simhash`: 32-bit simhash from md5 token hashes (md5 so the
   oracle can recompute it bit-for-bit in DuckDB). Hamming-ball lookups
   at scale would bucket on simhash prefixes; here we emit the sketch.
@@ -36,6 +39,13 @@ MINHASH_H = MINHASH_BANDS * MINHASH_ROWS
 SHINGLE_K = 3          # word 3-grams
 NEAR_JACCARD_T = 0.5   # exact verification threshold on candidates
 NGRAM_JACCARD_T = 0.5  # blocked-exact variant threshold
+# Corpus-wide df cap for dedup_near's exact-truth candidate join (the
+# audit leg): same stop-shingle rationale as NGRAM_DF_CAP below but
+# over the UNBLOCKED corpus, so it is set higher — measured corpus-wide
+# max df is 7 at sf0.01 and 25 at sf0.1 (far below the cap, so the
+# capped candidate set is provably complete on testdata and the
+# uncapped DuckDB oracle matches exactly; pinned in tests).
+NEAR_TRUTH_DF_CAP = 256
 # Document-frequency cap for dedup_ngram's shingle intersect join: a
 # shingle appearing in > NGRAM_DF_CAP docs of one source block is a
 # stop-shingle ("of the and") carrying no discriminative signal, and
@@ -148,46 +158,28 @@ def _minhash_bands(ex: DataFrame) -> DataFrame:
     )
 
 
-def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached entry point (see cache.shared): the pair set is reused
-    by dedup_near_recall within a session."""
-    return shared(spark, sf_dir, "dedup_near", lambda: _dedup_near(spark, sf_dir))
-
-
-def _dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-verified:
-    candidates = pairs sharing any band bucket; output = candidates
-    whose true shingle-Jaccard ≥ NEAR_JACCARD_T →
-    (doc_a, doc_b, jaccard). Precision 1.0 by construction (every
-    emitted pair passed the exact filter); recall < 1 is the LSH
-    trade, hence rows-only oracle + property tests.
-
-    One exploded (doc_id, shingle-hash) table feeds both stages: MIN
-    aggregates build the sketches, and the verification |∩| is a
-    candidate-restricted equi-join count on the same table — no
-    per-pair array operations anywhere."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    ex = _exploded_shingles(docs).localCheckpoint(eager=True)
-
-    bands = _minhash_bands(ex)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+def _near_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, h) exploded-shingle substrate for the near-dup
+    family — built once per (session, sf_dir); the LSH pair pipeline,
+    the exact truth leg, and the audit verify all read the same
+    checkpoint (at 100 TB: one materialized ingest table)."""
+    return shared(
+        spark,
+        sf_dir,
+        "near_shingles",
+        lambda: _exploded_shingles(
+            table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
     )
 
-    # |∩| for candidates only: route each candidate pair through the
-    # exploded table twice (doc_a side, then doc_b side keyed on the
-    # same shingle hash) and count matches.
+
+def _verified_pairs(cand: DataFrame, ex: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: |∩| via a
+    candidate-restricted equi-join on the exploded shingle table (route
+    each pair through the table twice — doc_a side, then doc_b side
+    keyed on the same shingle hash — and count matches; no per-pair
+    array operations anywhere), |∪| = |a|+|b|−|∩|. Returns
+    (doc_a, doc_b, jaccard) with true Jaccard ≥ NEAR_JACCARD_T."""
     exa = ex.select(F.col("doc_id").alias("doc_a"), "h")
     exb = ex.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
@@ -212,6 +204,150 @@ def _dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= NEAR_JACCARD_T)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached pair DETAIL surface (see cache.shared): the LSH pair set,
+    reused by the declared `dedup_near` audit and `dedup_near_recall`
+    within a session. Not itself a declared key since r11 — its
+    rows hinge on Spark's seeded xxhash64, which no SQL oracle can
+    replay; the declared key is the audit form below."""
+    return shared(
+        spark, sf_dir, "dedup_near_pairs", lambda: _dedup_near(spark, sf_dir)
+    )
+
+
+def _dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified:
+    candidates = pairs sharing any band bucket; output = candidates
+    whose true shingle-Jaccard ≥ NEAR_JACCARD_T →
+    (doc_a, doc_b, jaccard). Precision 1.0 by construction (every
+    emitted pair passed the exact filter); recall < 1 is the LSH
+    trade — both contracts are SIGNED by the `dedup_near` audit key.
+
+    One exploded (doc_id, shingle-hash) table feeds both stages: MIN
+    aggregates build the sketches, and the verification |∩| is a
+    candidate-restricted equi-join count on the same table."""
+    ex = _near_shingles(spark, sf_dir)
+    bands = _minhash_bands(ex)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verified_pairs(cand, ex)
+
+
+def _near_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide EXACT truth pairs (doc_a, doc_b, jaccard ≥ T): the
+    unblocked counterpart of dedup_ngram that the dedup_near audit
+    measures LSH against. Candidates = pairs sharing ≥1 non-stop
+    shingle (df ≤ NEAR_TRUTH_DF_CAP — bounds the equi-join at
+    CAP·|shingles| rows instead of Σ df², the dedup_ngram stop-shingle
+    guard applied corpus-wide), then the same UNCAPPED exact verify as
+    the LSH side, so both legs measure the identical Jaccard. A true
+    pair escapes candidacy only if EVERY shared shingle is a
+    stop-shingle — impossible for J ≥ 0.5 pairs on testdata (max df 25
+    at sf0.1 vs cap 256, pinned in tests) and vanishingly rare at
+    scale (a J ≥ 0.5 pair shares ≥ ⅓ of its shingles)."""
+    ex = _near_shingles(spark, sf_dir)
+    hot = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NEAR_TRUTH_DF_CAP)
+        .select("h")
+    )
+    capped = ex.join(F.broadcast(hot), "h", "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verified_pairs(cand, ex)
+
+
+def _near_truth_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shared(
+        spark, sf_dir, "dedup_near_truth", lambda: _near_truth(spark, sf_dir)
+    )
+
+
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup, AUDIT form (graduated r11 from rows-only
+    to hash-checked — the store_stats_approx/ql_approx_quantiles
+    recipe, closing the driver's last non-hashed key): one row
+    (n_true, precision_ok, recall_ok) where
+
+    - n_true     = corpus-wide EXACT count of pairs with shingle-set
+                   Jaccard ≥ NEAR_JACCARD_T (fully SQL-replayable —
+                   the oracle replays it via the shared-shingle
+                   candidate join, quadratic-safe at oracle SF);
+    - precision_ok = the LSH pipeline emitted NO pair outside the
+                   exact truth set (anti-join count == 0) — precision
+                   1 is dedup_near's construction contract (every
+                   emitted pair passes the exact verify), now signed;
+    - recall_ok  = LSH surfaced ≥ NEAR_RECALL_FLOOR (80%) of the
+                   corpus-wide truth (cross-multiplied integers, no
+                   float compare). Banding at 8×2 detects J = T pairs
+                   w.p. ≥ 0.90 and J ≥ 0.8 pairs w.p. ≥ 0.9997;
+                   measured corpus-wide recall on testdata is 1.0 at
+                   sf0.001/0.01/0.1 (min true-pair J = 0.8), pinned
+                   in tests/test_dedup.py.
+
+    The oracle states TRUE for both booleans — a hash mismatch on this
+    key means the LSH breached precision or the recall floor (a
+    sketch-quality regression), NOT a cross-engine divergence (the
+    ql_approx_quantiles triage note). The raw pair list stays available
+    as `dedup_near_pairs` (rows-only by nature: seeded xxhash64)."""
+    return _near_audit(
+        dedup_near_pairs(spark, sf_dir), _near_truth_cached(spark, sf_dir)
+    )
+
+
+def _dedup_near_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached plan twin of `dedup_near` for machine plan assertions
+    (registry.PLAN_QUERIES): both legs built from the live plans."""
+    return _near_audit(_dedup_near(spark, sf_dir), _near_truth(spark, sf_dir))
+
+
+def _near_audit(found: DataFrame, truth: DataFrame) -> DataFrame:
+    f = found.select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    t = truth.select("doc_a", "doc_b")
+    stats = t.join(f, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        # SUM over zero rows is NULL → coalesce so an empty truth set
+        # yields the vacuous-truth TRUE the oracle states (0 ≥ 0)
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+    )
+    bad = f.join(t, ["doc_a", "doc_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_bad")
+    )
+    # two 1-row aggregates → broadcast nested-loop of a single row
+    # (the sanctioned 1-row crossJoin shape, per test_plan_hygiene)
+    return stats.crossJoin(F.broadcast(bad)).select(
+        F.col("n_true").cast("bigint").alias("n_true"),
+        (F.col("n_bad") == F.lit(0)).alias("precision_ok"),
+        (
+            F.col("n_hit") * NEAR_RECALL_FLOOR_DEN
+            >= F.col("n_true") * NEAR_RECALL_FLOOR_NUM
+        ).alias("recall_ok"),
     )
 
 
@@ -438,7 +574,7 @@ def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed data) — the store_stats_approx graduation, applied to the
     recall family."""
     truth = dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
-    found = dedup_near(spark, sf_dir).select(
+    found = dedup_near_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
     return truth.join(found, ["doc_a", "doc_b"], "left").agg(
@@ -508,18 +644,59 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
 }
 
-# dedup_near: LSH banding hinges on Spark's seeded xxhash64, which
-# DuckDB cannot replay → rows-only check (the one remaining by
-# design); its recall companion graduated r10 to the audit form
-# (exact truth count + signed recall floor), with the measured recall
-# VALUE still pinned by tests.
+# dedup_near_recall's oracle: the same-source truth count is fully
+# SQL-replicable (dedup_ngram's oracle counted); the banding side
+# enters only through the signed recall floor.
 ORACLE_DEDUP_NEAR_RECALL = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true, TRUE AS recall_ok
 FROM ({ORACLE_DEDUP_NGRAM})
 """
 
+# dedup_near's oracle (audit graduation, r11): the corpus-wide exact
+# truth count is replayed via the shared-shingle candidate join — the
+# unblocked dedup_ngram shape, quadratic-safe at oracle SF (the oracle
+# is uncapped; Spark's NEAR_TRUTH_DF_CAP provably never binds on
+# testdata, pinned in tests). Both booleans are stated TRUE: a hash
+# mismatch here is an LSH precision/recall-floor breach, not an
+# engine divergence.
+ORACLE_DEDUP_NEAR = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         LIST_DISTINCT(
+           CASE WHEN LEN(toks) >= {SHINGLE_K}
+                THEN list_transform(range(1, LEN(toks) - {SHINGLE_K - 2}),
+                                    i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM t
+),
+e AS (SELECT doc_id, UNNEST(sh) AS h FROM w),
+i AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT i.doc_a, i.doc_b,
+         i.n_inter / CAST(LEN(wa.sh) + LEN(wb.sh) - i.n_inter AS DOUBLE)
+           AS jaccard
+  FROM i
+  JOIN w wa ON wa.doc_id = i.doc_a
+  JOIN w wb ON wb.doc_id = i.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+       TRUE AS precision_ok,
+       TRUE AS recall_ok
+FROM p WHERE jaccard >= {NEAR_JACCARD_T}
+"""
+
 ORACLE_SQL = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_near": ORACLE_DEDUP_NEAR,
     "dedup_near_recall": ORACLE_DEDUP_NEAR_RECALL,
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram": ORACLE_DEDUP_NGRAM,

@@ -313,7 +313,7 @@ QUERIES: dict[str, QueryFn] = _global_lru(
 # checks vacuous — these builders expose the underlying query plan.
 PLAN_QUERIES: dict[str, QueryFn] = {
     **QUERIES,
-    "dedup_near": pl_dedup._dedup_near,
+    "dedup_near": pl_dedup._dedup_near_audit,
     "dedup_ngram": pl_dedup._dedup_ngram,
     "sim_topk": pl_sim._sim_topk,
     "sim_topk_ivf": pl_sim._sim_topk_ivf,

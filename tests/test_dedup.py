@@ -35,7 +35,7 @@ def _brute_force_pairs(spark, sf_dir, threshold):
 def test_near_dedup_precision_and_high_recall(spark, sf_smoke):
     got = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in dedup.dedup_near(spark, sf_smoke).collect()
+        for r in dedup.dedup_near_pairs(spark, sf_smoke).collect()
     }
     truth = _brute_force_pairs(spark, sf_smoke, dedup.NEAR_JACCARD_T)
     # precision 1.0: every emitted pair is a true pair (exact-verified)
@@ -129,7 +129,42 @@ def test_near_dedup_recall_pinned_on_testdata(spark, sf_oracle):
     assert (row.n_true, row.recall_ok) == (1, True)
     # the raw measured recall (pre-graduation output) stays pinned
     truth = dedup.dedup_ngram(spark, sf_oracle).select("doc_a", "doc_b")
-    found = dedup.dedup_near(spark, sf_oracle).select("doc_a", "doc_b")
+    found = dedup.dedup_near_pairs(spark, sf_oracle).select("doc_a", "doc_b")
     n_true = truth.count()
     n_found = truth.intersect(found).count()
     assert (n_true, n_found) == (1, 1)
+
+
+def test_near_audit_pinned_on_testdata(spark, sf_oracle):
+    """The graduated dedup_near audit key (r11): one row signing both
+    LSH contracts against the corpus-wide exact truth. With fixed
+    seeds on fixed data the measured values are constants — pinned:
+    25 corpus-wide true pairs at sf0.01, precision 1, recall 1.0
+    (min true-pair Jaccard on testdata is 0.9 at sf0.01, far above
+    the banding's reliable-detection region)."""
+    rows = dedup.dedup_near(spark, sf_oracle).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_true, r.precision_ok, r.recall_ok) == (25, True, True)
+    # the raw corpus-wide recall (the value behind recall_ok) is 1.0:
+    # LSH found exactly the truth set
+    truth = dedup._near_truth_cached(spark, sf_oracle).select("doc_a", "doc_b")
+    found = dedup.dedup_near_pairs(spark, sf_oracle).select("doc_a", "doc_b")
+    assert truth.exceptAll(found).count() == 0
+    assert found.exceptAll(truth).count() == 0
+
+
+def test_near_truth_df_cap_noop_on_testdata(spark, sf_oracle):
+    """Corpus-wide shingle dfs (max 7 at sf0.01, 25 at sf0.1) sit far
+    below NEAR_TRUTH_DF_CAP, so the capped truth-candidate input
+    equals the uncapped substrate — the exact-oracle guarantee for
+    the dedup_near audit rests on this (the oracle is uncapped)."""
+    ex = dedup._near_shingles(spark, sf_oracle)
+    max_df = ex.groupBy("h").count().agg(F.max("count")).first()[0]
+    assert max_df <= dedup.NEAR_TRUTH_DF_CAP
+    hot = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > dedup.NEAR_TRUTH_DF_CAP)
+    )
+    assert hot.count() == 0

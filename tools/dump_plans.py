@@ -55,9 +55,12 @@ HEADLINERS: dict[str, str] = {
         "plan below is the final round's."
     ),
     "dedup_near": (
-        "MinHash-LSH banding: candidates only form inside band buckets "
-        "(equi-join on band_key), never an all-pairs product; exact "
-        "Jaccard verification is an equi-join on the shared shingle table."
+        "MinHash-LSH banding + audit (r11): candidates only form inside "
+        "band buckets (equi-join on band_key), never an all-pairs product; "
+        "exact Jaccard verification is an equi-join on the shared shingle "
+        "table; the audit joins the pair set against the df-capped "
+        "corpus-wide exact truth and signs precision/recall as two "
+        "1-row aggregates (broadcast 1-row crossJoin)."
     ),
     "dedup_embed": (
         "IVF-cell blocking: the pair join is keyed on cell_id, cosine is "
