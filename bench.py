@@ -122,6 +122,9 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         # ingest-time materialized table like the pair set above.
         ("dedup_near_truth", lambda: pl_dedup._near_truth_cached(spark, sf_dir)),
         ("dedup_ngram_pairs", lambda: pl_dedup.dedup_ngram(spark, sf_dir)),
+        # The IVF-blocked embedding pair table dedup_embed AND
+        # corpus_semdedup consume (r11 sharing, the dedup_ngram rule).
+        ("dedup_embed_pairs", lambda: pl_sim.dedup_embed(spark, sf_dir)),
         ("sim_topk_result", lambda: pl_sim.sim_topk(spark, sf_dir)),
         ("sim_topk_ivf_result", lambda: pl_sim.sim_topk_ivf(spark, sf_dir)),
         ("sim_knn_graph_result", lambda: pl_sim.sim_knn_graph(spark, sf_dir)),
@@ -197,6 +200,7 @@ SETUP_SERVES = {
     "dedup_near_pairs": ["dedup_near"],
     "dedup_near_truth": ["dedup_near"],
     "dedup_ngram_pairs": ["dedup_ngram"],
+    "dedup_embed_pairs": ["dedup_embed"],
     "sim_topk_result": ["sim_topk"],
     "sim_topk_ivf_result": ["sim_topk_ivf"],
     "sim_knn_graph_result": ["sim_knn_graph"],

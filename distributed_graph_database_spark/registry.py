@@ -315,6 +315,8 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     **QUERIES,
     "dedup_near": pl_dedup._dedup_near_audit,
     "dedup_ngram": pl_dedup._dedup_ngram,
+    "dedup_embed": pl_sim._dedup_embed,
+    "corpus_semdedup": pl_sim._corpus_semdedup_plan,
     "sim_topk": pl_sim._sim_topk,
     "sim_topk_ivf": pl_sim._sim_topk_ivf,
     "sim_pq_topk": pl_sim._sim_pq_topk,

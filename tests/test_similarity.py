@@ -298,3 +298,47 @@ def test_ml_calibration_binning_laws(spark, sf_oracle):
     assert all(a < b for a, b in zip(means, means[1:])), means
     for r in rows:
         assert 0 <= r.n_pos <= r.n_rows
+
+
+def test_corpus_semdedup_laws(spark, sf_oracle):
+    """SemDeDup report invariants (r11): per-label counts partition
+    the corpus; every cluster keeps EXACTLY one canonical (survivors
+    = n_vectors − n_clustered + n_clusters); singletons all survive;
+    and the report is consistent with the pair graph it was built
+    from (clustered vecs = distinct endpoints of dedup_embed pairs)."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.similarity import (
+        corpus_semdedup,
+        dedup_embed,
+    )
+
+    rows = corpus_semdedup(spark, sf_oracle).collect()
+    n_corpus = table(spark, sf_oracle, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_corpus
+    for r in rows:
+        assert 0 <= r.n_clustered <= r.n_vectors
+        # survivors include all unclustered vecs, and at most one
+        # survivor per clustered group
+        assert r.n_vectors - r.n_clustered <= r.n_survivors <= r.n_vectors
+    pairs = dedup_embed(spark, sf_oracle)
+    endpoints = (
+        pairs.select(F.col("vec_a").alias("v"))
+        .unionByName(pairs.select(F.col("vec_b").alias("v")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_clustered for r in rows) == endpoints
+    # global survivor law: total survivors = corpus − clustered + #clusters
+    from distributed_graph_database_spark.graph import traversal
+
+    sym = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    )
+    comp = traversal.connected_components(spark, sym)
+    n_clusters = comp.select("comp").distinct().count()
+    assert (
+        sum(r.n_survivors for r in rows)
+        == n_corpus - endpoints + n_clusters
+    )
