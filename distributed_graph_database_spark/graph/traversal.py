@@ -230,10 +230,13 @@ def connected_components(
     spark: SparkSession,
     edges_sym: DataFrame,
     max_rounds: int = MAX_LEVELS_DEFAULT,
+    stars_per_check: int = 1,
 ) -> DataFrame:
     """Connected components → (vid bigint, comp bigint) with comp =
     min vid of the component. See connected_components_with_rounds."""
-    return connected_components_with_rounds(spark, edges_sym, max_rounds)[0]
+    return connected_components_with_rounds(
+        spark, edges_sym, max_rounds, stars_per_check
+    )[0]
 
 
 def _large_star(edge_pairs: DataFrame) -> DataFrame:
@@ -277,6 +280,7 @@ def connected_components_with_rounds(
     spark: SparkSession,
     edges_sym: DataFrame,
     max_rounds: int = MAX_LEVELS_DEFAULT,
+    stars_per_check: int = 1,
 ) -> tuple[DataFrame, int]:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -297,6 +301,19 @@ def connected_components_with_rounds(
     max_rounds without a fixed point raises (the recursive-CTE oracle
     always computes the full closure, so returning unconverged labels
     would be a silent parity divergence — ADVICE r2).
+
+    `stars_per_check` (r11, the checkpoint-granularity discipline):
+    how many large+small star pairs run between checkpoint+fingerprint
+    actions. Results are IDENTICAL for any value — a fixed point is
+    invariant under extra star applications (property-tested). The
+    r11 measured A/B (VERDICT r10 #5, all five CC clients, sf0.1 AND
+    sf1, same-session medians): 2 LOSES everywhere — wall time
+    1.3–2.3× worse and job count HIGHER (e.g. mm_audio_clusters 60→72
+    jobs, 7.1→10.5 s sf0.1; graph_components 8.5→17.2 s sf1), because
+    AQE splits the deeper unchecked plan into MORE stage-jobs and the
+    possibly-wasted extra pair doubles the shuffled volume per check.
+    Default 1 is the measured optimum; the knob stays as the committed
+    record of the experiment (BASELINE.md r11 disposition row).
     """
     verts = (
         edges_sym.select(F.col("src").alias("vid"))
@@ -320,7 +337,10 @@ def connected_components_with_rounds(
     converged = fp["n"] == 0
     while not converged and rounds < max_rounds:
         rounds += 1
-        state = _small_star(_large_star(state)).localCheckpoint(eager=True)
+        s = state
+        for _ in range(stars_per_check):
+            s = _small_star(_large_star(s))
+        state = s.localCheckpoint(eager=True)
         new_fp = state.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("s"),

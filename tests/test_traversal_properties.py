@@ -186,3 +186,29 @@ def test_vertex_degree_matches_row_sum(spark, case):
         if a != b:
             want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+def test_components_invariant_under_stars_per_check(spark):
+    """stars_per_check (r11 A/B knob) must not change RESULTS — a
+    fixed point is invariant under extra star applications, so any
+    fusion granularity yields identical labels. (The measured A/B
+    keeps 1 as the default; this pins that the knob is semantics-free
+    so the experiment stays re-runnable.)"""
+    from distributed_graph_database_spark.graph import traversal
+
+    # path + a separate triangle + an isolated self-loop vertex
+    edges = (
+        [(i, i + 1) for i in range(1, 40)]
+        + [(50, 51), (51, 52), (52, 50)]
+        + [(60, 60)]
+    )
+    base = None
+    for spc in (1, 2, 3):
+        labels = traversal.connected_components(
+            spark, _spark_edges(spark, edges), stars_per_check=spc
+        )
+        got = {(r.vid, r.comp) for r in labels.collect()}
+        if base is None:
+            base = got
+        else:
+            assert got == base, spc
