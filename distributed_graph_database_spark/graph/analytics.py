@@ -420,8 +420,12 @@ def _ppr_sparse(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     state = seeds.select(
         "s", F.col("s").alias("v"), F.lit(1.0).alias("r")
     ).localCheckpoint(eager=True)
-    restart = seeds.select(
-        "s", F.col("s").alias("v"), F.lit(1.0 - PR_DAMPING).alias("r")
+    # derived from the CHECKPOINTED state, not the raw seeds subplan:
+    # restart is unioned into every round, so deriving it from seeds
+    # would embed the degree-groupBy + sort-limit subtree PR_ROUNDS
+    # times in the final lazy plan (r11 review finding)
+    restart = state.select(
+        "s", "v", F.lit(1.0 - PR_DAMPING).alias("r")
     )
     for _ in range(PR_ROUNDS):
         contrib = (

@@ -248,18 +248,30 @@ def _dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(cand, ex)
 
 
-def _near_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _near_truth(
+    spark: SparkSession, sf_dir: str, extra_cand: DataFrame | None = None
+) -> DataFrame:
     """Corpus-wide EXACT truth pairs (doc_a, doc_b, jaccard ≥ T): the
     unblocked counterpart of dedup_ngram that the dedup_near audit
     measures LSH against. Candidates = pairs sharing ≥1 non-stop
     shingle (df ≤ NEAR_TRUTH_DF_CAP — bounds the equi-join at
     CAP·|shingles| rows instead of Σ df², the dedup_ngram stop-shingle
-    guard applied corpus-wide), then the same UNCAPPED exact verify as
-    the LSH side, so both legs measure the identical Jaccard. A true
-    pair escapes candidacy only if EVERY shared shingle is a
-    stop-shingle — impossible for J ≥ 0.5 pairs on testdata (max df 25
-    at sf0.1 vs cap 256, pinned in tests) and vanishingly rare at
-    scale (a J ≥ 0.5 pair shares ≥ ⅓ of its shingles)."""
+    guard applied corpus-wide) ∪ `extra_cand` (the audit passes the
+    LSH-found pairs here), then the same UNCAPPED exact verify as the
+    LSH side, so both legs measure the identical Jaccard.
+
+    The extra_cand union is what keeps the audit honest AT SCALE (r11
+    review finding): a boilerplate family of >CAP near-identical docs
+    has ALL its shingles hot, so the df-capped blocking alone would
+    drop those pairs from truth and an LSH-found member would
+    misread as a precision breach. Folding found pairs into candidacy
+    re-verifies them with the exact kernel instead — they are genuine
+    truth members (the uncapped oracle always contained them), so
+    precision_ok measures exactly 'every emitted pair has true J ≥ T'
+    and n_true only gains exactness. Pure blocking-escape on the
+    RECALL side (a true pair found by neither leg) stays the
+    documented rarity; on testdata the cap never binds at all (max
+    corpus-wide df 25 at sf0.1 vs cap 256, pinned in tests)."""
     ex = _near_shingles(spark, sf_dir)
     hot = (
         ex.groupBy("h")
@@ -269,23 +281,26 @@ def _near_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = ex.join(F.broadcast(hot), "h", "left_anti")
     a, b = capped.alias("a"), capped.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
-    return _verified_pairs(cand, ex)
+    if extra_cand is not None:
+        cand = cand.unionByName(extra_cand.select("doc_a", "doc_b"))
+    return _verified_pairs(cand.distinct(), ex)
 
 
 def _near_truth_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared(
-        spark, sf_dir, "dedup_near_truth", lambda: _near_truth(spark, sf_dir)
+        spark,
+        sf_dir,
+        "dedup_near_truth",
+        lambda: _near_truth(
+            spark, sf_dir, extra_cand=dedup_near_pairs(spark, sf_dir)
+        ),
     )
 
 
@@ -324,7 +339,8 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_near_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncached plan twin of `dedup_near` for machine plan assertions
     (registry.PLAN_QUERIES): both legs built from the live plans."""
-    return _near_audit(_dedup_near(spark, sf_dir), _near_truth(spark, sf_dir))
+    found = _dedup_near(spark, sf_dir)
+    return _near_audit(found, _near_truth(spark, sf_dir, extra_cand=found))
 
 
 def _near_audit(found: DataFrame, truth: DataFrame) -> DataFrame:

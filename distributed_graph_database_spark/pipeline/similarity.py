@@ -383,11 +383,10 @@ def _semdedup_from_pairs(
     spark: SparkSession, sf_dir: str, pairs: DataFrame
 ) -> DataFrame:
     from ..graph import traversal
+    from ..graph.derive import symmetrize
 
-    sym = pairs.select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+    sym = symmetrize(
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     )
     comp = traversal.connected_components(spark, sym).select(
         F.col("vid").alias("vec_id"), F.col("comp").alias("cluster_id")

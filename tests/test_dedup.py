@@ -162,9 +162,3 @@ def test_near_truth_df_cap_noop_on_testdata(spark, sf_oracle):
     ex = dedup._near_shingles(spark, sf_oracle)
     max_df = ex.groupBy("h").count().agg(F.max("count")).first()[0]
     assert max_df <= dedup.NEAR_TRUTH_DF_CAP
-    hot = (
-        ex.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > dedup.NEAR_TRUTH_DF_CAP)
-    )
-    assert hot.count() == 0
