@@ -749,7 +749,16 @@ def graph_betweenness_multi(
     small K. Both passes localCheckpoint per level (the HITS lesson:
     the backward pass re-consumes each level's σ and δ). δ stays the
     only float; the final Σ over ≤K values rounds at 6 like every
-    genuinely-float output."""
+    genuinely-float output.
+
+    Checkpoint granularity here is MEASURED, not assumed (the r11
+    A/B, AB_BRANDES_R11.json): skipping the δ checkpoint on alternate
+    backward levels (the graph_hits halving trick) RAISES job count
+    69→81 — δ has two consumers per level (next level's succ join +
+    the output union), so the skipped checkpoint recomputes the
+    backward join twice — and costs +15% at sf0.1 (2.45→2.81 s) while
+    tying at sf1. Per-level δ checkpoints are the right granularity
+    for this kernel; kept."""
     sym = _sym_edges(spark, sf_dir, checkpoint=True)
     seeds = _min_id_seeds(sym, n_seeds)
     lv = [

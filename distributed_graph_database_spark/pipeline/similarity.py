@@ -1113,6 +1113,153 @@ GROUP BY m.cell_id
 """
 
 
+GMM_K = 3  # mixture components of the demonstrated EM step
+
+
+def ml_gmm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM step of a spherical Gaussian mixture (K = GMM_K, σ² = 1)
+    over the unit-normalized embedding corpus → (component, n_eff,
+    weight_new, shift): effective counts, re-estimated mixture
+    weights, and how far each mean moved — the soft-assignment
+    sibling of ml_kmeans_step's hard Lloyd iteration, and the last
+    classical training-loop kernel the ML family lacked (kmeans,
+    logreg, linreg, NB, PCA, tree all have one).
+
+    Means init from the pinned deterministic quantizer (_cells, the
+    IVF/kmeans convention), unit-normalized. On unit vectors the
+    spherical responsibility softmax collapses to
+    r_k ∝ exp(−‖x−μ_k‖²/2) = e^{x·μ_k} · e^{−1}, so the constant
+    cancels and the E-step is a SOFTMAX OVER COSINES — computed
+    entirely inside the corpus scan's projection (broadcast 1-row
+    means array, per-row transform/aggregate HOFs), zero shuffle.
+    The M-step is the kmeans update shape: posexplode to
+    (component, dim) partials, map-side-combined groupBy bounded by
+    K·d keys, never rows; weights ride a broadcast 1-row count.
+
+    Cross-engine exactness: both engines promote to float64 up
+    front, exp/softmax agree to ~1e-15 relative, and the 6dp rounding
+    sits ≥3 orders above the summation-order jitter at the sf0.01
+    gate (n_eff ≈ 667: jitter ~3e-10 vs quantum 5e-7 — the ql_corr
+    argument; ml_score's exp precedent)."""
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    means = _unit(
+        _cells(spark, sf_dir, GMM_K).select(
+            F.col("cell_id").alias("component"), F.col("cv").alias("m")
+        ),
+        "m",
+    )
+    ms = means.agg(
+        F.sort_array(F.collect_list(F.struct("component", "m"))).alias("ms")
+    )
+    resp = (
+        emb.crossJoin(F.broadcast(ms))
+        .withColumn(
+            "nums",
+            F.transform(
+                "ms",
+                lambda cm: F.struct(
+                    cm["component"].alias("component"),
+                    F.exp(_dot(F.col("v"), cm["m"])).alias("num"),
+                ),
+            ),
+        )
+        .withColumn(
+            "den",
+            F.aggregate("nums", F.lit(0.0), lambda acc, s: acc + s["num"]),
+        )
+        .select("v", F.explode("nums").alias("s"), "den")
+        .select(
+            "v",
+            F.col("s.component").alias("component"),
+            (F.col("s.num") / F.col("den")).alias("r"),
+        )
+    )
+    n_tot = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    neff = resp.groupBy("component").agg(F.sum("r").alias("n_eff"))
+    by_dim = (
+        resp.select("component", "r", F.posexplode("v").alias("dim", "x"))
+        .groupBy("component", "dim")
+        .agg(F.sum(F.col("r") * F.col("x")).alias("rx"))
+    )
+    old = means.select(
+        "component", F.posexplode("m").alias("dim", "old_val")
+    )
+    shift = (
+        by_dim.join(F.broadcast(neff), "component")
+        .join(old, ["component", "dim"])
+        .groupBy("component")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.pow(
+                        F.col("rx") / F.col("n_eff") - F.col("old_val"), 2
+                    )
+                )
+            ).alias("shift")
+        )
+    )
+    return (
+        neff.join(shift, "component")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "component",
+            F.round("n_eff", 6).alias("n_eff"),
+            F.round(F.col("n_eff") / F.col("n"), 6).alias("weight_new"),
+            F.round("shift", 6).alias("shift"),
+        )
+    )
+
+
+ORACLE_ML_GMM_STEP = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM e0
+),
+cells AS (
+  SELECT vec_id AS component, v AS m FROM e
+  ORDER BY vec_id LIMIT {GMM_K} OFFSET {N_QUERIES}
+),
+j AS (
+  SELECT e.vec_id, e.v, c.component,
+         EXP(list_dot_product(e.v, c.m)) AS num
+  FROM e CROSS JOIN cells c
+),
+den AS (SELECT vec_id, SUM(num) AS den FROM j GROUP BY vec_id),
+r AS (
+  SELECT j.vec_id, j.v, j.component, j.num / d.den AS r
+  FROM j JOIN den d USING (vec_id)
+),
+neff AS (SELECT component, SUM(r) AS n_eff FROM r GROUP BY component),
+ntot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+bydim AS (
+  SELECT component, r, UNNEST(range(LEN(v))) AS dim, UNNEST(v) AS x
+  FROM r
+),
+rxs AS (
+  SELECT component, dim, SUM(r * x) AS rx FROM bydim GROUP BY component, dim
+),
+old AS (
+  SELECT component, UNNEST(range(LEN(m))) AS dim, UNNEST(m) AS old_val
+  FROM cells
+),
+shift AS (
+  SELECT rxs.component,
+         SQRT(SUM(POW(rxs.rx / nf.n_eff - old.old_val, 2))) AS shift
+  FROM rxs JOIN neff nf USING (component)
+       JOIN old ON old.component = rxs.component AND old.dim = rxs.dim
+  GROUP BY rxs.component
+)
+SELECT nf.component, ROUND(nf.n_eff, 6) AS n_eff,
+       ROUND(nf.n_eff / t.n, 6) AS weight_new,
+       ROUND(s.shift, 6) AS shift
+FROM neff nf JOIN shift s USING (component) CROSS JOIN ntot t
+"""
+
+
 def ml_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model scoring at corpus scale: logistic score of every embedding
     against a pinned weight vector → (vec_id, score, keep). The shape
@@ -2633,6 +2780,7 @@ QUERIES = {
     "dedup_embed": dedup_embed,
     "corpus_semdedup": corpus_semdedup,
     "ml_kmeans_step": ml_kmeans_step,
+    "ml_gmm_step": ml_gmm_step,
     "ml_logreg_step": ml_logreg_step,
     "ml_linreg_fit": ml_linreg_fit,
     "ml_score": ml_score,
@@ -2663,6 +2811,7 @@ ORACLE_SQL = {
     "dedup_embed": ORACLE_DEDUP_EMBED,
     "corpus_semdedup": ORACLE_CORPUS_SEMDEDUP,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
+    "ml_gmm_step": ORACLE_ML_GMM_STEP,
     "ml_logreg_step": ORACLE_ML_LOGREG_STEP,
     "ml_linreg_fit": ORACLE_ML_LINREG_FIT,
     "ml_score": ORACLE_ML_SCORE,

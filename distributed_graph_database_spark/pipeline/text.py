@@ -1494,6 +1494,119 @@ FROM b
 """
 
 
+ZIPF_TOP_N = 50  # head-of-vocabulary size the power law is fit over
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary → ONE row
+    (vocab_size, total_tokens, n_top, slope, intercept, r2): OLS of
+    ln(frequency) on ln(rank) over the ZIPF_TOP_N most frequent
+    tokens. The standard corpus-health diagnostic of an LLM data
+    pipeline — natural text sits near slope −1; template/boilerplate
+    corpora flatten the head, gibberish steepens it — and the
+    companion law to text_char_entropy's per-document signal.
+
+    Scale shape: ONE token-count aggregate builds the vocabulary
+    (map-side combined; the shuffle carries (token, count) partials,
+    never text — the text_unigram_logprob scan), the head is
+    TakeOrdered over the aggregated vocab (never a full sort), and
+    the regression is a single agg of 5 sums over ZIPF_TOP_N rows.
+    The rank window runs AFTER the limit, over the tiny head only.
+
+    Cross-engine exactness: ranks/counts are exact ints; ln and the
+    OLS closed form are evaluated from the same sums in both engines,
+    with ~1e-15 relative summation jitter four orders below the 6dp
+    rounding (the text_unigram_logprob / ql_corr argument)."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = vocab.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+    )
+    top = vocab.orderBy(F.desc("c"), "w").limit(ZIPF_TOP_N)
+    ranked = top.select(
+        F.log(
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "w"))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.crossJoin(F.broadcast(totals))
+        .select(
+            "vocab_size",
+            "total_tokens",
+            F.col("n").cast("bigint").alias("n_top"),
+            F.round(slope, 6).alias("slope"),
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+            ).alias("intercept"),
+            F.round(
+                F.pow(
+                    F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2
+                )
+                / (
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                6,
+            ).alias("r2"),
+        )
+    )
+
+
+ORACLE_TEXT_ZIPF_FIT = rf"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+tot AS (
+  SELECT COUNT(*) AS vocab_size, CAST(SUM(c) AS BIGINT) AS total_tokens
+  FROM vocab
+),
+top AS (SELECT w, c FROM vocab ORDER BY c DESC, w LIMIT {ZIPF_TOP_N}),
+ranked AS (
+  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+         LN(CAST(c AS DOUBLE)) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM ranked
+)
+SELECT vocab_size, total_tokens, CAST(n AS BIGINT) AS n_top,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept,
+       ROUND(POW(n * sxy - sx * sy, 2)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -1513,6 +1626,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_dup_ngrams": text_dup_ngrams,
     "text_readability": text_readability,
+    "text_zipf_fit": text_zipf_fit,
 }
 
 ORACLE_SQL = {
@@ -1536,4 +1650,5 @@ ORACLE_SQL = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "text_dup_ngrams": _oracle_dup_ngrams(),
     "text_readability": ORACLE_TEXT_READABILITY,
+    "text_zipf_fit": ORACLE_TEXT_ZIPF_FIT,
 }

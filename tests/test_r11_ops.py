@@ -1,0 +1,107 @@
+"""Law/invariance tests for the r11 capability keys (text_zipf_fit,
+ml_gmm_step) — oracle parity is pinned separately by the sweep and
+test_oracle_parity's sampler; these check the algebraic laws the
+oracle can't express."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_text_zipf_fit_laws(spark, sf_oracle):
+    """One-row report; head size = min(TOP_N, vocab); slope is
+    negative (frequencies decrease along rank by construction); r2 is
+    a valid coefficient of determination; the head is consistent with
+    vocabulary totals."""
+    from distributed_graph_database_spark.pipeline.text import (
+        ZIPF_TOP_N,
+        text_zipf_fit,
+    )
+
+    rows = text_zipf_fit(spark, sf_oracle).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_top == min(ZIPF_TOP_N, r.vocab_size)
+    assert r.vocab_size <= r.total_tokens
+    # frequencies are non-increasing in rank, so the OLS slope of
+    # ln(freq) on ln(rank) cannot be positive; a flat head would give
+    # exactly 0, natural text lands well below
+    assert r.slope < 0, r
+    assert 0.0 <= r.r2 <= 1.0, r
+    # intercept = mean(y) - slope*mean(x) with y = ln(freq) ≤ ln(max
+    # count): e^intercept is the fitted rank-1 frequency — it must be
+    # positive and can't exceed the total token count
+    assert 0 < math.exp(r.intercept) <= r.total_tokens
+
+
+def test_text_zipf_fit_exact_on_synthetic_law(spark, tmp_path):
+    """A corpus whose head frequencies are EXACTLY c_r = 12/r for
+    consecutive ranks r = 1..4 (counts 12, 6, 4, 3 — the lcm trick
+    keeps them integral) makes ln(freq) = ln12 − ln(rank) EXACTLY
+    linear, so the fit must recover slope −1, intercept ln 12, r² 1
+    at 6dp. Pins the regression algebra end-to-end through the real
+    key (writes a one-doc documents.parquet into tmp_path, the
+    catalog's directory-as-catalog contract)."""
+    from distributed_graph_database_spark.pipeline.text import text_zipf_fit
+
+    words = ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    r = text_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert r.vocab_size == 4 and r.n_top == 4 and r.total_tokens == 25
+    assert r.slope == -1.0, r
+    assert r.r2 == 1.0, r
+    assert abs(r.intercept - math.log(12)) < 1e-6, r
+
+
+def test_ml_gmm_step_laws(spark, sf_oracle):
+    """EM-step invariants: GMM_K components; responsibilities are a
+    partition of unity so Σ n_eff = N and Σ weight_new = 1 (to
+    rounding); every n_eff > 0 (softmax responsibilities are strictly
+    positive); shifts are finite and non-negative."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.similarity import (
+        GMM_K,
+        ml_gmm_step,
+    )
+
+    rows = ml_gmm_step(spark, sf_oracle).collect()
+    assert len(rows) == GMM_K
+    n = table(spark, sf_oracle, "embeddings").count()
+    assert abs(sum(r.n_eff for r in rows) - n) < 1e-3
+    assert abs(sum(r.weight_new for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r.n_eff > 0, r
+        assert 0.0 < r.weight_new < 1.0, r
+        assert r.shift >= 0.0 and math.isfinite(r.shift), r
+
+
+def test_ml_gmm_step_responsibilities_match_kmeans_family_init(
+    spark, sf_oracle
+):
+    """The GMM means come from the same pinned _cells quantizer the
+    IVF/kmeans family uses: components are the GMM_K vec_ids right
+    after the N_QUERIES pinned queries, so the key is deterministic
+    across runs and engines."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.similarity import (
+        GMM_K,
+        N_QUERIES,
+        ml_gmm_step,
+    )
+
+    ids = [
+        r.vec_id
+        for r in table(spark, sf_oracle, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(N_QUERIES + GMM_K)
+        .collect()
+    ][N_QUERIES:]
+    rows = ml_gmm_step(spark, sf_oracle).collect()
+    assert sorted(r.component for r in rows) == sorted(ids)
