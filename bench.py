@@ -71,22 +71,33 @@ def warm_up(spark) -> None:
     ).write.mode("overwrite").format("noop").save()
 
 
-def run_setup(spark, sf_dir: str) -> dict[str, float]:
+def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
     # One-time ingest-style costs, timed as named setup line items so
     # per-query timings measure steady state (VERDICT r2 #7): the
     # bucketed-table write behind ql_bucketed_join (at 100 TB an
     # ingest-time cost, never a per-query one) and the derived-edge
     # scan+persist shared by all graph keys.
+    #
+    # `only`: optional set of line-item names to fill — the bench run
+    # itself always fills everything (only=None); targeted harnesses
+    # (tools/scale_probe.py probing a key subset at an expensive SF)
+    # pass the items their keys consume so a 19-key probe doesn't pay
+    # the other 200 keys' ingest builds.
     from distributed_graph_database_spark import registry, relational
 
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     setup: dict[str, float] = {}
-    t0 = time.perf_counter()
-    relational._bucketed_pair(spark, sf_dir)
-    setup["bucketed_table_write"] = round(time.perf_counter() - t0, 4)
-    t0 = time.perf_counter()
-    edges, _start = registry._graph_ctx(spark, sf_dir)
-    edges.count()
-    setup["graph_derive_persist"] = round(time.perf_counter() - t0, 4)
+    if want("bucketed_table_write"):
+        t0 = time.perf_counter()
+        relational._bucketed_pair(spark, sf_dir)
+        setup["bucketed_table_write"] = round(time.perf_counter() - t0, 4)
+    if want("graph_derive_persist"):
+        t0 = time.perf_counter()
+        edges, _start = registry._graph_ctx(spark, sf_dir)
+        edges.count()
+        setup["graph_derive_persist"] = round(time.perf_counter() - t0, 4)
 
     # Every cache.shared materialized intermediate is filled HERE as a
     # named setup line item, so per-key timings measure steady state
@@ -182,6 +193,8 @@ def run_setup(spark, sf_dir: str) -> dict[str, float]:
         ("stream_cdc_drain", lambda: streaming._cdc_stream_snap_dir(spark, sf_dir)),
     ]
     for name, fill in cache_fills:
+        if not want(name):
+            continue
         t0 = time.perf_counter()
         fill()  # cache.shared materializes eagerly (localCheckpoint)
         setup[name] = round(time.perf_counter() - t0, 4)

@@ -1041,6 +1041,128 @@ FROM s
 """
 
 
+# --- Count-Min sketch heavy hitters ---------------------------------
+# Completes the classic sketch triad the engine already carries
+# (HyperLogLog++ distinct = ql_approx_distinct, Bloom membership =
+# store_bloom_prune, Count-Min frequency = this key). Constants are
+# part of the declared contract — the oracle interpolates them.
+CMS_DEPTH = 4       # independent hash rows
+CMS_WIDTH = 64      # counters per row (small on purpose: collisions
+                    # at 150+ keys make the estimate non-trivial)
+CMS_TOPK = 10       # heavy hitters reported
+CMS_SALT = "cms"    # hash-domain separator
+
+
+def _cms_bucket(user_id: F.Column, seed: F.Column) -> F.Column:
+    """h_d(u) = u32(md5('cms<d>:<u>')) mod CMS_WIDTH — the engine's
+    standard engine-portable md5 draw (pipeline/clean.py:_md5_u32),
+    salted per sketch row so the CMS_DEPTH hash functions are
+    independent in the md5 domain."""
+    key = F.concat(
+        F.lit(CMS_SALT), seed.cast("string"), F.lit(":"), user_id.cast("string")
+    )
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % CMS_WIDTH
+    )
+
+
+def events_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation over event user_ids →
+    the CMS_TOPK true heavy hitters as (user_id, true_count, cms_est).
+    Deterministic md5 row hashes make even the sketch side hash-exact
+    across engines; `cms_est >= true_count` (CMS never undercounts) is
+    pinned as a law test, and collisions at CMS_WIDTH=64 ensure the
+    estimate is genuinely approximate, not a disguised exact count.
+
+    Scale shape (the reason CMS exists at 100 TB): the sketch is NEVER
+    built from raw events — the per-key contraction (one map-side-
+    combined groupBy, the same aggregate any frequency query pays)
+    feeds it, because CMS is additive: sum of per-key counts into
+    (seed, bucket) cells equals streaming increments row-by-row. The
+    counter table is CMS_DEPTH x CMS_WIDTH = 256 rows regardless of
+    data size — broadcast to the estimate join, so the whole key costs
+    one shuffle plus two broadcast-side passes over the contracted key
+    table. In a true streaming deployment the same cells would be the
+    applyInPandasWithState accumulator; the batch form here is the
+    merge-of-partials identity."""
+    counts = cms_true_counts(spark, sf_dir)
+    seeds = F.explode(
+        F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    ).alias("seed")
+    hashed = counts.select("user_id", "true_count", seeds).withColumn(
+        "bucket", _cms_bucket(F.col("user_id"), F.col("seed"))
+    )
+    counters = hashed.groupBy("seed", "bucket").agg(
+        F.sum("true_count").alias("counter")
+    )
+    return cms_report(counts, counters)
+
+
+def cms_true_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key contraction (user_id, true_count) — the exact-truth leg
+    both the batch key and the streaming twin report against."""
+    return (
+        table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("bigint").alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+
+
+def cms_report(counts: DataFrame, counters: DataFrame) -> DataFrame:
+    """Heavy-hitter report from any CMS counter table (batch-built or
+    streaming-state-drained): top-CMS_TOPK true keys, each estimated
+    as min over its CMS_DEPTH cells."""
+    seeds = F.explode(
+        F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    ).alias("seed")
+    # TakeOrdered (orderBy+limit), not a global row_number window: the
+    # per-partition top-CMS_TOPK partials merge on the driver without a
+    # single-partition sort of the whole key domain.
+    top = counts.orderBy(F.col("true_count").desc(), F.col("user_id")).limit(
+        CMS_TOPK
+    )
+    top_hashed = top.select("user_id", "true_count", seeds).withColumn(
+        "bucket", _cms_bucket(F.col("user_id"), F.col("seed"))
+    )
+    est = (
+        top_hashed.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("counter").cast("bigint").alias("cms_est"))
+    )
+    return est.select("user_id", "true_count", "cms_est")
+
+
+ORACLE_EVENTS_COUNT_MIN = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id
+),
+seeds AS (SELECT UNNEST(range({CMS_DEPTH})) AS seed),
+hashed AS (
+  SELECT c.user_id, c.true_count, s.seed,
+         CAST(('0x' || substr(md5('{CMS_SALT}' || CAST(s.seed AS VARCHAR)
+               || ':' || CAST(c.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM counts c CROSS JOIN seeds s
+),
+counters AS (
+  SELECT seed, bucket, SUM(true_count) AS counter
+  FROM hashed GROUP BY seed, bucket
+),
+top AS (
+  SELECT user_id, true_count FROM counts
+  QUALIFY ROW_NUMBER() OVER (ORDER BY true_count DESC, user_id) <= {CMS_TOPK}
+)
+SELECT t.user_id, t.true_count,
+       CAST(MIN(ct.counter) AS BIGINT) AS cms_est
+FROM top t
+JOIN hashed h ON h.user_id = t.user_id
+JOIN counters ct ON ct.seed = h.seed AND ct.bucket = h.bucket
+GROUP BY t.user_id, t.true_count
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -1058,6 +1180,7 @@ QUERIES = {
     "events_dedup": events_dedup,
     "events_gap_fill": events_gap_fill,
     "events_pattern_match": events_pattern_match,
+    "events_count_min": events_count_min,
 }
 
 ORACLE_SQL = {
@@ -1077,4 +1200,5 @@ ORACLE_SQL = {
     "events_dedup": ORACLE_EVENTS_DEDUP,
     "events_gap_fill": ORACLE_EVENTS_GAP_FILL,
     "events_pattern_match": ORACLE_EVENTS_PATTERN_MATCH,
+    "events_count_min": ORACLE_EVENTS_COUNT_MIN,
 }

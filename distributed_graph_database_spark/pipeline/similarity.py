@@ -2764,6 +2764,125 @@ FROM cum
 """
 
 
+# Per-sample ridge strength: the normal equations get + RIDGE_LAMBDA*n
+# on the feature diagonal (intercept unpenalized). Scaling the penalty
+# with n (minimizing AVERAGE loss + lambda*||beta||^2) keeps the
+# shrinkage geometry SF-invariant — a fixed absolute lambda would
+# vanish against O(n) moments at 100x the data. 0.005 is ~1/3 of the
+# embedding dims' second moment (~0.015), so shrinkage is visible but
+# not saturating.
+RIDGE_LAMBDA = 0.005
+
+
+def ml_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form RIDGE fit (Tikhonov-regularized normal equations)
+    -> (param, coef): ml_linreg_fit's one-pass moment build with
+    + RIDGE_LAMBDA*n added to the two feature diagonal entries before
+    the same 3x3 Cramer solve — the L2-regularized sibling every
+    feature-collinear corpus needs (ridge is also never singular for
+    lambda > 0, so the det<>0 guard only fires at lambda = 0 edge
+    configs). ||beta_ridge||_2 <= ||beta_ols||_2 (shrinkage
+    monotonicity) is pinned as a law test against ml_linreg_fit.
+
+    Scale shape: identical to ml_linreg_fit — ONE map-side-combined
+    aggregate folds the corpus into nine moments; regularization is a
+    scalar add on the 1-row frame, free at any data size. Moments are
+    6dp-rounded BEFORE the solve (the pca/linreg catastrophic-
+    cancellation discipline) so both engines run the identical
+    expression tree."""
+    e = table(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("x0"),
+        F.element_at("embedding", 2).cast("double").alias("x1"),
+        F.col("label").cast("double").alias("y"),
+    )
+    m = e.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("x0"), 6).alias("sx0"),
+        F.round(F.sum("x1"), 6).alias("sx1"),
+        F.round(F.sum(F.col("x0") * F.col("x0")), 6).alias("sx00"),
+        F.round(F.sum(F.col("x0") * F.col("x1")), 6).alias("sx01"),
+        F.round(F.sum(F.col("x1") * F.col("x1")), 6).alias("sx11"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x0") * F.col("y")), 6).alias("sx0y"),
+        F.round(F.sum(F.col("x1") * F.col("y")), 6).alias("sx1y"),
+    )
+    # ridge-adjusted Gram diagonal (intercept row/col untouched)
+    m = m.withColumn("a00", F.col("sx00") + F.lit(RIDGE_LAMBDA) * F.col("n"))
+    m = m.withColumn("a11", F.col("sx11") + F.lit(RIDGE_LAMBDA) * F.col("n"))
+    n, sx0, sx1 = F.col("n"), F.col("sx0"), F.col("sx1")
+    a00, sx01, a11 = F.col("a00"), F.col("sx01"), F.col("a11")
+    sy, sx0y, sx1y = F.col("sy"), F.col("sx0y"), F.col("sx1y")
+
+    def det3(c1, c2, c3, d1, d2, d3, e1, e2, e3):
+        return (
+            c1 * (d2 * e3 - d3 * e2)
+            - c2 * (d1 * e3 - d3 * e1)
+            + c3 * (d1 * e2 - d2 * e1)
+        )
+
+    solved = m.select(
+        det3(n, sx0, sx1, sx0, a00, sx01, sx1, sx01, a11).alias("det"),
+        det3(sy, sx0, sx1, sx0y, a00, sx01, sx1y, sx01, a11).alias("d0"),
+        det3(n, sy, sx1, sx0, sx0y, sx01, sx1, sx1y, a11).alias("d1"),
+        det3(n, sx0, sy, sx0, a00, sx0y, sx1, sx01, sx1y).alias("d2"),
+    )
+    return solved.select(
+        F.expr(
+            "stack(3,"
+            " 'intercept', CASE WHEN det <> 0 THEN round(d0 / det, 6) END,"
+            " 'x0',        CASE WHEN det <> 0 THEN round(d1 / det, 6) END,"
+            " 'x1',        CASE WHEN det <> 0 THEN round(d2 / det, 6) END)"
+        ).alias("param", "coef")
+    )
+
+
+ORACLE_ML_RIDGE_FIT = f"""
+WITH e AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS x0,
+         CAST(embedding[2] AS DOUBLE) AS x1,
+         CAST(label AS DOUBLE) AS y
+  FROM embeddings
+),
+m0 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         ROUND(SUM(x0), 6) AS sx0,
+         ROUND(SUM(x1), 6) AS sx1,
+         ROUND(SUM(x0 * x0), 6) AS sx00,
+         ROUND(SUM(x0 * x1), 6) AS sx01,
+         ROUND(SUM(x1 * x1), 6) AS sx11,
+         ROUND(SUM(y), 6) AS sy,
+         ROUND(SUM(x0 * y), 6) AS sx0y,
+         ROUND(SUM(x1 * y), 6) AS sx1y
+  FROM e
+),
+m AS (
+  SELECT *, sx00 + {RIDGE_LAMBDA} * n AS a00,
+            sx11 + {RIDGE_LAMBDA} * n AS a11
+  FROM m0
+),
+d AS (
+  SELECT
+    (n * (a00 * a11 - sx01 * sx01)
+      - sx0 * (sx0 * a11 - sx01 * sx1)
+      + sx1 * (sx0 * sx01 - a00 * sx1)) AS det,
+    (sy * (a00 * a11 - sx01 * sx01)
+      - sx0 * (sx0y * a11 - sx01 * sx1y)
+      + sx1 * (sx0y * sx01 - a00 * sx1y)) AS d0,
+    (n * (sx0y * a11 - sx01 * sx1y)
+      - sy * (sx0 * a11 - sx01 * sx1)
+      + sx1 * (sx0 * sx1y - sx0y * sx1)) AS d1,
+    (n * (a00 * sx1y - sx0y * sx01)
+      - sx0 * (sx0 * sx1y - sx0y * sx1)
+      + sy * (sx0 * sx01 - a00 * sx1)) AS d2
+  FROM m
+)
+SELECT 'intercept' AS param,
+       CASE WHEN det <> 0 THEN ROUND(d0 / det, 6) END AS coef FROM d
+UNION ALL SELECT 'x0', CASE WHEN det <> 0 THEN ROUND(d1 / det, 6) END FROM d
+UNION ALL SELECT 'x1', CASE WHEN det <> 0 THEN ROUND(d2 / det, 6) END FROM d
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
@@ -2783,6 +2902,7 @@ QUERIES = {
     "ml_gmm_step": ml_gmm_step,
     "ml_logreg_step": ml_logreg_step,
     "ml_linreg_fit": ml_linreg_fit,
+    "ml_ridge_fit": ml_ridge_fit,
     "ml_score": ml_score,
     "ml_centroid_classify": ml_centroid_classify,
     "ml_confusion_metrics": ml_confusion_metrics,
@@ -2814,6 +2934,7 @@ ORACLE_SQL = {
     "ml_gmm_step": ORACLE_ML_GMM_STEP,
     "ml_logreg_step": ORACLE_ML_LOGREG_STEP,
     "ml_linreg_fit": ORACLE_ML_LINREG_FIT,
+    "ml_ridge_fit": ORACLE_ML_RIDGE_FIT,
     "ml_score": ORACLE_ML_SCORE,
     "ml_centroid_classify": ORACLE_ML_CENTROID_CLASSIFY,
     "ml_confusion_metrics": ORACLE_ML_CONFUSION_METRICS,

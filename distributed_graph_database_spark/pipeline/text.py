@@ -1607,6 +1607,87 @@ FROM s CROSS JOIN tot
 """
 
 
+# --- Hashing-trick vectorizer --------------------------------------
+# The feature-hashing (Weinberger et al. 2009) featurizer every
+# large-scale text trainer uses when the vocabulary won't fit a dict:
+# token -> fixed bucket id, collisions accepted and AUDITED.
+HV_WIDTH = 256   # feature-space width (small on purpose: a real
+                 # collision census needs real collisions at test SF)
+HV_SALT = "hv:"  # hash-domain separator
+
+
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization census -> one row per OCCUPIED
+    bucket (bucket, tf, df, n_tokens): total term frequency, document
+    frequency, and the collision census (distinct tokens sharing the
+    bucket). The audit report that decides whether HV_WIDTH is wide
+    enough before anyone trains on hashed features.
+
+    Scale shape: the exploded token table is aggregated through TWO
+    high-cardinality composite-key partials — (bucket, token) for
+    tf/collisions and distinct (bucket, doc_id) for df — and only the
+    256-row RESULTS of those shuffles meet the tiny bucket domain. The
+    naive single groupBy(bucket).agg(count, countDistinct, countDistinct)
+    would expand every exploded row 3x and funnel the whole corpus
+    through 256 hot reducer keys — exactly the skew shape this engine
+    salts against elsewhere; contracting on composite keys first keeps
+    every shuffle key space proportional to the data."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens()).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(HV_SALT), F.col("tok"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % HV_WIDTH,
+        )
+    )
+    by_tok = toks.groupBy("bucket", "tok").agg(F.count(F.lit(1)).alias("tf_tok"))
+    tf = by_tok.groupBy("bucket").agg(
+        F.sum("tf_tok").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    df = (
+        toks.select("bucket", "doc_id")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return tf.join(df, "bucket").select("bucket", "tf", "df", "n_tokens")
+
+
+ORACLE_TEXT_HASHING_VECTORIZER = f"""
+WITH toks AS (
+  SELECT doc_id, tok,
+         CAST(('0x' || substr(md5('{HV_SALT}' || tok), 1, 8)) AS BIGINT)
+           % {HV_WIDTH} AS bucket
+  FROM (
+    SELECT doc_id,
+           UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
+    FROM documents
+  )
+  WHERE LENGTH(tok) > 0
+),
+tf AS (
+  SELECT bucket, CAST(SUM(tf_tok) AS BIGINT) AS tf,
+         COUNT(*) AS n_tokens
+  FROM (SELECT bucket, tok, COUNT(*) AS tf_tok FROM toks GROUP BY bucket, tok)
+  GROUP BY bucket
+),
+df AS (
+  SELECT bucket, COUNT(*) AS df
+  FROM (SELECT DISTINCT bucket, doc_id FROM toks)
+  GROUP BY bucket
+)
+SELECT tf.bucket, tf.tf, df.df, tf.n_tokens
+FROM tf JOIN df ON tf.bucket = df.bucket
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -1627,6 +1708,7 @@ QUERIES = {
     "text_dup_ngrams": text_dup_ngrams,
     "text_readability": text_readability,
     "text_zipf_fit": text_zipf_fit,
+    "text_hashing_vectorizer": text_hashing_vectorizer,
 }
 
 ORACLE_SQL = {
@@ -1651,4 +1733,5 @@ ORACLE_SQL = {
     "text_dup_ngrams": _oracle_dup_ngrams(),
     "text_readability": ORACLE_TEXT_READABILITY,
     "text_zipf_fit": ORACLE_TEXT_ZIPF_FIT,
+    "text_hashing_vectorizer": ORACLE_TEXT_HASHING_VECTORIZER,
 }

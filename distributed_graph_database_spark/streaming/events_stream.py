@@ -942,6 +942,52 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """The Count-Min counter cells AS STREAMING STATE — the sketch's
+    native habitat: every arriving event increments its CMS_DEPTH
+    (seed, bucket) cells, so the streaming aggregation state IS the
+    sketch, bounded at CMS_DEPTH x CMS_WIDTH = 256 rows BY
+    CONSTRUCTION (the whole point of a sketch: no watermark needed —
+    state cannot grow with the stream). Contrast every other stateful
+    twin here, whose state is bounded only by watermark eviction."""
+    from ..pipeline.events import CMS_DEPTH, _cms_bucket
+
+    ev = _events_stream(spark, src_dir).select(
+        F.col("user_id").cast("bigint").alias("user_id")
+    )
+    seeds = F.explode(
+        F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    ).alias("seed")
+    hashed = ev.select("user_id", seeds).withColumn(
+        "bucket", _cms_bucket(F.col("user_id"), F.col("seed"))
+    )
+    return hashed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+
+
+def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the CMS heavy-hitter report with the
+    counter table maintained by Structured Streaming (cms_stream) and
+    drained availableNow, then fed into the SAME report kernel as the
+    batch key. Update mode can re-emit a cell per micro-batch; cell
+    counts are monotone, so max per (seed, bucket) is the final state.
+    Exact oracle: a fully drained static source makes streaming
+    increments equal the batch contraction (CMS additivity), so this
+    key shares events_count_min's oracle verbatim — the equality is
+    the merge-of-partials identity under the driver's hash check."""
+    from ..pipeline.events import cms_report, cms_true_counts
+
+    src = _events_src_dir(spark, sf_dir)
+    name = f"stream_count_min_{next(_STREAM_SEQ)}"
+    res = run_available_now(cms_stream(spark, src), name, mode="update")
+    counters = res.groupBy("seed", "bucket").agg(
+        F.max("counter").alias("counter")
+    )
+    return cms_report(cms_true_counts(spark, sf_dir), counters)
+
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_late_data": stream_late_data,
@@ -954,6 +1000,7 @@ QUERIES = {
     "stream_sink_parquet": stream_sink_parquet,
     "stream_enrich": stream_enrich,
     "stream_interval_join": stream_interval_join,
+    "stream_count_min": stream_count_min,
 }
 
 ORACLE_SQL = {
@@ -972,6 +1019,9 @@ ORACLE_SQL = {
     "stream_sink_parquet": ORACLE_STREAM_TUMBLING,
     "stream_enrich": ORACLE_STREAM_ENRICH,
     "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
+    # streaming increments == batch contraction (CMS additivity) under
+    # a full drain — one oracle for both execution modes
+    "stream_count_min": None,
 }
 
 
@@ -988,6 +1038,10 @@ ORACLE_SQL = {
 from ..sources.formats import ORACLE_STORE_CDC_APPLY as _ORACLE_CDC
 
 ORACLE_SQL["stream_cdc_apply"] = _ORACLE_CDC
+
+from ..pipeline.events import ORACLE_EVENTS_COUNT_MIN as _ORACLE_CMS
+
+ORACLE_SQL["stream_count_min"] = _ORACLE_CMS
 
 STREAM_STATE_PARTITIONS = "4"
 

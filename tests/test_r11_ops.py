@@ -105,3 +105,122 @@ def test_ml_gmm_step_responsibilities_match_kmeans_family_init(
     ][N_QUERIES:]
     rows = ml_gmm_step(spark, sf_oracle).collect()
     assert sorted(r.component for r in rows) == sorted(ids)
+
+
+def test_events_count_min_laws(spark, sf_oracle):
+    """CMS invariants the oracle can't express as laws: exactly
+    CMS_TOPK rows; cms_est >= true_count on every row (Count-Min
+    never undercounts — the one-sided error guarantee); the reported
+    (user_id, true_count) set IS the exact top-k by (count desc,
+    user_id) recomputed independently with a plain groupBy."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.events import (
+        CMS_TOPK,
+        events_count_min,
+    )
+    from pyspark.sql import functions as F
+
+    rows = events_count_min(spark, sf_oracle).collect()
+    assert len(rows) == CMS_TOPK
+    for r in rows:
+        assert r.cms_est >= r.true_count, r
+    truth = (
+        table(spark, sf_oracle, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(CMS_TOPK)
+        .collect()
+    )
+    assert {(r.user_id, r.true_count) for r in rows} == {
+        (t.user_id, t.n) for t in truth
+    }
+
+
+def test_events_count_min_exact_when_alone(spark, tmp_path):
+    """A single-key events table cannot collide with anything, so
+    every counter cell the key hashes into holds exactly its count:
+    cms_est == true_count — pins the counter-build/estimate-join
+    algebra with no dependence on hash luck."""
+    from distributed_graph_database_spark.pipeline.events import (
+        events_count_min,
+    )
+
+    spark.createDataFrame(
+        [(i, 7) for i in range(13)], "event_id bigint, user_id bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    rows = events_count_min(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].user_id == 7
+    assert rows[0].true_count == 13
+    assert rows[0].cms_est == 13
+
+
+def test_text_hashing_vectorizer_laws(spark, sf_oracle):
+    """Conservation laws of the hashing trick: bucketization neither
+    creates nor destroys mass — Σtf over buckets = corpus token count,
+    Σn_tokens = global distinct-token count (each token maps to exactly
+    one bucket); df is bounded by the doc count; every bucket id lies
+    in [0, HV_WIDTH)."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.text import (
+        HV_WIDTH,
+        _tokens,
+        text_hashing_vectorizer,
+    )
+    from pyspark.sql import functions as F
+
+    rows = text_hashing_vectorizer(spark, sf_oracle).collect()
+    toks = (
+        table(spark, sf_oracle, "documents")
+        .select(F.explode(_tokens()).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    n_total = toks.count()
+    n_vocab = toks.distinct().count()
+    n_docs = table(spark, sf_oracle, "documents").count()
+    assert sum(r.tf for r in rows) == n_total
+    assert sum(r.n_tokens for r in rows) == n_vocab
+    for r in rows:
+        assert 0 <= r.bucket < HV_WIDTH, r
+        assert 1 <= r.df <= n_docs, r
+        assert r.tf >= r.n_tokens, r  # every distinct token occurs >= once
+
+
+def test_stream_count_min_equals_batch(spark, sf_oracle):
+    """Merge-of-partials identity: CMS cells incremented row-by-row by
+    the streaming aggregation equal the batch sketch built from the
+    per-key contraction (CMS additivity), so the two declared keys'
+    reports are identical row sets under a full availableNow drain."""
+    from distributed_graph_database_spark.pipeline.events import (
+        events_count_min,
+    )
+    from distributed_graph_database_spark.streaming.events_stream import (
+        stream_count_min,
+    )
+
+    s = {tuple(r) for r in stream_count_min(spark, sf_oracle).collect()}
+    b = {tuple(r) for r in events_count_min(spark, sf_oracle).collect()}
+    assert s == b and len(s) > 0
+
+
+def test_ml_ridge_fit_shrinks_vs_ols(spark, sf_oracle):
+    """Ridge shrinkage monotonicity: with lambda > 0 the penalized
+    feature-coefficient norm never exceeds the OLS norm (Tikhonov
+    regularization only ever pulls the solution toward 0 in the
+    penalized subspace); three rows, finite coefs (ridge Gram is
+    positive definite for lambda > 0, so no NULL-guard firing)."""
+    from distributed_graph_database_spark.pipeline.similarity import (
+        ml_linreg_fit,
+        ml_ridge_fit,
+    )
+
+    ridge = {r.param: r.coef for r in ml_ridge_fit(spark, sf_oracle).collect()}
+    ols = {r.param: r.coef for r in ml_linreg_fit(spark, sf_oracle).collect()}
+    assert set(ridge) == {"intercept", "x0", "x1"}
+    assert all(v is not None for v in ridge.values())
+    r_norm = ridge["x0"] ** 2 + ridge["x1"] ** 2
+    o_norm = ols["x0"] ** 2 + ols["x1"] ** 2
+    assert r_norm <= o_norm + 1e-12, (r_norm, o_norm)

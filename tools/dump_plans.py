@@ -15,6 +15,22 @@ from distributed_graph_database_spark.session import get_spark  # noqa: E402
 
 # key -> why this plan shape is the 100 TB-safe one
 HEADLINERS: dict[str, str] = {
+    "events_count_min": (
+        "Count-Min sketch heavy hitters (r11): the sketch is built from "
+        "the per-key CONTRACTION (one map-side-combined groupBy), never "
+        "raw events — CMS is additive, so summing per-key counts into "
+        "cells equals row-wise increments; the 256-row counter table is "
+        "broadcast to the estimate join and top-k is TakeOrdered, so the "
+        "whole key is one corpus shuffle plus contracted-domain work."
+    ),
+    "text_hashing_vectorizer": (
+        "Hashing-trick featurization census (r11): the exploded token "
+        "table contracts through composite-key partials — (bucket, token) "
+        "then distinct (bucket, doc) — so only 256-row results ever meet "
+        "the tiny bucket domain; a single groupBy(bucket) with two "
+        "countDistincts would expand rows 3x and funnel the corpus "
+        "through 256 hot reducer keys."
+    ),
     "mm_clip_filter": (
         "Cross-modal pair gate (r10): both encoder stages are map-side "
         "one-scan features, the three-way join keys on the doc_id primary "

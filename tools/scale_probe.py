@@ -30,6 +30,13 @@ def main() -> int:
     ap.add_argument("--ratio", type=float, default=10.0)
     ap.add_argument("--out", default="SCALE_PROBE.json")
     ap.add_argument("--keys", nargs="*", default=None)
+    ap.add_argument(
+        "--setup-items",
+        default=None,
+        help="comma-separated setup line items to fill (default: all) — "
+        "pass the artifacts your --keys consume so a key-subset probe "
+        "at an expensive SF skips the other keys' ingest builds",
+    )
     args = ap.parse_args()
 
     import bench
@@ -43,8 +50,11 @@ def main() -> int:
     bench.warm_up(spark)
 
     legs = {}
+    only = (
+        set(args.setup_items.split(",")) if args.setup_items else None
+    )
     for name, sf_dir in (("small", args.small), ("big", args.big)):
-        setup = bench.run_setup(spark, sf_dir)
+        setup = bench.run_setup(spark, sf_dir, only=only)
         timings, failures = bench.time_keys(spark, sf_dir, keys)
         legs[name] = {"sf_dir": sf_dir, "setup": setup,
                       "timings": timings, "failures": failures}
