@@ -1083,9 +1083,14 @@ def events_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter table is CMS_DEPTH x CMS_WIDTH = 256 rows regardless of
     data size — broadcast to the estimate join, so the whole key costs
     one shuffle plus two broadcast-side passes over the contracted key
-    table. In a true streaming deployment the same cells would be the
-    applyInPandasWithState accumulator; the batch form here is the
-    merge-of-partials identity."""
+    table. The top-k leg and the counter leg both hang off the same
+    per-key contraction; its exchange is canonically identical in both
+    branches and the executed plan carries a ReusedExchange for it
+    (verified in PLANS.md) — ONE corpus shuffle at runtime, not two.
+    In a true streaming deployment the same cells would be the
+    applyInPandasWithState accumulator (see the declared
+    stream_count_min twin, which maintains them as streaming state);
+    the batch form here is the merge-of-partials identity."""
     counts = cms_true_counts(spark, sf_dir)
     seeds = F.explode(
         F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
@@ -1163,6 +1168,74 @@ GROUP BY t.user_id, t.true_count
 """
 
 
+# Heavy-change detection (Cormode & Muthukrishnan's "what's new" /
+# heavy-changers question): which keys' frequencies moved most between
+# the two halves of the stream's time range. Exact form here; the
+# sketched form at 100 TB diffs two events_count_min cell tables
+# (CMS is linear, so cell-wise subtraction sketches the delta stream).
+CHANGE_TOPK = 10
+
+
+def events_top_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-CHANGE_TOPK heavy changers between the first and second
+    half of the events time range -> (user_id, n_first, n_second,
+    delta), ranked by |delta| desc (user_id tiebreak). The ops/abuse
+    question every monitoring stack asks ("who changed?"), answered
+    exactly; the midpoint is integer-microsecond arithmetic replayed
+    identically by both engines.
+
+    Scale: the half-assignment is computed INSIDE the corpus scan
+    against a broadcast 1-row bounds frame (min/max ts — one
+    map-side-combinable aggregate), then ONE contraction shuffle on
+    user_id produces both half-counts as conditional sums; top-k is
+    TakeOrdered over the contracted key domain. No self-join of the
+    two halves (the naive two-scan + full-outer-join shape), no
+    second corpus pass."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    # integer DIV, never float /: Spark truncates double->bigint casts
+    # while DuckDB rounds them, so an odd lo+hi would shift the
+    # midpoint by 1us between engines and flip any event AT the mid.
+    bounds = ev.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    ).select(F.expr("(lo + hi) DIV 2").alias("mid"))
+    halves = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("us") < F.col("mid")).cast("bigint")).alias("n_first"),
+            F.sum((F.col("us") >= F.col("mid")).cast("bigint")).alias("n_second"),
+        )
+        .withColumn("delta", F.col("n_second") - F.col("n_first"))
+    )
+    return halves.orderBy(
+        F.abs(F.col("delta")).desc(), F.col("user_id")
+    ).limit(CHANGE_TOPK)
+
+
+ORACLE_EVENTS_TOP_CHANGE = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us FROM events
+),
+b AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+),
+halves AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(SUM(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+  FROM ev CROSS JOIN b
+  GROUP BY user_id
+)
+SELECT user_id, n_first, n_second, n_second - n_first AS delta
+FROM halves
+QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(n_second - n_first) DESC, user_id)
+        <= {CHANGE_TOPK}
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -1181,6 +1254,7 @@ QUERIES = {
     "events_gap_fill": events_gap_fill,
     "events_pattern_match": events_pattern_match,
     "events_count_min": events_count_min,
+    "events_top_change": events_top_change,
 }
 
 ORACLE_SQL = {
@@ -1201,4 +1275,5 @@ ORACLE_SQL = {
     "events_gap_fill": ORACLE_EVENTS_GAP_FILL,
     "events_pattern_match": ORACLE_EVENTS_PATTERN_MATCH,
     "events_count_min": ORACLE_EVENTS_COUNT_MIN,
+    "events_top_change": ORACLE_EVENTS_TOP_CHANGE,
 }

@@ -224,3 +224,47 @@ def test_ml_ridge_fit_shrinks_vs_ols(spark, sf_oracle):
     r_norm = ridge["x0"] ** 2 + ridge["x1"] ** 2
     o_norm = ols["x0"] ** 2 + ols["x1"] ** 2
     assert r_norm <= o_norm + 1e-12, (r_norm, o_norm)
+
+
+def test_events_top_change_laws(spark, sf_oracle):
+    """Heavy-changer invariants: CHANGE_TOPK rows; delta arithmetic
+    consistent (delta = n_second - n_first); conservation — summing
+    n_first + n_second over ALL users (recomputed independently)
+    equals the event count; the reported |delta|s are the true top-k
+    (no smaller |delta| exists among unreported users that beats the
+    reported minimum)."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.events import (
+        CHANGE_TOPK,
+        events_top_change,
+    )
+    from pyspark.sql import functions as F
+
+    rows = events_top_change(spark, sf_oracle).collect()
+    assert len(rows) == CHANGE_TOPK
+    for r in rows:
+        assert r.delta == r.n_second - r.n_first, r
+    n_events = table(spark, sf_oracle, "events").count()
+    # recompute all users' half-counts independently of the key
+    ev = table(spark, sf_oracle, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_micros("ts").alias("us"),
+    )
+    b = ev.agg(F.expr("(min(us) + max(us)) DIV 2").alias("mid"))
+    full = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("us") < F.col("mid")).cast("bigint")).alias("nf"),
+            F.sum((F.col("us") >= F.col("mid")).cast("bigint")).alias("ns"),
+        )
+        .collect()
+    )
+    assert sum(r.nf + r.ns for r in full) == n_events
+    reported_min = min(abs(r.delta) for r in rows)
+    reported_users = {r.user_id for r in rows}
+    unreported_max = max(
+        (abs(r.ns - r.nf) for r in full if r.user_id not in reported_users),
+        default=0,
+    )
+    assert unreported_max <= reported_min
