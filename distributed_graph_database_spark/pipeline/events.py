@@ -1236,6 +1236,59 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(n_second - n_first) DESC, user_id)
 """
 
 
+def events_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(hour, event_type) exact value percentiles -> (hour,
+    event_type, n_events, p50_cents, p95_cents) — the latency/spend
+    dashboard staple: tumbling-window medians and tail quantiles, the
+    windowed sibling of ql_approx_quantiles' global form.
+
+    Exactness: quantiles interpolate on integer CENTS (the engine-wide
+    trick — raw-double quantiles would hash-diverge across engines) at
+    the shared fraction p*(n-1), and the result is 6dp-rounded; the
+    ql_approx_quantiles footnote's fallback (explicit shared
+    numerator/denominator interpolation) applies here too if an SF
+    ever 1-ulp-flips.
+
+    Scale: ONE shuffle on the (window, type) composite key — exact
+    per-group percentiles need the group's values co-located, which is
+    what the groupBy provides; group state is bounded by the window
+    bound (an hour of one type), so no group outgrows its executor. At
+    100 TB with pathological hot windows the approx sketch
+    (percentile_approx, mergeable partials) is the escape hatch —
+    that trade is exactly what ql_approx_quantiles' audit form
+    measures."""
+    ev = table(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").alias("w"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        ev.groupBy(F.col("w.start").cast("string").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("percentile(cents, array(0.5D, 0.95D))").alias("pp"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            F.round(F.col("pp")[0], 6).alias("p50_cents"),
+            F.round(F.col("pp")[1], 6).alias("p95_cents"),
+        )
+    )
+
+
+ORACLE_EVENTS_WINDOWED_QUANTILES = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5), 6) AS p50_cents,
+       ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.95), 6) AS p95_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -1255,6 +1308,7 @@ QUERIES = {
     "events_pattern_match": events_pattern_match,
     "events_count_min": events_count_min,
     "events_top_change": events_top_change,
+    "events_windowed_quantiles": events_windowed_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1276,4 +1330,5 @@ ORACLE_SQL = {
     "events_pattern_match": ORACLE_EVENTS_PATTERN_MATCH,
     "events_count_min": ORACLE_EVENTS_COUNT_MIN,
     "events_top_change": ORACLE_EVENTS_TOP_CHANGE,
+    "events_windowed_quantiles": ORACLE_EVENTS_WINDOWED_QUANTILES,
 }

@@ -2883,6 +2883,110 @@ UNION ALL SELECT 'x1', CASE WHEN det <> 0 THEN ROUND(d2 / det, 6) END FROM d
 """
 
 
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval -> one row per sampled query (src_id,
+    true_label, pred_label, is_correct): exact cosine KNN_K neighbors
+    vote by majority (ties -> smallest label, the deterministic rule),
+    scored against the query's own held-out label. The lazy-learner
+    baseline every embedding-quality report leads with — if k-NN can't
+    classify, the space isn't separable and nothing trained on it will
+    be.
+
+    Scale: sim_knn_recall's exact-side budget verbatim — the
+    KNN_SAMPLE_CAP md5-lowest queries (constant count at ANY corpus
+    size) broadcast against one corpus scan; the vote and the verdict
+    run on the CAP x KNN_K contracted table. Cross-engine ranking uses
+    the sim_topk discipline (raw cosine desc, vec_id tiebreak) proven
+    hash-exact across ten rounds of parity sweeps."""
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    labels = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("int").alias("lbl")
+    )
+    sample = (
+        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(KNN_SAMPLE_CAP)
+        .select("vec_id")
+    )
+    q = emb.join(F.broadcast(sample), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("src_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    nbrs = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src_id", "vec_id")
+        .join(labels, "vec_id")
+    )
+    vw = Window.partitionBy("src_id").orderBy(
+        F.col("n_votes").desc(), F.col("lbl")
+    )
+    pred = (
+        nbrs.groupBy("src_id", "lbl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("src_id", F.col("lbl").alias("pred_label"))
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("src_id"), F.col("lbl").alias("true_label")
+    )
+    return (
+        pred.join(truth, "src_id")
+        .select(
+            "src_id",
+            "true_label",
+            "pred_label",
+            (F.col("pred_label") == F.col("true_label")).alias("is_correct"),
+        )
+    )
+
+
+ORACLE_ML_KNN_CLASSIFY = f"""
+WITH samp AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KNN_SAMPLE_CAP}
+),
+e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS INT) AS lbl
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, lbl,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM e0
+),
+q AS (
+  SELECT vec_id AS src_id, v AS qv FROM e
+  WHERE vec_id IN (SELECT vec_id FROM samp)
+),
+nbrs AS (
+  SELECT q.src_id, e.vec_id, e.lbl
+  FROM q JOIN e ON e.vec_id <> q.src_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.src_id
+                             ORDER BY list_dot_product(q.qv, e.v) DESC,
+                                      e.vec_id) <= {KNN_K}
+),
+pred AS (
+  SELECT src_id, lbl AS pred_label
+  FROM (SELECT src_id, lbl, COUNT(*) AS n_votes
+        FROM nbrs GROUP BY src_id, lbl)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
+                             ORDER BY n_votes DESC, lbl) = 1
+)
+SELECT p.src_id, e.lbl AS true_label, p.pred_label,
+       p.pred_label = e.lbl AS is_correct
+FROM pred p JOIN e ON e.vec_id = p.src_id
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
@@ -2903,6 +3007,7 @@ QUERIES = {
     "ml_logreg_step": ml_logreg_step,
     "ml_linreg_fit": ml_linreg_fit,
     "ml_ridge_fit": ml_ridge_fit,
+    "ml_knn_classify": ml_knn_classify,
     "ml_score": ml_score,
     "ml_centroid_classify": ml_centroid_classify,
     "ml_confusion_metrics": ml_confusion_metrics,
@@ -2935,6 +3040,7 @@ ORACLE_SQL = {
     "ml_logreg_step": ORACLE_ML_LOGREG_STEP,
     "ml_linreg_fit": ORACLE_ML_LINREG_FIT,
     "ml_ridge_fit": ORACLE_ML_RIDGE_FIT,
+    "ml_knn_classify": ORACLE_ML_KNN_CLASSIFY,
     "ml_score": ORACLE_ML_SCORE,
     "ml_centroid_classify": ORACLE_ML_CENTROID_CLASSIFY,
     "ml_confusion_metrics": ORACLE_ML_CONFUSION_METRICS,

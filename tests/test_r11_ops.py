@@ -268,3 +268,60 @@ def test_events_top_change_laws(spark, sf_oracle):
         default=0,
     )
     assert unreported_max <= reported_min
+
+
+def test_events_windowed_quantiles_laws(spark, sf_oracle):
+    """Windowed-percentile invariants: p50 <= p95 per group; each
+    percentile lies within the group's [min, max] cents envelope;
+    group row counts sum to the corpus event count."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.events import (
+        events_windowed_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    rows = events_windowed_quantiles(spark, sf_oracle).collect()
+    assert sum(r.n_events for r in rows) == table(
+        spark, sf_oracle, "events"
+    ).count()
+    env = {
+        (r.hour, r.event_type): (r.lo, r.hi)
+        for r in table(spark, sf_oracle, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.min(F.round(F.col("value") * 100).cast("bigint")).alias("lo"),
+            F.max(F.round(F.col("value") * 100).cast("bigint")).alias("hi"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.p50_cents <= r.p95_cents, r
+        lo, hi = env[(r.hour, r.event_type)]
+        assert lo <= r.p50_cents <= hi and lo <= r.p95_cents <= hi, r
+
+
+def test_ml_knn_classify_laws(spark, sf_oracle):
+    """k-NN classifier invariants: exactly KNN_SAMPLE_CAP verdict rows
+    (one per sampled query); is_correct consistent with the label
+    pair; accuracy beats the uniform-chance floor over the label
+    alphabet (the embedding space carries SOME signal); predicted
+    labels come from the true label alphabet."""
+    from distributed_graph_database_spark.catalog import table
+    from distributed_graph_database_spark.pipeline.similarity import (
+        KNN_SAMPLE_CAP,
+        ml_knn_classify,
+    )
+
+    rows = ml_knn_classify(spark, sf_oracle).collect()
+    assert len(rows) == KNN_SAMPLE_CAP
+    alphabet = {
+        r.label for r in table(spark, sf_oracle, "embeddings").select("label").distinct().collect()
+    }
+    for r in rows:
+        assert r.is_correct == (r.true_label == r.pred_label), r
+        assert r.pred_label in alphabet, r
+    acc = sum(r.is_correct for r in rows) / len(rows)
+    assert acc >= 1.0 / len(alphabet), (acc, len(alphabet))
