@@ -166,6 +166,9 @@ def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
         ("colloc_unigram_counts", lambda: _shared(
             spark, sf_dir, "colloc_unigrams",
             lambda: pl_text._colloc_unigrams(spark, sf_dir))),
+        # The LPA partition graph_communities AND graph_modularity
+        # consume (r11 sharing, the dedup_ngram owner/composite rule).
+        ("lpa_communities", lambda: g_an.graph_communities(spark, sf_dir)),
         ("ml_confusion_matrix", lambda: pl_sim.ml_centroid_classify(spark, sf_dir)),
         # The ANALYZE-style exact profile both stats keys read (one
         # Expand scan per session — at 100 TB a catalog entry written
@@ -223,6 +226,7 @@ SETUP_SERVES = {
     "mm_audio_fp_features": ["mm_audio_fingerprint"],
     "simhash_features": ["dedup_simhash"],
     "bpe_merge_loop": ["text_bpe_train"],
+    "lpa_communities": ["graph_communities"],
     "ml_confusion_matrix": ["ml_centroid_classify"],
     "orders_exact_profile": ["store_stats_collect", "store_stats_approx"],
     "partsupp_agg": ["ql_sql_q2", "ql_sql_q11"],

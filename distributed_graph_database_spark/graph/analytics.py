@@ -1776,6 +1776,12 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     arg-max window — all partitioned on the vertex key; state is two
     longs per vertex. Same Pregel-on-DataFrames shape as pagerank:
     fixed rounds ⇒ lazy bounded lineage, one job."""
+    return shared(
+        spark, sf_dir, "lpa_communities", lambda: _communities_impl(spark, sf_dir)
+    )
+
+
+def _communities_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir).select("p1", "p2")
     sym = (
         e.union(e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2")))
@@ -1814,7 +1820,7 @@ def label_propagation(sym: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     )
 
 
-def _oracle_communities() -> str:
+def _build_oracle_lpa_base() -> str:
     base = f"""
 WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 li AS (
@@ -1851,12 +1857,129 @@ l{k} AS MATERIALIZED (
                               ORDER BY COUNT(*) DESC, lbl) AS rn
     FROM v{k} GROUP BY v, lbl) WHERE rn = 1
 )""")
+    return base + "".join(rounds)
+
+
+_ORACLE_LPA_BASE = None  # filled lazily below
+
+
+def _oracle_communities() -> str:
     return (
-        base
-        + "".join(rounds)
+        _oracle_communities_cte()
         + f"\nSELECT v AS vid, lbl AS community FROM l{LPA_ROUNDS}"
     )
 
+
+def _oracle_communities_cte() -> str:
+    """The WITH chain shared by the communities and modularity oracles
+    (ends after l{LPA_ROUNDS}; callers append their own CTEs/SELECT)."""
+    global _ORACLE_LPA_BASE
+    if _ORACLE_LPA_BASE is None:
+        _ORACLE_LPA_BASE = _build_oracle_lpa_base()
+    return _ORACLE_LPA_BASE
+
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition -> one row
+    (n_communities, n_vertices, m_edges, modularity): Q = sum_c
+    [intra_c/m - (deg_c/2m)^2], the partition-quality audit for
+    graph_communities — the same discipline that hash-checks recall
+    for every ANN key: the clustering's QUALITY METRIC is itself a
+    declared, oracle-checked deliverable, not a claim.
+
+    Exactness: every term is integer until the single final division —
+    Q = sum_c (2m*intra2_c - deg_c^2) / (2m)^2 with intra2_c the
+    within-community directed-pair count and 2m the symmetric row
+    count — so both engines divide identical integers once and round
+    to 6dp. No per-community float accumulation order to diverge.
+
+    Scale: consumes the session-shared LPA result (built once, the
+    dedup_ngram owner/composite rule) + the checkpointed sym edge
+    table; two label joins partition on the vertex key, the term table
+    is one row per community, and the three 1-row totals ride
+    broadcast cross joins. Nothing here exceeds the LPA pass already
+    paid."""
+    comm = graph_communities(spark, sf_dir)
+    sym = _sym_edges(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    degc = (
+        deg.join(comm.select(F.col("vid").alias("src"), "community"), "src")
+        .groupBy("community")
+        .agg(F.sum("d").cast("bigint").alias("deg_c"))
+    )
+    intra = (
+        sym.join(
+            comm.select(F.col("vid").alias("src"), F.col("community").alias("c_src")),
+            "src",
+        )
+        .join(
+            comm.select(F.col("vid").alias("dst"), F.col("community").alias("c_dst")),
+            "dst",
+        )
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra2"))
+    )
+    terms = degc.join(intra, "community", "left").select(
+        "community",
+        F.coalesce("intra2", F.lit(0)).alias("intra2"),
+        "deg_c",
+    )
+    m2 = sym.agg(F.count(F.lit(1)).alias("m2"))
+    nv = comm.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        terms.crossJoin(F.broadcast(m2))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.first("m2").alias("m2"),
+            F.sum(
+                F.col("m2") * F.col("intra2") - F.col("deg_c") * F.col("deg_c")
+            ).cast("bigint").alias("num"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_communities",
+            "n_vertices",
+            (F.col("m2") / 2).cast("bigint").alias("m_edges"),
+            F.round(
+                F.col("num") / (F.col("m2") * F.col("m2")).cast("double"), 6
+            ).alias("modularity"),
+        )
+    )
+
+
+def _oracle_modularity() -> str:
+    return (
+        _oracle_communities_cte()
+        + f""",
+comm AS MATERIALIZED (SELECT v AS vid, lbl AS community FROM l{LPA_ROUNDS}),
+deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+degc AS (
+  SELECT c.community, CAST(SUM(g.d) AS BIGINT) AS deg_c
+  FROM deg g JOIN comm c ON c.vid = g.src GROUP BY 1
+),
+intra AS (
+  SELECT ca.community, COUNT(*) AS intra2
+  FROM sym s
+  JOIN comm ca ON ca.vid = s.src
+  JOIN comm cb ON cb.vid = s.dst AND cb.community = ca.community
+  GROUP BY 1
+),
+m2t AS (SELECT COUNT(*) AS m2 FROM sym),
+nvt AS (SELECT COUNT(*) AS n_vertices FROM comm),
+terms AS (
+  SELECT d.community, COALESCE(i.intra2, 0) AS intra2, d.deg_c
+  FROM degc d LEFT JOIN intra i ON i.community = d.community
+)
+SELECT COUNT(*) AS n_communities,
+       (SELECT n_vertices FROM nvt) AS n_vertices,
+       CAST((SELECT m2 FROM m2t) / 2 AS BIGINT) AS m_edges,
+       ROUND(CAST(SUM((SELECT m2 FROM m2t) * intra2 - deg_c * deg_c) AS BIGINT)
+             / CAST((SELECT m2 FROM m2t) * (SELECT m2 FROM m2t) AS DOUBLE),
+             6) AS modularity
+FROM terms"""
+    )
 
 # --- k-truss ----------------------------------------------------------------
 
@@ -2265,6 +2388,7 @@ QUERIES = {
     "graph_jaccard": graph_jaccard,
     "graph_assortativity": graph_assortativity,
     "graph_communities": graph_communities,
+    "graph_modularity": graph_modularity,
     "graph_clustering_coef": graph_clustering_coef,
     "graph_link_predict": graph_link_predict,
     "graph_mst": graph_mst,
@@ -2287,6 +2411,7 @@ ORACLE_SQL = {
     "graph_jaccard": ORACLE_GRAPH_JACCARD,
     "graph_assortativity": ORACLE_GRAPH_ASSORTATIVITY,
     "graph_communities": _oracle_communities(),
+    "graph_modularity": _oracle_modularity(),
     "graph_clustering_coef": ORACLE_GRAPH_CLUSTERING_COEF,
     "graph_link_predict": ORACLE_GRAPH_LINK_PREDICT,
     "graph_mst": _ORACLE_GRAPH_MST,

@@ -325,3 +325,23 @@ def test_ml_knn_classify_laws(spark, sf_oracle):
         assert r.pred_label in alphabet, r
     acc = sum(r.is_correct for r in rows) / len(rows)
     assert acc >= 1.0 / len(alphabet), (acc, len(alphabet))
+
+
+def test_graph_modularity_laws(spark, sf_oracle):
+    """Modularity invariants: Q in [-0.5, 1) (the proven bounds for
+    any partition); n_vertices and n_communities consistent with the
+    LPA result it audits; the LPA partition beats the
+    every-vertex-its-own-community baseline (whose Q = -sum(deg^2)/4m^2
+    is near 0 from below) by a clear margin on the co-purchase graph."""
+    from distributed_graph_database_spark.graph.analytics import (
+        graph_communities,
+        graph_modularity,
+    )
+    from pyspark.sql import functions as F
+
+    r = graph_modularity(spark, sf_oracle).collect()[0]
+    assert -0.5 <= r.modularity < 1.0, r
+    comm = graph_communities(spark, sf_oracle)
+    assert r.n_vertices == comm.count()
+    assert r.n_communities == comm.select("community").distinct().count()
+    assert r.modularity > 0.1, r  # LPA finds real structure here
