@@ -15,6 +15,19 @@ from distributed_graph_database_spark.session import get_spark  # noqa: E402
 
 # key -> why this plan shape is the 100 TB-safe one
 HEADLINERS: dict[str, str] = {
+    "graph_modularity": (
+        "Partition-quality audit (r11): consumes the session-shared LPA "
+        "table and the checkpointed sym edges; two vertex-key label "
+        "joins, a one-row-per-community term table, broadcast 1-row "
+        "totals — every term integer until the single final division, "
+        "so the plan has no float accumulation to re-order at scale."
+    ),
+    "ml_knn_classify": (
+        "k-NN classifier eval (r11): the md5-capped query sample "
+        "(constant count at any corpus size) broadcasts against ONE "
+        "corpus scan; vote and verdict run on the CAP x K contracted "
+        "table — the sim_knn_recall exact-side budget, reused verbatim."
+    ),
     "events_count_min": (
         "Count-Min sketch heavy hitters (r11): the sketch is built from "
         "the per-key CONTRACTION (one map-side-combined groupBy), never "
