@@ -195,6 +195,20 @@ def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
         # snapshot).
         ("stream_cdc_drain", lambda: streaming._cdc_stream_snap_dir(spark, sf_dir)),
     ]
+    # Validate a caller-supplied `only` against the actual line-item
+    # names (ADVICE r11 #1): a typo'd --setup-items value used to be
+    # silently skipped, so a targeted scale probe timed its key WITH
+    # the ingest build folded in — the exact steady-state distortion
+    # the flag exists to prevent. Raising keeps the probe honest.
+    if only is not None:
+        known = {"bucketed_table_write", "graph_derive_persist"}
+        known.update(name for name, _ in cache_fills)
+        unknown = set(only) - known
+        if unknown:
+            raise ValueError(
+                f"unknown setup line item(s) {sorted(unknown)}; "
+                f"known items: {sorted(known)}"
+            )
     for name, fill in cache_fills:
         if not want(name):
             continue

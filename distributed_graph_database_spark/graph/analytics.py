@@ -1901,7 +1901,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cross joins. Nothing here exceeds the LPA pass already
     paid."""
     comm = graph_communities(spark, sf_dir)
-    sym = _sym_edges(spark, sf_dir)
+    # checkpoint=True: sym feeds three sub-plans here (deg, intra, m2)
+    # — the module's loop-invariant/multi-consumption rule (ADVICE
+    # r11 #3; the underlying co-purchase edges are shared-cached, so
+    # this trims plan re-derivation, not recompute).
+    sym = _sym_edges(spark, sf_dir, checkpoint=True)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     degc = (
         deg.join(comm.select(F.col("vid").alias("src"), "community"), "src")

@@ -216,17 +216,29 @@ def _assign(
     sim = _dot(F.col(vec_col), F.col("cv"))
     if not unit:
         sim = sim / (_norm(vec_col) * _norm("cv"))
-    scored = df.crossJoin(F.broadcast(cells)).withColumn("sim", sim)
-    w = Window.partitionBy(*df.columns[:1]).orderBy(
-        F.col("sim").desc(), F.col("cell_id")
-    )
     key = df.columns[0]
-    return (
+    # NARROW the rank window (r12, the sf10 ingest-probe fix): the
+    # crossJoin must see the vector to score it, but only
+    # (key, cell_id, sim) enters the exchange + sort feeding
+    # row_number — the vector column rejoins by key AFTER the top-n
+    # filter. The old shape carried the 64-dim array through the
+    # window sort: at sf10 that is N·cells ≈ 9e7 rows × ~550 B ≈
+    # 49 GB of sort payload (spills), vs ~3 GB narrow; the rejoin is
+    # one linear hash join on the unique key. Result-identical (same
+    # rank keys, same tie-break), measured A/B in
+    # SCALE_PROBE_SF10_INGEST.json.
+    scored = (
+        df.crossJoin(F.broadcast(cells))
+        .select(key, "cell_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy(key).orderBy(F.col("sim").desc(), F.col("cell_id"))
+    picked = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)
-        .groupBy(*df.columns)
+        .groupBy(key)
         .agg(F.collect_list("cell_id").alias(out))
     )
+    return df.join(picked, key)
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,11 +858,19 @@ def _sim_knn_graph(
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cell_id")
     )
+    # Narrow rank window (r12): only (vec_id, cell_id, sim) rides the
+    # exchange + sort; v rejoins by vec_id after the top-P filter.
+    # The wide form carried the 64-dim array through N·cells sorted
+    # rows — at sf10 ≈ 49 GB of sort payload (spills), the measured
+    # residual that pushed the sf1→sf10 build exponent to 1.68 over
+    # the N^1.5 candidate model (SCALE_PROBE_SF10_INGEST.json A/B).
     assigned = (
         emb.crossJoin(F.broadcast(cells))
-        .withColumn("sim", _dot(F.col("v"), F.col("cv")))
+        .select("vec_id", "cell_id", _dot(F.col("v"), F.col("cv")).alias("sim"))
         .withColumn("rn", F.row_number().over(w_cell))
         .filter(F.col("rn") <= KNN_PROBES)
+        .select("vec_id", "cell_id", "rn")
+        .join(emb, "vec_id")
         .select("vec_id", "v", "cell_id", "rn")
         .localCheckpoint(eager=True)  # KNN_PROBES·N tiny rows; both
         # branches of the self-join below read the materialized copy

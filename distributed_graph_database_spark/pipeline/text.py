@@ -1688,6 +1688,210 @@ FROM tf JOIN df ON tf.bucket = df.bucket
 """
 
 
+# --- line-level exact dedup (r12) -------------------------------------------
+# C4/RefinedWeb corpus normalization: every line that occurs more than
+# once ACROSS the corpus is removed except one canonical retained
+# occurrence (the lowest (doc_id, line_idx) — deterministic, so both
+# engines agree on WHICH copy survives). This is the line-granular
+# sibling of text_dup_ngrams' overlapping-shingle coverage and
+# dedup_exact's whole-document hash: dup_ngrams REPORTS overlap,
+# line dedup decides per-occurrence SURVIVAL.
+#
+# The synthetic corpus has no newline structure (single-line docs), so
+# a "line" here is a non-overlapping LINE_W-token block — positional
+# segmentation, unlike a shingle window. A real crawl swaps the
+# splitter for split(text, '\n'); the survivor semantics and the
+# shuffle shape (explode → one hash groupBy → one hash rejoin →
+# per-doc rollup) are identical either way.
+LINE_W = 3
+
+
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document line-survival report → (doc_id, n_lines,
+    n_surviving, n_removed): split each document into consecutive
+    LINE_W-token lines, hash each line (md5), and keep a line
+    occurrence iff it is globally unique OR it is the canonical
+    occurrence (global min (doc_id, line_idx) for that hash).
+
+    Scale shape: one corpus scan explodes lines with their positions;
+    ONE groupBy on the md5 line hash computes (n_occ, canonical) with
+    map-side partial aggregation (min of a struct combines like any
+    min); the rejoin is on the same hash key so at 100 TB it is a
+    shuffle hash join co-partitioned with the groupBy output — the
+    exchange is reused, never corpus². The per-doc rollup partitions
+    on doc_id. No broadcast of corpus-sized state, no window over the
+    corpus (the oracle uses a window because DuckDB is single-node;
+    the Spark side keeps the groupBy+join form that scales out).
+    No reference analog (its only strings are file names); this is
+    the pipeline-brief dedup surface at line granularity."""
+    w = LINE_W
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    n_blocks = F.floor((F.size("toks") + (w - 1)) / w).cast("int")
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_blocks),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", (i - 1) * w + 1, w))
+                ),
+            )
+        ).alias("line_idx", "h"),
+    ).localCheckpoint(eager=False)  # consumed by the groupBy AND the rejoin
+    canon = lines.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "line_idx")).alias("canon"),
+    )
+    survived = (
+        lines.join(canon, "h")
+        .withColumn(
+            "survives",
+            (F.col("n_occ") == 1)
+            | (
+                (F.col("doc_id") == F.col("canon.doc_id"))
+                & (F.col("line_idx") == F.col("canon.line_idx"))
+            ),
+        )
+    )
+    return survived.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("survives").cast("int")).cast("bigint").alias("n_surviving"),
+        F.sum((~F.col("survives")).cast("int")).cast("bigint").alias("n_removed"),
+    )
+
+
+ORACLE_TEXT_LINE_DEDUP = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, i - 1 AS line_idx,
+         md5(list_aggregate(toks[(i-1)*{LINE_W}+1 : i*{LINE_W}],
+                            'string_agg', ' ')) AS h
+  FROM t, UNNEST(range(1, ((LEN(toks) + {LINE_W - 1}) // {LINE_W}) + 1)) AS u(i)
+),
+w AS (
+  SELECT doc_id, line_idx,
+         COUNT(*) OVER (PARTITION BY h) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, line_idx) AS rn
+  FROM b
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN n_occ = 1 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving,
+       CAST(SUM(CASE WHEN n_occ > 1 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM w GROUP BY doc_id
+"""
+
+
+# --- PII scrub (r12) ---------------------------------------------------------
+# The redaction gate every released corpus runs: mask email / phone /
+# SSN-shaped spans with typed placeholders and report per-class hit
+# counts. Extends events_scrub's digit-run masking (events props JSON
+# only) to the documents corpus. The synthetic corpus contains no
+# PII-shaped spans at all (zero digits, zero '@'), so the key scrubs a
+# deterministically PII-INJECTED view: docs with doc_id % 3 == 0 get a
+# synthetic contact block (email + phone) and doc_id % 6 == 0
+# additionally an SSN-shaped id, derived arithmetically from doc_id in
+# BOTH engines — the same synthesize-then-process contract as the
+# multimodal payload keys (mm_decode_*), keeping the regex machinery
+# and the per-class accounting real and hash-checked.
+#
+# Patterns are deliberately backreference/lookaround-free so Java
+# regex (Spark) and RE2 (DuckDB) match identically. Mask order is
+# fixed and documented: EMAIL → PHONE → SSN (the shapes are mutually
+# non-overlapping — a 3-2-4 digit group never occurs inside the
+# 1/2-3-3-4 phone shape — but a fixed order makes the composition
+# deterministic by construction, not by argument).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def _pii_aug_col() -> F.Column:
+    """The PII-injected document text (see module comment): appended
+    spans use width-guaranteed arithmetic (d%900+100 is always 3
+    digits, d%9000+1000 always 4) so no padding functions enter the
+    cross-engine string contract."""
+    d = F.col("doc_id")
+    contact = F.format_string(
+        " contact u%d@ex%d.org or call +1-%d-555-%d",
+        d, d % 7, d % 900 + 100, d % 9000 + 1000,
+    )
+    ssn = F.format_string(
+        " id %d-%d-%d", d % 900 + 100, d % 90 + 10, d % 9000 + 1000
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, contact).otherwise(F.lit("")),
+        F.when(d % 6 == 0, ssn).otherwise(F.lit("")),
+    )
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub report → (doc_id, n_email, n_phone,
+    n_ssn, scrub_fp): per-class hit counts over the (injected) text
+    plus the md5 fingerprint of the fully-masked text — the
+    fingerprint pins the ENTIRE masked byte stream into the hash
+    check, so a regex drift in either engine flips the key.
+
+    Scale shape: one corpus scan, zero shuffles before the final
+    collect — counts and masks are per-row regexp expressions inside
+    whole-stage codegen. At 100 TB this is the map stage of the
+    release pipeline; the masked text would be written back columnar
+    and the report is a groupBy-free projection."""
+    aug = _pii_aug_col()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_SSN_RE,
+        "[SSN]",
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), 0)).cast("bigint").alias("n_email"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), 0)).cast("bigint").alias("n_phone"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_SSN_RE), 0)).cast("bigint").alias("n_ssn"),
+        F.md5(scrubbed).alias("scrub_fp"),
+    )
+
+
+ORACLE_TEXT_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' contact u' || doc_id || '@ex' || (doc_id % 7)
+                   || '.org or call +1-' || (doc_id % 900 + 100)
+                   || '-555-' || (doc_id % 9000 + 1000)
+              ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+              THEN ' id ' || (doc_id % 900 + 100) || '-'
+                   || (doc_id % 90 + 10) || '-' || (doc_id % 9000 + 1000)
+              ELSE '' END AS a
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(a, '{PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(LEN(regexp_extract_all(a, '{PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+       CAST(LEN(regexp_extract_all(a, '{PII_SSN_RE}')) AS BIGINT) AS n_ssn,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(a, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PII_PHONE_RE}', '[PHONE]', 'g'),
+             '{PII_SSN_RE}', '[SSN]', 'g')) AS scrub_fp
+FROM aug
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -1709,6 +1913,8 @@ QUERIES = {
     "text_readability": text_readability,
     "text_zipf_fit": text_zipf_fit,
     "text_hashing_vectorizer": text_hashing_vectorizer,
+    "text_line_dedup": text_line_dedup,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLE_SQL = {
@@ -1734,4 +1940,6 @@ ORACLE_SQL = {
     "text_readability": ORACLE_TEXT_READABILITY,
     "text_zipf_fit": ORACLE_TEXT_ZIPF_FIT,
     "text_hashing_vectorizer": ORACLE_TEXT_HASHING_VECTORIZER,
+    "text_line_dedup": ORACLE_TEXT_LINE_DEDUP,
+    "text_pii_scrub": ORACLE_TEXT_PII_SCRUB,
 }

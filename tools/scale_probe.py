@@ -50,8 +50,13 @@ def main() -> int:
     bench.warm_up(spark)
 
     legs = {}
+    # Strip whitespace so `--setup-items "a, b"` matches line items
+    # (ADVICE r11 #2); bench.run_setup validates the names and raises
+    # on anything unknown (ADVICE r11 #1).
     only = (
-        set(args.setup_items.split(",")) if args.setup_items else None
+        {s.strip() for s in args.setup_items.split(",") if s.strip()}
+        if args.setup_items
+        else None
     )
     for name, sf_dir in (("small", args.small), ("big", args.big)):
         setup = bench.run_setup(spark, sf_dir, only=only)
