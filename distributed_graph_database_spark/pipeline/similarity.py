@@ -297,7 +297,9 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_embed(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-dup pairs (the brief's embedding-space
     dedup method): candidates are pairs sharing any of their
     DEDUP_PROBES nearest IVF cells; candidates are exact-verified at
@@ -327,14 +329,10 @@ def _dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors before any further shuffle — the naive shape (dedupe
     # candidates carrying both vectors, then verify) shuffles
     # |candidates| × 2d doubles and was measured 10x slower at sf0.1.
+    if n_cells is None:
+        n_cells = scaled_cells(_corpus_n(spark, sf_dir), DEDUP_CELLS)
     emb = _unit(_embeddings(spark, sf_dir), "v")
-    cells = _unit(
-        _cells(
-            spark, sf_dir,
-            scaled_cells(_corpus_n(spark, sf_dir), DEDUP_CELLS),
-        ),
-        "cv",
-    )
+    cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
     blocked = (
         _assign(emb, cells, "v", "cells", DEDUP_PROBES, unit=True)
         .select("vec_id", F.col("v").alias("nv"), F.explode("cells").alias("cell_id"))
@@ -942,6 +940,150 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def _knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KNN_SAMPLE_CAP vec_ids with the smallest md5 (the
+    corpus_sample idiom) — the deterministic absolute-size recall
+    sample shared by sim_knn_recall and the ingest probe."""
+    return (
+        _embeddings(spark, sf_dir)
+        .select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(KNN_SAMPLE_CAP)
+        .select("vec_id")
+    )
+
+
+def _knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-sample top-KNN_K → (src_id, neighbor_id): the CAP ×
+    corpus exact side of the recall audit (broadcast sample, one
+    linear corpus scan). Extracted so the ingest probe can build it
+    ONCE per sf and score several index variants against it
+    (tools/ingest_probe_r12.py)."""
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    sample = _knn_sample(spark, sf_dir)
+    q = emb.join(F.broadcast(sample), "vec_id", "left_semi").select(
+        F.col("vec_id").alias("src_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("src_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("src_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+COARSE_PROBES = 2  # coarse groups each vector/cell routes into (2-level)
+
+
+def _sim_knn_graph_2level(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> DataFrame:
+    """kNN graph with a TWO-LEVEL (hierarchical) quantizer — the
+    deployment shape once cells scale ∝ N: the flat assign's N·cells
+    dot products become N·(√cells coarse + COARSE_PROBES·cells/√cells
+    fine) ≈ 3N√cells, the IVF-tree routing every large ANN system
+    uses once the centroid table outgrows a broadcast scan.
+
+    Level 1: the first ⌈√n_cells⌉ fine cells double as coarse
+    anchors; every fine cell routes to its nearest anchor (cells ×
+    √cells — tiny). Level 2: each vector routes into its
+    COARSE_PROBES nearest anchors, then ranks only the fine cells
+    living in those groups. Everything downstream (home/probe split,
+    per-cell candidate join, top-K rank) is _sim_knn_graph verbatim.
+
+    Deterministic (same pinned centroids, same tie-breaks) but NOT
+    assignment-identical to the flat quantizer — boundary vectors can
+    route differently — so this is a PROBE/deployment variant, not
+    the declared key; the ingest probe reports its recall@K next to
+    its build time (SCALE_PROBE_SF10_INGEST.json)."""
+    import math as _math
+
+    n_coarse = max(4, _math.isqrt(n_cells))
+    emb = _unit(_embeddings(spark, sf_dir), "v")
+    cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
+    coarse = (
+        cells.orderBy("cell_id")
+        .limit(n_coarse)
+        .select(F.col("cell_id").alias("grp"), F.col("cv").alias("gv"))
+        .localCheckpoint(eager=True)
+    )
+    # fine cell -> its one coarse group (cells × n_coarse rows, tiny)
+    w_cell_grp = Window.partitionBy("cell_id").orderBy(
+        F.col("gsim").desc(), F.col("grp")
+    )
+    cell_grp = (
+        cells.crossJoin(F.broadcast(coarse))
+        .select(
+            "cell_id", "cv", "grp",
+            _dot(F.col("cv"), F.col("gv")).alias("gsim"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell_grp))
+        .filter(F.col("rn") == 1)
+        .select("grp", "cell_id", "cv")
+        .localCheckpoint(eager=True)
+    )
+    # vector -> its COARSE_PROBES nearest groups (narrow window)
+    w_vec_grp = Window.partitionBy("vec_id").orderBy(
+        F.col("gsim").desc(), F.col("grp")
+    )
+    vec_grp = (
+        emb.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "grp", _dot(F.col("v"), F.col("gv")).alias("gsim"))
+        .withColumn("rn", F.row_number().over(w_vec_grp))
+        .filter(F.col("rn") <= COARSE_PROBES)
+        .select("vec_id", "grp")
+    )
+    # vector scores ONLY the fine cells of its routed groups
+    w_vec_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cell_id")
+    )
+    assigned = (
+        vec_grp.join(emb, "vec_id")
+        .join(F.broadcast(cell_grp), "grp")
+        .select(
+            "vec_id", "cell_id",
+            _dot(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_vec_cell))
+        .filter(F.col("rn") <= KNN_PROBES)
+        .select("vec_id", "cell_id", "rn")
+        .join(emb, "vec_id")
+        .select("vec_id", "v", "cell_id", "rn")
+        .localCheckpoint(eager=True)
+    )
+    home = assigned.filter(F.col("rn") == 1).select("vec_id", "v", "cell_id")
+    probes = assigned.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        "cell_id",
+    )
+    scored = (
+        probes.join(home, "cell_id")
+        .filter(F.col("vec_id") != F.col("src_id"))
+        .withColumn("cosine", _dot(F.col("sv"), F.col("v")))
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "src_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@K of the kNN graph against per-vector EXACT
     top-k on a deterministic ABSOLUTE-size sample (the KNN_SAMPLE_CAP
@@ -957,36 +1099,13 @@ def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same budget trade a production recall monitor makes
     (VERDICT r6 item 4: the old `% 10` sample was 1e8 exact queries
     at 1e9 vectors)."""
-    emb = _unit(_embeddings(spark, sf_dir), "v")
-    sample = (
-        emb.select(
-            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
-        )
-        .orderBy("h", "vec_id")
-        .limit(KNN_SAMPLE_CAP)
-        .select("vec_id")
-    )
+    exact = _knn_exact_topk(spark, sf_dir)
+    sample = _knn_sample(spark, sf_dir)
     knn = sim_knn_graph(spark, sf_dir).join(
         F.broadcast(sample.select(F.col("vec_id").alias("src_id"))),
         "src_id",
         "left_semi",
     ).select("src_id", "neighbor_id", F.lit(1).alias("hit"))
-    q = emb.join(F.broadcast(sample), "vec_id", "left_semi").select(
-        F.col("vec_id").alias("src_id"), F.col("v").alias("qv")
-    )
-    scored = (
-        F.broadcast(q)
-        .join(emb, F.col("vec_id") != F.col("src_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("v")))
-    )
-    w = Window.partitionBy("src_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    exact = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("src_id", F.col("vec_id").alias("neighbor_id"))
-    )
     return (
         exact.join(knn, ["src_id", "neighbor_id"], "left")
         .groupBy("src_id")

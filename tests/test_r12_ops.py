@@ -169,6 +169,36 @@ def test_text_pii_scrub_mask_placement(spark, tmp_path):
     assert masked[7] == "plain text", masked[7]
 
 
+def test_knn_2level_shape_laws(spark, sf_oracle):
+    """The two-level-quantizer kNN build (probe/deployment variant):
+    same output contract as the declared key — ≤ KNN_K neighbors per
+    source with contiguous ranks starting at 1, no self-edges, every
+    src has a home cell (appears at all)."""
+    from distributed_graph_database_spark.pipeline.similarity import (
+        KNN_K,
+        _corpus_n,
+        _sim_knn_graph_2level,
+    )
+
+    n = _corpus_n(spark, sf_oracle)
+    rows = _sim_knn_graph_2level(
+        spark, sf_oracle, n_cells=max(16, n // 50)
+    ).collect()
+    assert rows
+    by_src: dict[int, list] = {}
+    for r in rows:
+        assert r.src_id != r.neighbor_id
+        by_src.setdefault(r.src_id, []).append(r)
+    for src, rs in by_src.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)), (src, ranks)
+        assert len(rs) <= KNN_K
+        # cosine non-increasing along rank
+        rs_sorted = sorted(rs, key=lambda x: x.rank)
+        for a, b in zip(rs_sorted, rs_sorted[1:]):
+            assert a.cosine >= b.cosine, (src, a, b)
+
+
 def test_bench_setup_rejects_unknown_line_items(spark, sf_oracle):
     """ADVICE r11 #1: a typo'd --setup-items entry must raise, not be
     silently skipped (silent skip = the probe times the key WITH its
