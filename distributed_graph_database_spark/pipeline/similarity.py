@@ -54,6 +54,21 @@ def _norm(a) -> F.Column:
     )
 
 
+def _spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a corpus scan up to the session's parallelism when
+    the file layout under-splits it (r12 ingest-probe finding: the
+    sf10 embeddings table is ONE ~51 MB parquet split, so the
+    N·cells assign crossJoin — 8e8 dot products at cells ∝ N — ran
+    as ONE task; jstack showed a single executor thread 38 min deep
+    in ArrayAggregate.eval while 31 cores idled). One linear narrow
+    shuffle, and only when the scan is narrower than the cluster: at
+    100 TB the scan arrives in thousands of splits and this is a
+    no-op. The conditional reads the planned partition count, not
+    data."""
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     # float -> double once, up front: all downstream math in float64
@@ -331,7 +346,7 @@ def _dedup_embed(
     # |candidates| × 2d doubles and was measured 10x slower at sf0.1.
     if n_cells is None:
         n_cells = scaled_cells(_corpus_n(spark, sf_dir), DEDUP_CELLS)
-    emb = _unit(_embeddings(spark, sf_dir), "v")
+    emb = _spread_scan(spark, _unit(_embeddings(spark, sf_dir), "v"))
     cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
     blocked = (
         _assign(emb, cells, "v", "cells", DEDUP_PROBES, unit=True)
@@ -339,6 +354,39 @@ def _dedup_embed(
         .localCheckpoint(eager=True)  # tiny (2N rows); eager so the
         # self-join's two branches both read the materialized copy (a
         # lazy checkpoint is computed per-branch within the first job)
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _dot(F.col("a.nv"), F.col("b.nv")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMBED_COSINE_T)
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _dedup_embed_2level(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> DataFrame:
+    """dedup_embed's pair build on the two-level quantizer
+    (_assign_2level) — the probe/deployment variant for cells ∝ N,
+    mirroring _sim_knn_graph_2level: blocking via DEDUP_PROBES fine
+    cells reached through COARSE_PROBES coarse groups, then the same
+    per-cell verify join. See SCALE_PROBE_SF10_INGEST.json."""
+    emb = _spread_scan(spark, _unit(_embeddings(spark, sf_dir), "v"))
+    cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
+    blocked = (
+        _assign_2level(spark, emb, cells, DEDUP_PROBES)
+        .select("vec_id", F.col("v").alias("nv"), "cell_id")
+        .localCheckpoint(eager=True)
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
@@ -848,10 +896,20 @@ def _sim_knn_graph(
     (declared-key) path derives the count from one cached COUNT
     action and the oracle interpolates the SAME per-corpus constant
     (GREATEST(base, CEIL(SQRT(COUNT(*))))), so the key stays
-    exact-oracle at every sf; n_cells overrides for scale probing."""
+    exact-oracle at every sf; n_cells overrides for scale probing.
+
+    Second decade, measured (r12, SCALE_PROBE_SF10_INGEST.json):
+    with the narrow assign window + _spread_scan the √N build sits AT
+    its N^1.5 design model — sf1→sf10 exponent 1.53, absolute 1351 →
+    462 s vs the r11 shape (the r11 probe's 1.68 decomposed into the
+    wide sort payload and the single-parquet-split assign). The
+    deployment knob for true re-linearization is cells ∝ N behind a
+    TWO-LEVEL quantizer (_assign_2level): 56.8 s at sf10, exponent
+    0.20, recall@5 = 1.0 on both decks — the flat assign at cells ∝ N
+    is the named residual (N²/occupancy dots; measured exp 1.76)."""
     if n_cells is None:
         n_cells = scaled_cells(_corpus_n(spark, sf_dir), IVF_CELLS)
-    emb = _unit(_embeddings(spark, sf_dir), "v")
+    emb = _spread_scan(spark, _unit(_embeddings(spark, sf_dir), "v"))
     cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cell_id")
@@ -982,32 +1040,30 @@ def _knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 COARSE_PROBES = 2  # coarse groups each vector/cell routes into (2-level)
 
 
-def _sim_knn_graph_2level(
-    spark: SparkSession, sf_dir: str, n_cells: int
+def _assign_2level(
+    spark: SparkSession, emb: DataFrame, cells: DataFrame, n: int
 ) -> DataFrame:
-    """kNN graph with a TWO-LEVEL (hierarchical) quantizer — the
-    deployment shape once cells scale ∝ N: the flat assign's N·cells
-    dot products become N·(√cells coarse + COARSE_PROBES·cells/√cells
-    fine) ≈ 3N√cells, the IVF-tree routing every large ANN system
-    uses once the centroid table outgrows a broadcast scan.
+    """TWO-LEVEL (hierarchical) nearest-n-cell assignment over unit
+    vectors → (vec_id, v, cell_id, rn) — the deployment shape once
+    cells scale ∝ N: the flat assign's N·cells dot products become
+    N·(√cells coarse + COARSE_PROBES·cells/√cells fine) ≈ 3N√cells,
+    the IVF-tree routing every large ANN system uses once the
+    centroid table outgrows a flat scan.
 
-    Level 1: the first ⌈√n_cells⌉ fine cells double as coarse
-    anchors; every fine cell routes to its nearest anchor (cells ×
-    √cells — tiny). Level 2: each vector routes into its
-    COARSE_PROBES nearest anchors, then ranks only the fine cells
-    living in those groups. Everything downstream (home/probe split,
-    per-cell candidate join, top-K rank) is _sim_knn_graph verbatim.
-
-    Deterministic (same pinned centroids, same tie-breaks) but NOT
-    assignment-identical to the flat quantizer — boundary vectors can
-    route differently — so this is a PROBE/deployment variant, not
-    the declared key; the ingest probe reports its recall@K next to
-    its build time (SCALE_PROBE_SF10_INGEST.json)."""
+    Level 1: the first ⌈√cells⌉ fine cells double as coarse anchors;
+    every fine cell routes to its nearest anchor (cells × √cells —
+    tiny). Level 2: each vector routes into its COARSE_PROBES nearest
+    anchors, then ranks only the fine cells living in those groups.
+    Deterministic (pinned centroids, sim-desc/cell-id tie-breaks) but
+    NOT assignment-identical to the flat quantizer — boundary vectors
+    can route differently — so consumers are PROBE/deployment
+    variants, not the declared keys; the ingest probe reports each
+    variant's recall next to its build time
+    (SCALE_PROBE_SF10_INGEST.json)."""
     import math as _math
 
+    n_cells = cells.count()
     n_coarse = max(4, _math.isqrt(n_cells))
-    emb = _unit(_embeddings(spark, sf_dir), "v")
-    cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
     coarse = (
         cells.orderBy("cell_id")
         .limit(n_coarse)
@@ -1044,7 +1100,7 @@ def _sim_knn_graph_2level(
     w_vec_cell = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("cell_id")
     )
-    assigned = (
+    return (
         vec_grp.join(emb, "vec_id")
         .join(F.broadcast(cell_grp), "grp")
         .select(
@@ -1052,12 +1108,26 @@ def _sim_knn_graph_2level(
             _dot(F.col("v"), F.col("cv")).alias("sim"),
         )
         .withColumn("rn", F.row_number().over(w_vec_cell))
-        .filter(F.col("rn") <= KNN_PROBES)
+        .filter(F.col("rn") <= n)
         .select("vec_id", "cell_id", "rn")
         .join(emb, "vec_id")
         .select("vec_id", "v", "cell_id", "rn")
         .localCheckpoint(eager=True)
     )
+
+
+def _sim_knn_graph_2level(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> DataFrame:
+    """kNN graph built on the two-level quantizer (_assign_2level);
+    everything downstream of assignment (home/probe split, per-cell
+    candidate join, top-K rank) is _sim_knn_graph verbatim. Measured
+    in SCALE_PROBE_SF10_INGEST.json: with cells = N/50 this build is
+    56.8 s at sf10 vs 462 s for the declared √N flat build — 8×
+    cheaper ABSOLUTE — at recall@5 = 1.0 on both probe decks."""
+    emb = _spread_scan(spark, _unit(_embeddings(spark, sf_dir), "v"))
+    cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
+    assigned = _assign_2level(spark, emb, cells, KNN_PROBES)
     home = assigned.filter(F.col("rn") == 1).select("vec_id", "v", "cell_id")
     probes = assigned.select(
         F.col("vec_id").alias("src_id"),
