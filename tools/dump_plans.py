@@ -367,6 +367,20 @@ HEADLINERS: dict[str, str] = {
         "membership is a Filter, never a join against a quality "
         "table and never a rand()."
     ),
+    "text_line_dedup": (
+        "Line-level exact dedup (r12): explode lines with positions, "
+        "ONE md5-hash groupBy computing (n_occ, canonical min-struct) "
+        "with map-side partials, rejoin on the SAME hash key (the "
+        "exchange is reusable), per-doc rollup — survivor identity is "
+        "deterministic so the whole C4 normalization is exact; no "
+        "corpus-sized window on the Spark side."
+    ),
+    "text_pii_scrub": (
+        "PII redaction gate (r12): counts and masks are per-row "
+        "regexp expressions inside one WholeStageCodegen span over a "
+        "single documents scan — ZERO shuffles; the masked-text md5 "
+        "pins the whole byte stream into the hash check."
+    ),
 }
 
 
