@@ -139,6 +139,10 @@ def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
         ("sim_topk_result", lambda: pl_sim.sim_topk(spark, sf_dir)),
         ("sim_topk_ivf_result", lambda: pl_sim.sim_topk_ivf(spark, sf_dir)),
         ("sim_knn_graph_result", lambda: pl_sim.sim_knn_graph(spark, sf_dir)),
+        # The tree-quantizer (cells ∝ N, two-level routed) kNN graph —
+        # the declared deployment-knob build (r12); serves
+        # sim_knn_graph_tree and sim_knn_tree_recall.
+        ("sim_knn_tree_result", lambda: pl_sim.sim_knn_graph_tree(spark, sf_dir)),
         ("pq_corpus_encode", lambda: pl_sim._pq_codes_long(spark, sf_dir)),
         # The ADC/top-k result both PQ keys consume: without this line
         # item, whichever of sim_pq_topk/sim_pq_recall the LRU rotation
@@ -234,6 +238,7 @@ SETUP_SERVES = {
     "sim_topk_result": ["sim_topk"],
     "sim_topk_ivf_result": ["sim_topk_ivf"],
     "sim_knn_graph_result": ["sim_knn_graph"],
+    "sim_knn_tree_result": ["sim_knn_graph_tree"],
     "pq_adc_topk": ["sim_pq_topk"],
     "ivfpq_adc_topk": ["sim_ivfpq_topk"],
     "mm_phash_features": ["mm_phash"],

@@ -1154,6 +1154,182 @@ def _sim_knn_graph_2level(
     )
 
 
+TREE_OCC = 50  # cells ∝ N: target per-cell occupancy of the tree build
+
+
+def sim_knn_graph_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry point (see cache.shared): reused by
+    sim_knn_tree_recall within a session."""
+    return shared(
+        spark, sf_dir, "sim_knn_graph_tree",
+        lambda: _sim_knn_graph_tree(spark, sf_dir),
+    )
+
+
+def _sim_knn_graph_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN graph under the DEPLOYMENT-scale quantizer, declared as
+    a first-class key (r12): cells ∝ N (max(IVF_CELLS, N/TREE_OCC))
+    routed through the two-level tree (_assign_2level) — the build
+    whose sf1→sf10 exponent measured 0.20 at 56.8 s (8× cheaper than
+    the √N flat build) with recall@5 = 1.0 on both probe decks
+    (SCALE_PROBE_SF10_INGEST.json). sim_knn_graph (√N flat) remains
+    the within-bench-regime default; this key IS the documented
+    occupancy knob, hash-checked: every routing rank, tie-break, and
+    the final top-K are deterministic, so DuckDB replays the whole
+    tree (coarse anchors → cell routing → vector routing → fine rank)
+    and the result is exact-oracle at every sf. The quality twin is
+    sim_knn_tree_recall — the knob's recall is itself a signed
+    deliverable, not a probe note."""
+    n = _corpus_n(spark, sf_dir)
+    return _sim_knn_graph_2level(
+        spark, sf_dir, max(IVF_CELLS, n // TREE_OCC)
+    )
+
+
+ORACLE_SIM_KNN_GRAPH_TREE = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM e0
+),
+cells AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  ORDER BY vec_id
+  LIMIT (SELECT GREATEST({IVF_CELLS}, COUNT(*) // {TREE_OCC})
+         FROM embeddings)
+  OFFSET {N_QUERIES}
+),
+ng AS (
+  -- n_coarse from the ACTUAL cell count (matches the Spark side's
+  -- cells.count()); FLOOR(SQRT(double)) agrees with integer isqrt
+  -- for every count below 2^26 (see scaled_cells)
+  SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                          AS BIGINT)) AS g
+  FROM cells
+),
+coarse AS (
+  SELECT cell_id AS grp, cv AS gv FROM cells
+  ORDER BY cell_id LIMIT (SELECT g FROM ng)
+),
+cell_grp AS (
+  SELECT grp, cell_id, cv FROM (
+    SELECT c.cell_id, c.cv, g.grp,
+           ROW_NUMBER() OVER (PARTITION BY c.cell_id
+             ORDER BY list_dot_product(c.cv, g.gv) DESC, g.grp) AS rn
+    FROM cells c CROSS JOIN coarse g) WHERE rn = 1
+),
+vec_grp AS (
+  SELECT vec_id, grp FROM (
+    SELECT e.vec_id, g.grp,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, g.gv) DESC, g.grp) AS rn
+    FROM e CROSS JOIN coarse g) WHERE rn <= {COARSE_PROBES}
+),
+assigned AS (
+  SELECT vec_id, v, cell_id, rn FROM (
+    SELECT vg.vec_id, e.v, cg.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vg.vec_id
+             ORDER BY list_dot_product(e.v, cg.cv) DESC, cg.cell_id) AS rn
+    FROM vec_grp vg
+    JOIN e ON e.vec_id = vg.vec_id
+    JOIN cell_grp cg ON cg.grp = vg.grp) WHERE rn <= {KNN_PROBES}
+),
+home AS (SELECT vec_id, v, cell_id FROM assigned WHERE rn = 1),
+scored AS (
+  SELECT p.vec_id AS src_id, h.vec_id AS neighbor_id,
+         list_dot_product(p.v, h.v) AS cosine
+  FROM assigned p JOIN home h ON p.cell_id = h.cell_id
+  WHERE h.vec_id <> p.vec_id
+),
+ranked AS (
+  SELECT src_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank,
+         cosine
+  FROM scored
+)
+SELECT src_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def sim_knn_tree_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@K of the tree-quantizer kNN graph against the
+    SAME exact side sim_knn_recall uses → (src_id, n_hits,
+    recall_at_k). The occupancy knob's quality cost is a hash-checked
+    deliverable (the sim_ivf_recall discipline): at the probe decks
+    it reads 1.0/1.0 (sf1/sf10); in the tiny-corpus regime the
+    16-cell floor mis-routes more (the declared value at each sf is
+    whatever both engines exactly agree it is)."""
+    exact = _knn_exact_topk(spark, sf_dir)
+    sample = _knn_sample(spark, sf_dir)
+    knn = sim_knn_graph_tree(spark, sf_dir).join(
+        F.broadcast(sample.select(F.col("vec_id").alias("src_id"))),
+        "src_id",
+        "left_semi",
+    ).select("src_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(knn, ["src_id", "neighbor_id"], "left")
+        .groupBy("src_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("recall_at_k"),
+        )
+        .select("src_id", "n_hits", "recall_at_k")
+    )
+
+
+ORACLE_SIM_KNN_TREE_RECALL = f"""
+WITH samp AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KNN_SAMPLE_CAP}
+),
+knn_all AS ({ORACLE_SIM_KNN_GRAPH_TREE}),
+knn AS (
+  SELECT src_id, neighbor_id FROM knn_all
+  WHERE src_id IN (SELECT vec_id FROM samp)
+),
+e0x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM e0x
+),
+q AS (
+  SELECT vec_id AS src_id, v AS qv FROM ex
+  WHERE vec_id IN (SELECT vec_id FROM samp)
+),
+qscored AS (
+  SELECT q.src_id, ex.vec_id AS neighbor_id,
+         list_dot_product(q.qv, ex.v) AS cosine
+  FROM q JOIN ex ON ex.vec_id <> q.src_id
+),
+exact AS (
+  SELECT src_id, neighbor_id FROM (
+    SELECT src_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY src_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM qscored) WHERE rank <= {KNN_K}
+)
+SELECT exact.src_id,
+       CAST(SUM(CASE WHEN knn.src_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN knn.src_id IS NULL THEN 0 ELSE 1 END)
+             / COUNT(*), 6) AS recall_at_k
+FROM exact
+LEFT JOIN knn ON knn.src_id = exact.src_id
+             AND knn.neighbor_id = exact.neighbor_id
+GROUP BY exact.src_id
+"""
+
+
 def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@K of the kNN graph against per-vector EXACT
     top-k on a deterministic ABSOLUTE-size sample (the KNN_SAMPLE_CAP
@@ -3202,7 +3378,9 @@ QUERIES = {
     "sim_ivf_recall": sim_ivf_recall,
     "sim_range_search": sim_range_search,
     "sim_knn_graph": sim_knn_graph,
+    "sim_knn_graph_tree": sim_knn_graph_tree,
     "sim_knn_recall": sim_knn_recall,
+    "sim_knn_tree_recall": sim_knn_tree_recall,
     "sim_pq_code": sim_pq_code,
     "sim_pq_topk": sim_pq_topk,
     "sim_pq_recall": sim_pq_recall,
@@ -3236,6 +3414,8 @@ ORACLE_SQL = {
     "sim_range_search": ORACLE_SIM_RANGE_SEARCH,
     "sim_knn_graph": ORACLE_SIM_KNN_GRAPH,
     "sim_knn_recall": ORACLE_SIM_KNN_RECALL,
+    "sim_knn_graph_tree": ORACLE_SIM_KNN_GRAPH_TREE,
+    "sim_knn_tree_recall": ORACLE_SIM_KNN_TREE_RECALL,
     "sim_pq_code": ORACLE_SIM_PQ_CODE,
     "sim_pq_topk": ORACLE_SIM_PQ_TOPK,
     "sim_pq_recall": ORACLE_SIM_PQ_RECALL,

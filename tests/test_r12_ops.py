@@ -199,6 +199,31 @@ def test_knn_2level_shape_laws(spark, sf_oracle):
             assert a.cosine >= b.cosine, (src, a, b)
 
 
+def test_sim_knn_graph_tree_declared_key_laws(spark, sf_oracle):
+    """The declared tree key: same output contract as sim_knn_graph
+    (≤ K ranked neighbors, no self-edges), and its recall audit rows
+    are in [0, 1] with n_hits consistent."""
+    from distributed_graph_database_spark.pipeline.similarity import (
+        KNN_K,
+        KNN_SAMPLE_CAP,
+        sim_knn_graph_tree,
+        sim_knn_tree_recall,
+    )
+
+    rows = sim_knn_graph_tree(spark, sf_oracle).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert r.src_id != r.neighbor_id
+        per.setdefault(r.src_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    rec = sim_knn_tree_recall(spark, sf_oracle).collect()
+    assert 0 < len(rec) <= KNN_SAMPLE_CAP
+    for r in rec:
+        assert 0 <= r.n_hits <= KNN_K
+        assert abs(r.recall_at_k - r.n_hits / KNN_K) < 1e-6
+
+
 def test_bench_setup_rejects_unknown_line_items(spark, sf_oracle):
     """ADVICE r11 #1: a typo'd --setup-items entry must raise, not be
     silently skipped (silent skip = the probe times the key WITH its
