@@ -136,6 +136,9 @@ def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
         # The IVF-blocked embedding pair table dedup_embed AND
         # corpus_semdedup consume (r11 sharing, the dedup_ngram rule).
         ("dedup_embed_pairs", lambda: pl_sim.dedup_embed(spark, sf_dir)),
+        # The tree-quantizer (cells ∝ N) pair build — the declared
+        # deployment-knob twin of dedup_embed (r12).
+        ("dedup_embed_tree_pairs", lambda: pl_sim.dedup_embed_tree(spark, sf_dir)),
         ("sim_topk_result", lambda: pl_sim.sim_topk(spark, sf_dir)),
         ("sim_topk_ivf_result", lambda: pl_sim.sim_topk_ivf(spark, sf_dir)),
         ("sim_knn_graph_result", lambda: pl_sim.sim_knn_graph(spark, sf_dir)),
@@ -235,6 +238,7 @@ SETUP_SERVES = {
     "dedup_near_truth": ["dedup_near"],
     "dedup_ngram_pairs": ["dedup_ngram"],
     "dedup_embed_pairs": ["dedup_embed"],
+    "dedup_embed_tree_pairs": ["dedup_embed_tree"],
     "sim_topk_result": ["sim_topk"],
     "sim_topk_ivf_result": ["sim_topk_ivf"],
     "sim_knn_graph_result": ["sim_knn_graph"],

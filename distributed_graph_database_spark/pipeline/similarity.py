@@ -38,6 +38,8 @@ IVF_NPROBE = 4
 DEDUP_PROBES = 2    # dedup_embed: cells each vector is blocked into
 DEDUP_CELLS = 64    # dedup_embed: finer grid than IVF_CELLS (≈4x fewer pairs)
 EMBED_COSINE_T = 0.4  # dedup_embed near-dup threshold
+TREE_OCC = 50       # tree keys: cells ∝ N target per-cell occupancy
+COARSE_PROBES = 2   # tree keys: coarse groups each vector/cell routes into
 
 
 def _dot(a, b) -> F.Column:
@@ -495,6 +497,92 @@ scored AS (
   FROM e CROSS JOIN cells c
 ),
 blocked AS (SELECT vec_id, v, cell_id FROM scored WHERE rn <= {DEDUP_PROBES}),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         FIRST(a.v) AS va, FIRST(b.v) AS vb
+  FROM blocked a JOIN blocked b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(list_dot_product(va, vb), 6) AS cosine
+FROM cand
+WHERE list_dot_product(va, vb) >= {EMBED_COSINE_T}
+"""
+
+
+def dedup_embed_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached entry point (see cache.shared)."""
+    return shared(
+        spark, sf_dir, "dedup_embed_tree",
+        lambda: _dedup_embed_tree(spark, sf_dir),
+    )
+
+
+def _dedup_embed_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embed under the DEPLOYMENT-scale quantizer, declared
+    (r12): cells ∝ N (max(DEDUP_CELLS, N/TREE_OCC)) behind the
+    two-level routing — the dedup twin of sim_knn_graph_tree.
+    Measured sf1→sf10: build exponent 0.70 at 59.3 s (vs 240 s for
+    the declared √N flat build), with the blocking-recall trade
+    quantified in SCALE_PROBE_SF10_INGEST.json `dedup_pair_quality`
+    (at sf10 the tree blocking's pairs are 99.8% a subset of the √N
+    blocking's; precision stays exact — every emitted pair is
+    cosine-verified inside the join). Fully deterministic ⇒ exact
+    DuckDB oracle replaying the routing tree."""
+    n = _corpus_n(spark, sf_dir)
+    return _dedup_embed_2level(
+        spark, sf_dir, n_cells=max(DEDUP_CELLS, n // TREE_OCC)
+    )
+
+
+ORACLE_DEDUP_EMBED_TREE = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+e AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+  FROM e0
+),
+cells AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  ORDER BY vec_id
+  LIMIT (SELECT GREATEST({DEDUP_CELLS}, COUNT(*) // {TREE_OCC})
+         FROM embeddings)
+  OFFSET {N_QUERIES}
+),
+ng AS (
+  SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                          AS BIGINT)) AS g
+  FROM cells
+),
+coarse AS (
+  SELECT cell_id AS grp, cv AS gv FROM cells
+  ORDER BY cell_id LIMIT (SELECT g FROM ng)
+),
+cell_grp AS (
+  SELECT grp, cell_id, cv FROM (
+    SELECT c.cell_id, c.cv, g.grp,
+           ROW_NUMBER() OVER (PARTITION BY c.cell_id
+             ORDER BY list_dot_product(c.cv, g.gv) DESC, g.grp) AS rn
+    FROM cells c CROSS JOIN coarse g) WHERE rn = 1
+),
+vec_grp AS (
+  SELECT vec_id, grp FROM (
+    SELECT e.vec_id, g.grp,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, g.gv) DESC, g.grp) AS rn
+    FROM e CROSS JOIN coarse g) WHERE rn <= {COARSE_PROBES}
+),
+blocked AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT vg.vec_id, e.v, cg.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vg.vec_id
+             ORDER BY list_dot_product(e.v, cg.cv) DESC, cg.cell_id) AS rn
+    FROM vec_grp vg
+    JOIN e ON e.vec_id = vg.vec_id
+    JOIN cell_grp cg ON cg.grp = vg.grp) WHERE rn <= {DEDUP_PROBES}
+),
 cand AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          FIRST(a.v) AS va, FIRST(b.v) AS vb
@@ -1037,9 +1125,6 @@ def _knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COARSE_PROBES = 2  # coarse groups each vector/cell routes into (2-level)
-
-
 def _assign_2level(
     spark: SparkSession, emb: DataFrame, cells: DataFrame, n: int
 ) -> DataFrame:
@@ -1152,9 +1237,6 @@ def _sim_knn_graph_2level(
             F.round("cosine", 6).alias("cosine"),
         )
     )
-
-
-TREE_OCC = 50  # cells ∝ N: target per-cell occupancy of the tree build
 
 
 def sim_knn_graph_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3388,6 +3470,7 @@ QUERIES = {
     "sim_ivfpq_recall": sim_ivfpq_recall,
     "sim_recall_curve": sim_recall_curve,
     "dedup_embed": dedup_embed,
+    "dedup_embed_tree": dedup_embed_tree,
     "corpus_semdedup": corpus_semdedup,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_gmm_step": ml_gmm_step,
@@ -3423,6 +3506,7 @@ ORACLE_SQL = {
     "sim_ivfpq_recall": ORACLE_SIM_IVFPQ_RECALL,
     "sim_recall_curve": _oracle_recall_curve().format(exact=ORACLE_SIM_TOPK),
     "dedup_embed": ORACLE_DEDUP_EMBED,
+    "dedup_embed_tree": ORACLE_DEDUP_EMBED_TREE,
     "corpus_semdedup": ORACLE_CORPUS_SEMDEDUP,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
     "ml_gmm_step": ORACLE_ML_GMM_STEP,

@@ -224,6 +224,38 @@ def test_sim_knn_graph_tree_declared_key_laws(spark, sf_oracle):
         assert abs(r.recall_at_k - r.n_hits / KNN_K) < 1e-6
 
 
+def test_dedup_embed_tree_laws(spark, sf_oracle):
+    """The declared dedup tree key: every emitted pair is a genuine
+    near-dup (cosine >= threshold, verified against raw vectors),
+    ordered vec_a < vec_b, no duplicates; and the pair set is a
+    near-subset of the flat blocking's (different routing can only
+    co-block fewer or different candidates — every COMMON pair must
+    carry the identical cosine)."""
+    from distributed_graph_database_spark.pipeline.similarity import (
+        EMBED_COSINE_T,
+        dedup_embed,
+        dedup_embed_tree,
+    )
+
+    tree = dedup_embed_tree(spark, sf_oracle)
+    rows = tree.collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert r.cosine >= EMBED_COSINE_T - 1e-9, r
+        assert (r.vec_a, r.vec_b) not in seen
+        seen.add((r.vec_a, r.vec_b))
+    flat = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup_embed(spark, sf_oracle).collect()
+    }
+    common = [r for r in rows if (r.vec_a, r.vec_b) in flat]
+    assert common, "tree and flat blockings share no pairs?"
+    for r in common:
+        assert abs(flat[(r.vec_a, r.vec_b)] - r.cosine) < 1e-9
+
+
 def test_bench_setup_rejects_unknown_line_items(spark, sf_oracle):
     """ADVICE r11 #1: a typo'd --setup-items entry must raise, not be
     silently skipped (silent skip = the probe times the key WITH its
