@@ -133,18 +133,23 @@ def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
         # ingest-time materialized table like the pair set above.
         ("dedup_near_truth", lambda: pl_dedup._near_truth_cached(spark, sf_dir)),
         ("dedup_ngram_pairs", lambda: pl_dedup.dedup_ngram(spark, sf_dir)),
-        # The IVF-blocked embedding pair table dedup_embed AND
-        # corpus_semdedup consume (r11 sharing, the dedup_ngram rule).
+        # The tree-quantizer (cells ∝ N, two-level routed — r13 re-pin,
+        # VERDICT r12 #1) blocked pair table dedup_embed, its
+        # dedup_embed_tree alias, AND corpus_semdedup consume.
         ("dedup_embed_pairs", lambda: pl_sim.dedup_embed(spark, sf_dir)),
-        # The tree-quantizer (cells ∝ N) pair build — the declared
-        # deployment-knob twin of dedup_embed (r12).
+        # Alias read since r13 (dedup_embed_tree serves the same
+        # shared artifact as the primary): ~0 s, kept as a line item
+        # so round-over-round bench JSON stays comparable.
         ("dedup_embed_tree_pairs", lambda: pl_sim.dedup_embed_tree(spark, sf_dir)),
         ("sim_topk_result", lambda: pl_sim.sim_topk(spark, sf_dir)),
         ("sim_topk_ivf_result", lambda: pl_sim.sim_topk_ivf(spark, sf_dir)),
+        # The tree-quantizer (cells ∝ N, two-level routed — r13 re-pin,
+        # VERDICT r12 #1) kNN graph; serves sim_knn_graph, its
+        # sim_knn_graph_tree alias, and both recall keys.
         ("sim_knn_graph_result", lambda: pl_sim.sim_knn_graph(spark, sf_dir)),
-        # The tree-quantizer (cells ∝ N, two-level routed) kNN graph —
-        # the declared deployment-knob build (r12); serves
-        # sim_knn_graph_tree and sim_knn_tree_recall.
+        # Alias read since r13 (sim_knn_graph_tree serves the same
+        # shared artifact as the primary): ~0 s, kept for bench-JSON
+        # continuity.
         ("sim_knn_tree_result", lambda: pl_sim.sim_knn_graph_tree(spark, sf_dir)),
         ("pq_corpus_encode", lambda: pl_sim._pq_codes_long(spark, sf_dir)),
         # The ADC/top-k result both PQ keys consume: without this line
@@ -237,11 +242,11 @@ SETUP_SERVES = {
     "dedup_near_pairs": ["dedup_near"],
     "dedup_near_truth": ["dedup_near"],
     "dedup_ngram_pairs": ["dedup_ngram"],
-    "dedup_embed_pairs": ["dedup_embed"],
+    "dedup_embed_pairs": ["dedup_embed", "dedup_embed_tree"],
     "dedup_embed_tree_pairs": ["dedup_embed_tree"],
     "sim_topk_result": ["sim_topk"],
     "sim_topk_ivf_result": ["sim_topk_ivf"],
-    "sim_knn_graph_result": ["sim_knn_graph"],
+    "sim_knn_graph_result": ["sim_knn_graph", "sim_knn_graph_tree"],
     "sim_knn_tree_result": ["sim_knn_graph_tree"],
     "pq_adc_topk": ["sim_pq_topk"],
     "ivfpq_adc_topk": ["sim_ivfpq_topk"],

@@ -65,8 +65,13 @@ def _spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     in ArrayAggregate.eval while 31 cores idled). One linear narrow
     shuffle, and only when the scan is narrower than the cluster: at
     100 TB the scan arrives in thousands of splits and this is a
-    no-op. The conditional reads the planned partition count, not
-    data."""
+    no-op. Caveat (ADVICE r12): the gate reads the pre-execution RDD
+    partition count, which under AQE can differ from the
+    post-coalesce runtime partitioning — so it is a heuristic on the
+    FILE-SPLIT layout (exact for a parquet scan, which is the only
+    input this wraps), not a guarantee about the executed plan; a
+    lower spark.sql.files.maxPartitionBytes on the embeddings scan
+    would achieve the same spread declaratively."""
     p = spark.sparkContext.defaultParallelism
     return df.repartition(p) if df.rdd.getNumPartitions() < p else df
 
@@ -183,29 +188,21 @@ def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
 
 
 def scaled_cells(n: int, base: int) -> int:
-    """⌈√n⌉ floored at `base` — the coarse-quantizer cell count that
-    keeps blocked/ANN candidate work ~linear (work ≈ N²·probes/cells;
-    fixed cells measured exp 1.51 at the sf0.1→sf1 10× step, √N cells
-    measured 30.6 s vs 102.6 s at sf1 — SCALE_PROBE.json, VERDICT r7
-    next #3). Integer isqrt so the value is exact; the DuckDB oracles
-    compute the same constant as GREATEST(base, CEIL(SQRT(COUNT(*))))
-    — the double form agrees with integer isqrt for every n below
-    2^52 (past that, n no longer round-trips through double and
-    CEIL(SQRT(k²+1)) can land on k — cross-engine-swept to 2·10^5
-    plus perfect-square edges to 10^10 in tests/test_r8_ops.py; a
-    corpus beyond 4.5e15 rows would need the oracle twin restated in
-    HUGEINT, not a different quantizer)."""
+    """⌈√n⌉ floored at `base` — the √N coarse-quantizer cell count the
+    flat-assign builds used while declared (r8–r12; candidate work ≈
+    N²·probes/cells, so fixed cells measured exp 1.51 at the
+    sf0.1→sf1 10× step and √N restored ~linear candidate cost —
+    SCALE_PROBE.json, VERDICT r7 next #3). PROBE-ONLY since r13: the
+    declared ANN/dedup keys pin cells ∝ N behind _assign_2level
+    (VERDICT r12 next #1); this constant remains the flat probe
+    variants' knob. Integer isqrt so the value is exact; the double
+    GREATEST(base, CEIL(SQRT(n))) form the r8–r12 oracles used agrees
+    with integer isqrt for every n below 2^52 (cross-engine-swept to
+    2·10^5 plus perfect-square edges to 10^10 in
+    tests/test_r8_ops.py)."""
     import math
 
     return max(base, math.isqrt(max(n - 1, 0)) + 1 if n > 0 else 1)
-
-
-# DuckDB twin of scaled_cells over the embeddings corpus.
-def _sql_ncells(base: int) -> str:
-    return (
-        f"(SELECT GREATEST({base}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) "
-        "FROM embeddings)"
-    )
 
 
 def _unit(df: DataFrame, col: str) -> DataFrame:
@@ -306,37 +303,62 @@ def _sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached entry point (see cache.shared): the verified pair set is
-    reused by corpus_semdedup within a session (r11) — at 100 TB the
-    pair table is an ingest-time materialized artifact both consumers
-    read (the dedup_ngram/dedup_clusters sharing rule)."""
+    reused by corpus_semdedup and the dedup_embed_tree alias within a
+    session (r11) — at 100 TB the pair table is an ingest-time
+    materialized artifact every consumer reads (the
+    dedup_ngram/dedup_clusters sharing rule)."""
     return shared(
         spark, sf_dir, "dedup_embed_pairs", lambda: _dedup_embed(spark, sf_dir)
     )
 
 
-def _dedup_embed(
-    spark: SparkSession, sf_dir: str, n_cells: int | None = None
-) -> DataFrame:
+def _dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the brief's embedding-space
     dedup method): candidates are pairs sharing any of their
-    DEDUP_PROBES nearest IVF cells; candidates are exact-verified at
-    cosine ≥ EMBED_COSINE_T → (vec_a, vec_b, cosine).
+    DEDUP_PROBES nearest quantizer cells; candidates are exact-verified
+    at cosine ≥ EMBED_COSINE_T → (vec_a, vec_b, cosine).
 
     The cell blocking makes the quadratic term per-cell (Σ|cell|²),
     never corpus² — same trade as dedup_ngram's source blocking but on
     a learned/geometric key. Multi-probe (2 cells per vector) recovers
     most boundary pairs a 1-cell blocking would split. Everything —
     centroid set, assignment tiebreaks, threshold — is deterministic,
-    so unlike hash-LSH this blocked dedup has an EXACT DuckDB oracle.
+    so unlike hash-LSH this blocked dedup has an EXACT DuckDB oracle
+    replaying the routing tree.
 
-    100 TB notes: cell count scales as max(DEDUP_CELLS, ⌈√N⌉) (r8 —
-    derived per corpus from one cached COUNT, floored at 64, a finer
-    grid than the IVF search path because blocking only needs
-    co-membership, not ranked probes; the oracle interpolates the
-    same constant so the key stays exact at every sf);
-    the corpus is hash-partitioned by cell id so each pair bucket is
-    one partition's work, and the exploded probe table is 2× corpus —
-    shuffle-bounded, no broadcast of anything corpus-sized.
+    r13 (VERDICT r12 next #1): the DECLARED build is re-pinned to the
+    deployment-scale quantizer — cells ∝ N (max(DEDUP_CELLS,
+    N // TREE_OCC), per-cell occupancy ≈ TREE_OCC) routed by the
+    two-level tree (_assign_2level). The r8 √N flat assign, whose
+    pair build measured exp 1.40 sf1→sf10 (240 s at sf10 — the
+    N·cells assign dots ARE the superlinear term), is retained
+    probe-only as _dedup_embed_flat; the tree build measured exp
+    0.70 at 59.3 s sf10 with the blocking-recall trade quantified in
+    SCALE_PROBE_SF10_INGEST.json `dedup_pair_quality` (tree pairs
+    99.8% a subset of flat's at sf10; precision stays exact — every
+    emitted pair is cosine-verified inside the join).
+
+    100 TB notes: per-cell occupancy is CONSTANT (≈TREE_OCC), so the
+    per-cell verify join is linear in N; the corpus is
+    hash-partitioned by cell id so each pair bucket is one
+    partition's work; nothing corpus-proportional is broadcast (the
+    only broadcast inside _assign_2level is the √cells coarse table).
+    """
+    n = _corpus_n(spark, sf_dir)
+    return _dedup_embed_2level(
+        spark, sf_dir, n_cells=max(DEDUP_CELLS, n // TREE_OCC)
+    )
+
+
+def _dedup_embed_flat(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
+    """PROBE-ONLY since r13: the r8 √N flat-assign pair build the
+    declared key used through r12 (kept so the ingest probes can keep
+    A/B-ing regimes — tools/ingest_probe_r12.py). Superlinear at scale:
+    the flat assign is N·cells dot products, N^1.5 at cells = √N
+    (measured exp 1.40 sf1→sf10, SCALE_PROBE_SF10_INGEST.json), which
+    is why it was demoted from the declared key (VERDICT r12 #1).
     """
     # Normalize once per vector up front: the cell assignment and every
     # pairwise cosine become single dots (the HOF aggregate is the unit
@@ -379,14 +401,15 @@ def _dedup_embed_2level(
     spark: SparkSession, sf_dir: str, n_cells: int
 ) -> DataFrame:
     """dedup_embed's pair build on the two-level quantizer
-    (_assign_2level) — the probe/deployment variant for cells ∝ N,
-    mirroring _sim_knn_graph_2level: blocking via DEDUP_PROBES fine
+    (_assign_2level), parameterized by cell count (the declared key
+    pins cells ∝ N; probes override): blocking via DEDUP_PROBES fine
     cells reached through COARSE_PROBES coarse groups, then the same
-    per-cell verify join. See SCALE_PROBE_SF10_INGEST.json."""
+    per-cell verify join as the flat build. See
+    SCALE_PROBE_SF10_INGEST.json."""
     emb = _spread_scan(spark, _unit(_embeddings(spark, sf_dir), "v"))
     cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
     blocked = (
-        _assign_2level(spark, emb, cells, DEDUP_PROBES)
+        _assign_2level(spark, emb, cells, DEDUP_PROBES, n_cells)
         .select("vec_id", F.col("v").alias("nv"), "cell_id")
         .localCheckpoint(eager=True)
     )
@@ -474,68 +497,10 @@ def _semdedup_from_pairs(
 # is L2-normalized ONCE in a CTE, and every later cosine is a plain
 # dot — not dot/(|a||b|) over raw vectors, whose different rounding
 # path could flip cell-assignment ties or threshold-boundary pairs
-# between the engines on other data.
+# between the engines on other data. Since r13 this replays the
+# two-level routing tree (coarse anchors → cell routing → vector
+# routing → fine rank) — the declared build's quantizer.
 ORACLE_DEDUP_EMBED = f"""
-WITH e0 AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-e AS (
-  SELECT vec_id,
-         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-  FROM e0
-),
-cells AS (
-  SELECT vec_id AS cell_id, v AS cv FROM e
-  ORDER BY vec_id
-  LIMIT {_sql_ncells(DEDUP_CELLS)} OFFSET {N_QUERIES}
-),
-scored AS (
-  SELECT e.vec_id, e.v, c.cell_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell_id) AS rn
-  FROM e CROSS JOIN cells c
-),
-blocked AS (SELECT vec_id, v, cell_id FROM scored WHERE rn <= {DEDUP_PROBES}),
-cand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         FIRST(a.v) AS va, FIRST(b.v) AS vb
-  FROM blocked a JOIN blocked b
-    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-  GROUP BY a.vec_id, b.vec_id
-)
-SELECT vec_a, vec_b, ROUND(list_dot_product(va, vb), 6) AS cosine
-FROM cand
-WHERE list_dot_product(va, vb) >= {EMBED_COSINE_T}
-"""
-
-
-def dedup_embed_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached entry point (see cache.shared)."""
-    return shared(
-        spark, sf_dir, "dedup_embed_tree",
-        lambda: _dedup_embed_tree(spark, sf_dir),
-    )
-
-
-def _dedup_embed_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_embed under the DEPLOYMENT-scale quantizer, declared
-    (r12): cells ∝ N (max(DEDUP_CELLS, N/TREE_OCC)) behind the
-    two-level routing — the dedup twin of sim_knn_graph_tree.
-    Measured sf1→sf10: build exponent 0.70 at 59.3 s (vs 240 s for
-    the declared √N flat build), with the blocking-recall trade
-    quantified in SCALE_PROBE_SF10_INGEST.json `dedup_pair_quality`
-    (at sf10 the tree blocking's pairs are 99.8% a subset of the √N
-    blocking's; precision stays exact — every emitted pair is
-    cosine-verified inside the join). Fully deterministic ⇒ exact
-    DuckDB oracle replaying the routing tree."""
-    n = _corpus_n(spark, sf_dir)
-    return _dedup_embed_2level(
-        spark, sf_dir, n_cells=max(DEDUP_CELLS, n // TREE_OCC)
-    )
-
-
-ORACLE_DEDUP_EMBED_TREE = f"""
 WITH e0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -594,6 +559,25 @@ SELECT vec_a, vec_b, ROUND(list_dot_product(va, vb), 6) AS cosine
 FROM cand
 WHERE list_dot_product(va, vb) >= {EMBED_COSINE_T}
 """
+
+
+def dedup_embed_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALIAS of dedup_embed since r13. r12 staged the two-level
+    cells-∝-N build under this key while the primary still ran the √N
+    flat quantizer; r13 promoted the tree build to be the primary
+    (VERDICT r12 next #1), so the two keys are now the same artifact.
+    The key is retained for surface continuity (every prior round's
+    correctness union stays comparable) and costs one cache read —
+    both names serve the session-shared `dedup_embed_pairs`
+    checkpoint."""
+    return dedup_embed(spark, sf_dir)
+
+
+# Uncached plan twin (registry.PLAN_QUERIES) — same plan as the
+# primary's by construction.
+_dedup_embed_tree = _dedup_embed
+
+ORACLE_DEDUP_EMBED_TREE = ORACLE_DEDUP_EMBED
 
 
 # corpus_semdedup: dedup_embed's pair oracle + the dedup_clusters
@@ -940,61 +924,70 @@ KNN_SAMPLE_CAP = 64
 
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached entry point (see cache.shared): reused by
-    sim_knn_recall within a session."""
+    sim_knn_recall and the sim_knn_graph_tree alias within a
+    session."""
     return shared(
         spark, sf_dir, "sim_knn_graph", lambda: _sim_knn_graph(spark, sf_dir)
     )
 
 
-def _sim_knn_graph(
-    spark: SparkSession, sf_dir: str, n_cells: int | None = None
-) -> DataFrame:
+def _sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL-corpus approximate kNN graph (VERDICT r5 item 3): every
     vector's top-KNN_K cosine neighbors among candidates sharing a
-    probed IVF cell → (src_id, neighbor_id, rank, cosine). This is the
-    batch ANN join that feeds embedding dedup, graph clustering, and
-    diversity sampling at scale — sim_topk generalized from a pinned
-    query set to query-set = corpus.
+    probed quantizer cell → (src_id, neighbor_id, rank, cosine). This
+    is the batch ANN join that feeds embedding dedup, graph
+    clustering, and diversity sampling at scale — sim_topk generalized
+    from a pinned query set to query-set = corpus.
 
     The reference's data model is an undirected neighbor graph over
     small vertex sets (adjacency matrix, secondary_server.c:119-153);
     this operator is the scale analogue — neighbor edges DERIVED from
     geometry over a corpus too large to materialize a matrix for.
 
-    Shape: ONE corpus scan assigns every vector its KNN_PROBES nearest
-    cells (broadcast centroids, window rank — the rn=1 cell doubles as
-    the vector's HOME cell, so corpus partitioning and probe selection
-    come out of the same pass, unlike running _assign twice); the
-    candidate join is home-side × probe-side on cell_id, so the
-    quadratic term is Σ|cell|·|probes into cell| — never corpus². A
-    (src, dst) pair arises at most once because dst has exactly one
-    home cell. At 100 TB: hash-partition the home table by cell_id and
-    the join is per-cell-local; cell count scales ~sqrt(N) keeping
-    per-cell blocks bounded; recall is measured (sim_knn_recall), the
-    deployment knob is KNN_PROBES.
+    r13 (VERDICT r12 next #1): the DECLARED build is the
+    deployment-scale quantizer — cells ∝ N (max(IVF_CELLS,
+    N // TREE_OCC), per-cell occupancy ≈ TREE_OCC) routed by the
+    two-level tree (_assign_2level), the shape measured at sf10 as
+    56.8 s / exponent 0.20 with recall@5 = 1.0 on both probe decks
+    (SCALE_PROBE_SF10_INGEST.json). The r8 √N flat assign the key
+    used through r12 measured exp 1.53 sf1→sf10 (462 s at sf10 — the
+    N·cells assign dots are N^1.5 at cells = √N) and is retained
+    probe-only as _sim_knn_graph_flat.
+
+    Shape: each vector routes into its KNN_PROBES nearest fine cells
+    through COARSE_PROBES coarse anchors (the rn=1 cell doubles as
+    the vector's HOME cell, so corpus partitioning and probe
+    selection come out of one pass); the candidate join is home-side
+    × probe-side on cell_id, so the quadratic term is
+    Σ|cell|·|probes into cell| — per-cell occupancy is constant
+    (≈TREE_OCC), making candidate work linear in N. A (src, dst) pair
+    arises at most once because dst has exactly one home cell. At
+    100 TB: hash-partition the home table by cell_id and the join is
+    per-cell-local; recall is measured (sim_knn_recall — a signed
+    deliverable, not a probe note), the knobs are KNN_PROBES /
+    TREE_OCC / COARSE_PROBES.
 
     Deterministic end-to-end (pinned centroids, rank tie-breaks on
-    cell_id/vec_id) ⇒ EXACT DuckDB oracle, like sim_topk_ivf.
+    grp/cell_id/vec_id) ⇒ EXACT DuckDB oracle replaying the whole
+    routing tree, like sim_topk_ivf."""
+    n = _corpus_n(spark, sf_dir)
+    return _sim_knn_graph_2level(
+        spark, sf_dir, max(IVF_CELLS, n // TREE_OCC)
+    )
 
-    The coarse quantizer SCALES WITH THE CORPUS (r8, VERDICT r7 next
-    #3): candidate work is N²·PROBES/cells, so FIXED cells go
-    quadratic (measured exp 1.51 at the sf0.1→sf1 10× step at the old
-    pinned 16) while cells = max(IVF_CELLS, ⌈√N⌉) restores ~linear
-    build cost (measured 30.6 s vs 102.6 s at sf1). The default
-    (declared-key) path derives the count from one cached COUNT
-    action and the oracle interpolates the SAME per-corpus constant
-    (GREATEST(base, CEIL(SQRT(COUNT(*))))), so the key stays
-    exact-oracle at every sf; n_cells overrides for scale probing.
 
-    Second decade, measured (r12, SCALE_PROBE_SF10_INGEST.json):
-    with the narrow assign window + _spread_scan the √N build sits AT
-    its N^1.5 design model — sf1→sf10 exponent 1.53, absolute 1351 →
-    462 s vs the r11 shape (the r11 probe's 1.68 decomposed into the
-    wide sort payload and the single-parquet-split assign). The
-    deployment knob for true re-linearization is cells ∝ N behind a
-    TWO-LEVEL quantizer (_assign_2level): 56.8 s at sf10, exponent
-    0.20, recall@5 = 1.0 on both decks — the flat assign at cells ∝ N
-    is the named residual (N²/occupancy dots; measured exp 1.76)."""
+def _sim_knn_graph_flat(
+    spark: SparkSession, sf_dir: str, n_cells: int | None = None
+) -> DataFrame:
+    """PROBE-ONLY since r13: the r8–r12 √N flat-assign kNN build
+    (kept so tools/ingest_probe_r12.py keeps A/B-ing regimes).
+    Superlinear at scale — the flat assign is N·cells dot products,
+    N^1.5 at cells = √N: measured sf1→sf10 exponent 1.53 / 462 s at
+    sf10 (SCALE_PROBE_SF10_INGEST.json), which is why it was demoted
+    from the declared key (VERDICT r12 #1). The narrow rank window
+    (only (vec_id, cell_id, sim) rides the exchange + sort; v rejoins
+    by vec_id after the top-P filter) is the r12 fix that removed the
+    49 GB sort-payload spill the wide form hit at sf10."""
     if n_cells is None:
         n_cells = scaled_cells(_corpus_n(spark, sf_dir), IVF_CELLS)
     emb = _spread_scan(spark, _unit(_embeddings(spark, sf_dir), "v"))
@@ -1045,6 +1038,10 @@ def _sim_knn_graph(
     )
 
 
+# Since r13 the declared key's oracle replays the two-level routing
+# tree (coarse anchors → cell routing → vector routing → fine rank) —
+# see _assign_2level; every rank and tie-break is deterministic, so
+# the replay is exact.
 ORACLE_SIM_KNN_GRAPH = f"""
 WITH e0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1057,15 +1054,44 @@ e AS (
 cells AS (
   SELECT vec_id AS cell_id, v AS cv FROM e
   ORDER BY vec_id
-  LIMIT {_sql_ncells(IVF_CELLS)} OFFSET {N_QUERIES}
+  LIMIT (SELECT GREATEST({IVF_CELLS}, COUNT(*) // {TREE_OCC})
+         FROM embeddings)
+  OFFSET {N_QUERIES}
+),
+ng AS (
+  -- n_coarse from the ACTUAL cell count (matches the Spark side's
+  -- n_cells); FLOOR(SQRT(double)) agrees with integer isqrt
+  -- for every count below 2^26 (see scaled_cells)
+  SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
+                          AS BIGINT)) AS g
+  FROM cells
+),
+coarse AS (
+  SELECT cell_id AS grp, cv AS gv FROM cells
+  ORDER BY cell_id LIMIT (SELECT g FROM ng)
+),
+cell_grp AS (
+  SELECT grp, cell_id, cv FROM (
+    SELECT c.cell_id, c.cv, g.grp,
+           ROW_NUMBER() OVER (PARTITION BY c.cell_id
+             ORDER BY list_dot_product(c.cv, g.gv) DESC, g.grp) AS rn
+    FROM cells c CROSS JOIN coarse g) WHERE rn = 1
+),
+vec_grp AS (
+  SELECT vec_id, grp FROM (
+    SELECT e.vec_id, g.grp,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, g.gv) DESC, g.grp) AS rn
+    FROM e CROSS JOIN coarse g) WHERE rn <= {COARSE_PROBES}
 ),
 assigned AS (
   SELECT vec_id, v, cell_id, rn FROM (
-    SELECT e.vec_id, e.v, c.cell_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell_id) AS rn
-    FROM e CROSS JOIN cells c) WHERE rn <= {KNN_PROBES}
+    SELECT vg.vec_id, e.v, cg.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vg.vec_id
+             ORDER BY list_dot_product(e.v, cg.cv) DESC, cg.cell_id) AS rn
+    FROM vec_grp vg
+    JOIN e ON e.vec_id = vg.vec_id
+    JOIN cell_grp cg ON cg.grp = vg.grp) WHERE rn <= {KNN_PROBES}
 ),
 home AS (SELECT vec_id, v, cell_id FROM assigned WHERE rn = 1),
 scored AS (
@@ -1126,28 +1152,42 @@ def _knn_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assign_2level(
-    spark: SparkSession, emb: DataFrame, cells: DataFrame, n: int
+    spark: SparkSession,
+    emb: DataFrame,
+    cells: DataFrame,
+    n: int,
+    n_cells: int,
 ) -> DataFrame:
     """TWO-LEVEL (hierarchical) nearest-n-cell assignment over unit
     vectors → (vec_id, v, cell_id, rn) — the deployment shape once
     cells scale ∝ N: the flat assign's N·cells dot products become
     N·(√cells coarse + COARSE_PROBES·cells/√cells fine) ≈ 3N√cells,
     the IVF-tree routing every large ANN system uses once the
-    centroid table outgrows a flat scan.
+    centroid table outgrows a flat scan. (A √cells-sized coarse level
+    leaves a 3N√cells term — bounded here to ~N^1.25 at cells ∝ N;
+    the production escalation past that regime is a deeper tree,
+    same recurrence.)
 
     Level 1: the first ⌈√cells⌉ fine cells double as coarse anchors;
-    every fine cell routes to its nearest anchor (cells × √cells —
-    tiny). Level 2: each vector routes into its COARSE_PROBES nearest
+    every fine cell routes to its nearest anchor (cells × √cells
+    dots). Level 2: each vector routes into its COARSE_PROBES nearest
     anchors, then ranks only the fine cells living in those groups.
-    Deterministic (pinned centroids, sim-desc/cell-id tie-breaks) but
-    NOT assignment-identical to the flat quantizer — boundary vectors
-    can route differently — so consumers are PROBE/deployment
-    variants, not the declared keys; the ingest probe reports each
-    variant's recall next to its build time
-    (SCALE_PROBE_SF10_INGEST.json)."""
+    Since r13 this IS the declared keys' quantizer (VERDICT r12 next
+    #1); everything — pinned centroids, sim-desc/grp/cell_id
+    tie-breaks — is deterministic, so the DuckDB oracles replay it
+    exactly.
+
+    Broadcast discipline (ADVICE r12): only `coarse` (√cells rows) is
+    hinted broadcast — it is the one table that stays
+    sublinear-in-N. `cell_grp` has cells ∝ N rows, so its join runs
+    on the planner's stats: AQE converts it to broadcast in the
+    bench regime (it's MBs here) and falls back to a shuffle join on
+    grp once the cell table outgrows the broadcast threshold —
+    nothing corpus-proportional is ever pinned driver-side. n_cells
+    is passed by the caller (all callers already know it), not
+    re-counted."""
     import math as _math
 
-    n_cells = cells.count()
     n_coarse = max(4, _math.isqrt(n_cells))
     coarse = (
         cells.orderBy("cell_id")
@@ -1187,7 +1227,7 @@ def _assign_2level(
     )
     return (
         vec_grp.join(emb, "vec_id")
-        .join(F.broadcast(cell_grp), "grp")
+        .join(cell_grp, "grp")
         .select(
             "vec_id", "cell_id",
             _dot(F.col("v"), F.col("cv")).alias("sim"),
@@ -1204,15 +1244,17 @@ def _assign_2level(
 def _sim_knn_graph_2level(
     spark: SparkSession, sf_dir: str, n_cells: int
 ) -> DataFrame:
-    """kNN graph built on the two-level quantizer (_assign_2level);
-    everything downstream of assignment (home/probe split, per-cell
-    candidate join, top-K rank) is _sim_knn_graph verbatim. Measured
-    in SCALE_PROBE_SF10_INGEST.json: with cells = N/50 this build is
-    56.8 s at sf10 vs 462 s for the declared √N flat build — 8×
-    cheaper ABSOLUTE — at recall@5 = 1.0 on both probe decks."""
+    """kNN graph built on the two-level quantizer (_assign_2level),
+    parameterized by cell count (the declared key pins cells ∝ N;
+    probes override); everything downstream of assignment (home/probe
+    split, per-cell candidate join, top-K rank) is the same candidate
+    topology the flat build used. Measured in
+    SCALE_PROBE_SF10_INGEST.json: with cells = N/50 this build is
+    56.8 s at sf10 vs 462 s for the √N flat build — 8× cheaper
+    ABSOLUTE — at recall@5 = 1.0 on both probe decks."""
     emb = _spread_scan(spark, _unit(_embeddings(spark, sf_dir), "v"))
     cells = _unit(_cells(spark, sf_dir, n_cells), "cv")
-    assigned = _assign_2level(spark, emb, cells, KNN_PROBES)
+    assigned = _assign_2level(spark, emb, cells, KNN_PROBES, n_cells)
     home = assigned.filter(F.col("rn") == 1).select("vec_id", "v", "cell_id")
     probes = assigned.select(
         F.col("vec_id").alias("src_id"),
@@ -1240,176 +1282,21 @@ def _sim_knn_graph_2level(
 
 
 def sim_knn_graph_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cached entry point (see cache.shared): reused by
-    sim_knn_tree_recall within a session."""
-    return shared(
-        spark, sf_dir, "sim_knn_graph_tree",
-        lambda: _sim_knn_graph_tree(spark, sf_dir),
-    )
+    """ALIAS of sim_knn_graph since r13. r12 staged the two-level
+    cells-∝-N build under this key while the primary still ran the √N
+    flat quantizer; r13 promoted the tree build to be the primary
+    (VERDICT r12 next #1), so the two keys are now the same artifact.
+    Retained for surface continuity (prior rounds' correctness union
+    stays comparable); both names serve the session-shared
+    `sim_knn_graph` checkpoint, so this key costs one cache read."""
+    return sim_knn_graph(spark, sf_dir)
 
 
-def _sim_knn_graph_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The kNN graph under the DEPLOYMENT-scale quantizer, declared as
-    a first-class key (r12): cells ∝ N (max(IVF_CELLS, N/TREE_OCC))
-    routed through the two-level tree (_assign_2level) — the build
-    whose sf1→sf10 exponent measured 0.20 at 56.8 s (8× cheaper than
-    the √N flat build) with recall@5 = 1.0 on both probe decks
-    (SCALE_PROBE_SF10_INGEST.json). sim_knn_graph (√N flat) remains
-    the within-bench-regime default; this key IS the documented
-    occupancy knob, hash-checked: every routing rank, tie-break, and
-    the final top-K are deterministic, so DuckDB replays the whole
-    tree (coarse anchors → cell routing → vector routing → fine rank)
-    and the result is exact-oracle at every sf. The quality twin is
-    sim_knn_tree_recall — the knob's recall is itself a signed
-    deliverable, not a probe note."""
-    n = _corpus_n(spark, sf_dir)
-    return _sim_knn_graph_2level(
-        spark, sf_dir, max(IVF_CELLS, n // TREE_OCC)
-    )
+# Uncached plan twin (registry.PLAN_QUERIES) — same plan as the
+# primary's by construction.
+_sim_knn_graph_tree = _sim_knn_graph
 
-
-ORACLE_SIM_KNN_GRAPH_TREE = f"""
-WITH e0 AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-e AS (
-  SELECT vec_id,
-         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-  FROM e0
-),
-cells AS (
-  SELECT vec_id AS cell_id, v AS cv FROM e
-  ORDER BY vec_id
-  LIMIT (SELECT GREATEST({IVF_CELLS}, COUNT(*) // {TREE_OCC})
-         FROM embeddings)
-  OFFSET {N_QUERIES}
-),
-ng AS (
-  -- n_coarse from the ACTUAL cell count (matches the Spark side's
-  -- cells.count()); FLOOR(SQRT(double)) agrees with integer isqrt
-  -- for every count below 2^26 (see scaled_cells)
-  SELECT GREATEST(4, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)))
-                          AS BIGINT)) AS g
-  FROM cells
-),
-coarse AS (
-  SELECT cell_id AS grp, cv AS gv FROM cells
-  ORDER BY cell_id LIMIT (SELECT g FROM ng)
-),
-cell_grp AS (
-  SELECT grp, cell_id, cv FROM (
-    SELECT c.cell_id, c.cv, g.grp,
-           ROW_NUMBER() OVER (PARTITION BY c.cell_id
-             ORDER BY list_dot_product(c.cv, g.gv) DESC, g.grp) AS rn
-    FROM cells c CROSS JOIN coarse g) WHERE rn = 1
-),
-vec_grp AS (
-  SELECT vec_id, grp FROM (
-    SELECT e.vec_id, g.grp,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY list_dot_product(e.v, g.gv) DESC, g.grp) AS rn
-    FROM e CROSS JOIN coarse g) WHERE rn <= {COARSE_PROBES}
-),
-assigned AS (
-  SELECT vec_id, v, cell_id, rn FROM (
-    SELECT vg.vec_id, e.v, cg.cell_id,
-           ROW_NUMBER() OVER (PARTITION BY vg.vec_id
-             ORDER BY list_dot_product(e.v, cg.cv) DESC, cg.cell_id) AS rn
-    FROM vec_grp vg
-    JOIN e ON e.vec_id = vg.vec_id
-    JOIN cell_grp cg ON cg.grp = vg.grp) WHERE rn <= {KNN_PROBES}
-),
-home AS (SELECT vec_id, v, cell_id FROM assigned WHERE rn = 1),
-scored AS (
-  SELECT p.vec_id AS src_id, h.vec_id AS neighbor_id,
-         list_dot_product(p.v, h.v) AS cosine
-  FROM assigned p JOIN home h ON p.cell_id = h.cell_id
-  WHERE h.vec_id <> p.vec_id
-),
-ranked AS (
-  SELECT src_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY src_id
-                            ORDER BY cosine DESC, neighbor_id) AS rank,
-         cosine
-  FROM scored
-)
-SELECT src_id, neighbor_id, rank, ROUND(cosine, 6) AS cosine
-FROM ranked WHERE rank <= {KNN_K}
-"""
-
-
-def sim_knn_tree_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall@K of the tree-quantizer kNN graph against the
-    SAME exact side sim_knn_recall uses → (src_id, n_hits,
-    recall_at_k). The occupancy knob's quality cost is a hash-checked
-    deliverable (the sim_ivf_recall discipline): at the probe decks
-    it reads 1.0/1.0 (sf1/sf10); in the tiny-corpus regime the
-    16-cell floor mis-routes more (the declared value at each sf is
-    whatever both engines exactly agree it is)."""
-    exact = _knn_exact_topk(spark, sf_dir)
-    sample = _knn_sample(spark, sf_dir)
-    knn = sim_knn_graph_tree(spark, sf_dir).join(
-        F.broadcast(sample.select(F.col("vec_id").alias("src_id"))),
-        "src_id",
-        "left_semi",
-    ).select("src_id", "neighbor_id", F.lit(1).alias("hit"))
-    return (
-        exact.join(knn, ["src_id", "neighbor_id"], "left")
-        .groupBy("src_id")
-        .agg(
-            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
-            F.round(
-                F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 6
-            ).alias("recall_at_k"),
-        )
-        .select("src_id", "n_hits", "recall_at_k")
-    )
-
-
-ORACLE_SIM_KNN_TREE_RECALL = f"""
-WITH samp AS (
-  SELECT vec_id FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {KNN_SAMPLE_CAP}
-),
-knn_all AS ({ORACLE_SIM_KNN_GRAPH_TREE}),
-knn AS (
-  SELECT src_id, neighbor_id FROM knn_all
-  WHERE src_id IN (SELECT vec_id FROM samp)
-),
-e0x AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-ex AS (
-  SELECT vec_id,
-         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-  FROM e0x
-),
-q AS (
-  SELECT vec_id AS src_id, v AS qv FROM ex
-  WHERE vec_id IN (SELECT vec_id FROM samp)
-),
-qscored AS (
-  SELECT q.src_id, ex.vec_id AS neighbor_id,
-         list_dot_product(q.qv, ex.v) AS cosine
-  FROM q JOIN ex ON ex.vec_id <> q.src_id
-),
-exact AS (
-  SELECT src_id, neighbor_id FROM (
-    SELECT src_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY src_id
-                              ORDER BY cosine DESC, neighbor_id) AS rank
-    FROM qscored) WHERE rank <= {KNN_K}
-)
-SELECT exact.src_id,
-       CAST(SUM(CASE WHEN knn.src_id IS NULL THEN 0 ELSE 1 END)
-            AS BIGINT) AS n_hits,
-       ROUND(SUM(CASE WHEN knn.src_id IS NULL THEN 0 ELSE 1 END)
-             / COUNT(*), 6) AS recall_at_k
-FROM exact
-LEFT JOIN knn ON knn.src_id = exact.src_id
-             AND knn.neighbor_id = exact.neighbor_id
-GROUP BY exact.src_id
-"""
+ORACLE_SIM_KNN_GRAPH_TREE = ORACLE_SIM_KNN_GRAPH
 
 
 def sim_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,6 +1378,22 @@ LEFT JOIN knn k
   ON x.src_id = k.src_id AND x.neighbor_id = k.neighbor_id
 GROUP BY x.src_id
 """
+
+
+def sim_knn_tree_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALIAS of sim_knn_recall since r13: the primary kNN graph IS the
+    tree-quantizer build now (see sim_knn_graph), so its recall audit
+    and the tree recall audit are one measurement. Retained for
+    surface continuity (the r12 key that first signed the tree
+    build's recall); the occupancy knob's quality cost stays a
+    hash-checked deliverable either way — at the probe decks it reads
+    1.0/1.0 (sf1/sf10), in the tiny-corpus regime the 16-cell floor
+    mis-routes more (the declared value at each sf is whatever both
+    engines exactly agree it is)."""
+    return sim_knn_recall(spark, sf_dir)
+
+
+ORACLE_SIM_KNN_TREE_RECALL = ORACLE_SIM_KNN_RECALL
 
 
 KMEANS_K = 8

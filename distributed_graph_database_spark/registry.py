@@ -316,12 +316,14 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "dedup_near": pl_dedup._dedup_near_audit,
     "dedup_ngram": pl_dedup._dedup_ngram,
     "dedup_embed": pl_sim._dedup_embed,
+    "dedup_embed_tree": pl_sim._dedup_embed_tree,
     "corpus_semdedup": pl_sim._corpus_semdedup_plan,
     "sim_topk": pl_sim._sim_topk,
     "sim_topk_ivf": pl_sim._sim_topk_ivf,
     "sim_pq_topk": pl_sim._sim_pq_topk,
     "sim_pq_code": lambda spark, sf: pl_sim._pq_codes_impl(spark, sf),
     "sim_knn_graph": pl_sim._sim_knn_graph,
+    "sim_knn_graph_tree": pl_sim._sim_knn_graph_tree,
     "text_collocations": pl_text._text_collocations,
     "ml_centroid_classify": pl_sim._ml_centroid_classify,
     "graph_copurchase": g_analytics._copurchase_impl,

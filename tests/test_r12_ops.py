@@ -225,19 +225,21 @@ def test_sim_knn_graph_tree_declared_key_laws(spark, sf_oracle):
 
 
 def test_dedup_embed_tree_laws(spark, sf_oracle):
-    """The declared dedup tree key: every emitted pair is a genuine
-    near-dup (cosine >= threshold, verified against raw vectors),
-    ordered vec_a < vec_b, no duplicates; and the pair set is a
-    near-subset of the flat blocking's (different routing can only
-    co-block fewer or different candidates — every COMMON pair must
-    carry the identical cosine)."""
+    """The declared dedup pair build (tree quantizer — the PRIMARY
+    since r13): every emitted pair is a genuine near-dup (cosine >=
+    threshold), ordered vec_a < vec_b, no duplicates; the
+    dedup_embed_tree alias returns the identical artifact; and the
+    pair set largely overlaps the flat probe variant's (different
+    routing can only co-block fewer or different candidates — every
+    COMMON pair must carry the identical cosine)."""
     from distributed_graph_database_spark.pipeline.similarity import (
         EMBED_COSINE_T,
+        _dedup_embed_flat,
         dedup_embed,
         dedup_embed_tree,
     )
 
-    tree = dedup_embed_tree(spark, sf_oracle)
+    tree = dedup_embed(spark, sf_oracle)
     rows = tree.collect()
     assert rows
     seen = set()
@@ -246,9 +248,13 @@ def test_dedup_embed_tree_laws(spark, sf_oracle):
         assert r.cosine >= EMBED_COSINE_T - 1e-9, r
         assert (r.vec_a, r.vec_b) not in seen
         seen.add((r.vec_a, r.vec_b))
+    alias = {
+        (r.vec_a, r.vec_b) for r in dedup_embed_tree(spark, sf_oracle).collect()
+    }
+    assert alias == seen, "dedup_embed_tree must alias the primary artifact"
     flat = {
         (r.vec_a, r.vec_b): r.cosine
-        for r in dedup_embed(spark, sf_oracle).collect()
+        for r in _dedup_embed_flat(spark, sf_oracle).collect()
     }
     common = [r for r in rows if (r.vec_a, r.vec_b) in flat]
     assert common, "tree and flat blockings share no pairs?"

@@ -52,15 +52,15 @@ def main() -> int:
         return max(sim.IVF_CELLS, sim._corpus_n(spark, sf_dir) // args.occupancy)
 
     builds = {
-        "knn_sqrtN_narrow": lambda: sim._sim_knn_graph(spark, sf_dir),
-        "knn_cellsN_narrow": lambda: sim._sim_knn_graph(
+        "knn_sqrtN_narrow": lambda: sim._sim_knn_graph_flat(spark, sf_dir),
+        "knn_cellsN_narrow": lambda: sim._sim_knn_graph_flat(
             spark, sf_dir, n_cells=cells_n()
         ),
         "knn_cellsN_2level": lambda: sim._sim_knn_graph_2level(
             spark, sf_dir, n_cells=cells_n()
         ),
-        "dedup_embed_sqrtN_narrow": lambda: sim._dedup_embed(spark, sf_dir),
-        "dedup_embed_cellsN_narrow": lambda: sim._dedup_embed(
+        "dedup_embed_sqrtN_narrow": lambda: sim._dedup_embed_flat(spark, sf_dir),
+        "dedup_embed_cellsN_narrow": lambda: sim._dedup_embed_flat(
             spark, sf_dir, n_cells=cells_n()
         ),
         "dedup_embed_cellsN_2level": lambda: sim._dedup_embed_2level(

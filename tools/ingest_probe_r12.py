@@ -74,14 +74,14 @@ def main() -> int:
     # (variant name, build fn) — every build is the real module code,
     # fresh plan per run (no cache.shared), same session.
     knn_variants = {
-        "knn_sqrtN_narrow": lambda sf: sim._sim_knn_graph(spark, sf),
-        "knn_cellsN_narrow": lambda sf: sim._sim_knn_graph(
+        "knn_sqrtN_narrow": lambda sf: sim._sim_knn_graph_flat(spark, sf),
+        "knn_cellsN_narrow": lambda sf: sim._sim_knn_graph_flat(
             spark, sf, n_cells=cells_n(sf)
         ),
     }
     dedup_variants = {
-        "dedup_embed_sqrtN_narrow": lambda sf: sim._dedup_embed(spark, sf),
-        "dedup_embed_cellsN_narrow": lambda sf: sim._dedup_embed(
+        "dedup_embed_sqrtN_narrow": lambda sf: sim._dedup_embed_flat(spark, sf),
+        "dedup_embed_cellsN_narrow": lambda sf: sim._dedup_embed_flat(
             spark, sf, n_cells=cells_n(sf)
         ),
     }

@@ -28,6 +28,17 @@ rows = m.entry(spark).collect()
 print(f"entry() smoke: {len(rows)} rows", flush=True)
 
 Q, O = m.queries(), m.oracle_sql()
+
+# The sweep's contract is completeness (VERDICT r12 #2: a key declared
+# after the last sweep shipped unswept): it must cover EVERY declared
+# registry key, or fail loudly before writing the artifact.
+from distributed_graph_database_spark import registry as _registry
+
+assert set(Q) == set(_registry.QUERIES), (
+    "verify_sweep key set != registry.QUERIES: "
+    f"missing={sorted(set(_registry.QUERIES) - set(Q))} "
+    f"extra={sorted(set(Q) - set(_registry.QUERIES))}"
+)
 print(f"{len(Q)} keys, {len(O)} oracles", flush=True)
 fails = []
 results = {}
