@@ -500,6 +500,164 @@ FROM documents GROUP BY source
 """
 
 
+# Temperature-weighted mixture sampling: α grid in quarters so every
+# membership test is an EXACT integer cross-multiplication (see the
+# key's docstring); the draw is 16-bit so u⁴ stays inside the exact
+# width budget.
+TMIX_ALPHA_DEN = 4
+TMIX_ALPHAS = (1, 2, 3, 4)  # numerators: α = p/4
+_TMIX_SALT = "tmix:"
+_U16_POW4 = "18446744073709551616"  # 2^64 = (2^16)^4, the draw's unit
+
+
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling — corpus_mix's
+    generalization (VERDICT r12 next #7) and the multilingual/domain
+    balance curve every pretraining mix uses (the mC4/XLM-R rule):
+    language s is kept at rate (n_min/n_s)^(1−α), so expected kept
+    counts ∝ n_s^α — α=1 keeps everything (natural mix), α→0 flattens
+    toward uniform across languages, with the smallest language always
+    kept fully. Output: (alpha, lang, n_total, n_kept) for α ∈
+    {{1,2,3,4}}/4.
+
+    Exact integer membership (the corpus_sample discipline — never
+    rand(), never a float pow whose rounding could diverge between
+    engines): with a 16-bit content-stable draw u = md5_16(salt ||
+    doc_id) and α = p/4, keep ⇔ u/2¹⁶ < (n_min/n_s)^((4−p)/4)
+    ⇔ u⁴·n_s^(4−p) < 2⁶⁴·n_min^(4−p) — both sides exact integers
+    (decimal(38,0) here, HUGEINT in the oracle). The α grid shares
+    ONE draw, so keep sets NEST as α decreases (lowering temperature
+    always keeps a subset — re-weighting never resamples), the law
+    tests/test_r13_ops.py signs along with per-language monotonicity.
+
+    Width budget, guarded at runtime (the ql_regr discipline): the
+    largest term is 2⁶⁴·n_s³ ≤ 10³⁸−1 ⇔ n_s ≲ 1.76e6 docs per language
+    — beyond that the key fails loudly (assert_true riding n_total)
+    instead of silently NULLing flags; the documented escalation is a
+    narrower draw (8-bit ⇒ n_s ≲ 7e9) or the α denominator dropped to
+    2, not approximate floats.
+
+    Scale shape: one map-side-combined count per language (at 100 TB a
+    catalog statistic), broadcast back over ONE corpus scan computing
+    all four flags per row; no shuffle of the corpus, no collect, no
+    join bigger than |languages|."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    nmin = counts.agg(F.min("n_total").alias("n_min"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_TMIX_SALT), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = (
+        docs.select("lang", u.alias("u"))
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(nmin))
+    )
+
+    def _dec(c):
+        return c.cast("decimal(38,0)")
+
+    u2 = F.col("u") * F.col("u")  # < 2^32, exact in bigint
+    u4 = _dec(u2) * _dec(u2)
+    pow4 = F.expr(f"CAST({_U16_POW4} AS DECIMAL(38,0))")
+
+    def _npow(col: str, e: int):
+        out = F.lit(1).cast("decimal(38,0)")
+        for _ in range(e):
+            out = out * _dec(F.col(col))
+        return out
+
+    keeps = {
+        p: u4 * _npow("n_total", TMIX_ALPHA_DEN - p)
+        < pow4 * _npow("n_min", TMIX_ALPHA_DEN - p)
+        for p in TMIX_ALPHAS
+    }
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum(F.when(keeps[p], 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"k{p}")
+            for p in TMIX_ALPHAS
+        ],
+    )
+    decmax = F.expr(f"CAST({'9' * 38} AS DECIMAL(38,0))")
+    guard = F.assert_true(
+        pow4 * _npow("n_total", TMIX_ALPHA_DEN - 1) <= decmax,
+        F.lit(
+            "corpus_mix_temperature: language count exceeds the exact "
+            "integer width budget — narrow the draw or the alpha grid"
+        ),
+    )
+    per_alpha = F.array(
+        *[
+            F.struct(
+                (F.lit(p) / F.lit(TMIX_ALPHA_DEN)).alias("alpha"),
+                F.col(f"k{p}").alias("n_kept"),
+            )
+            for p in TMIX_ALPHAS
+        ]
+    )
+    return agg.select(
+        "lang",
+        # the guard rides n_total (assert_true is NULL or throws) so
+        # column pruning can never drop it
+        F.when(guard.isNull(), F.col("n_total")).alias("n_total"),
+        F.explode(per_alpha).alias("a"),
+    ).select(
+        F.col("a.alpha").alias("alpha"), "lang", "n_total", F.col("a.n_kept").alias("n_kept")
+    )
+
+
+ORACLE_CORPUS_MIX_TEMPERATURE = f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang
+),
+m AS (SELECT MIN(n_total) AS n_min FROM c),
+d AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5('{_TMIX_SALT}' || CAST(doc_id AS VARCHAR)),
+                              1, 4)) AS BIGINT) AS u
+  FROM documents
+),
+j AS (
+  SELECT d.lang,
+         CAST(d.u AS HUGEINT) * d.u * d.u * d.u AS u4,
+         CAST(c.n_total AS HUGEINT) AS nt,
+         CAST(m.n_min AS HUGEINT) AS nm,
+         c.n_total
+  FROM d JOIN c USING (lang) CROSS JOIN m
+),
+k AS (
+  SELECT lang, n_total,
+         CAST(SUM(CASE WHEN u4 * nt*nt*nt
+                       < CAST({_U16_POW4} AS HUGEINT) * nm*nm*nm
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN u4 * nt*nt
+                       < CAST({_U16_POW4} AS HUGEINT) * nm*nm
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(SUM(CASE WHEN u4 * nt
+                       < CAST({_U16_POW4} AS HUGEINT) * nm
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+         CAST(SUM(CASE WHEN u4 < CAST({_U16_POW4} AS HUGEINT)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS k4
+  FROM j GROUP BY lang, n_total
+)
+SELECT a.alpha, k.lang, k.n_total,
+       CASE a.p WHEN 1 THEN k.k1 WHEN 2 THEN k.k2
+                WHEN 3 THEN k.k3 ELSE k.k4 END AS n_kept
+FROM k CROSS JOIN (
+  SELECT p, p / {TMIX_ALPHA_DEN}.0 AS alpha
+  FROM (SELECT UNNEST([1, 2, 3, 4]) AS p)
+) a
+"""
+
+
 def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic round-robin interleave of sources into one global
     training order → (doc_id, source, global_pos): position k·S + r
@@ -776,6 +934,7 @@ QUERIES = {
     "corpus_pack": corpus_pack,
     "corpus_chunk": corpus_chunk,
     "corpus_mix": corpus_mix,
+    "corpus_mix_temperature": corpus_mix_temperature,
     "corpus_interleave": corpus_interleave,
     "corpus_token_budget": corpus_token_budget,
     "corpus_dedup_report": corpus_dedup_report,
@@ -790,6 +949,7 @@ ORACLE_SQL = {
     "corpus_pack": ORACLE_CORPUS_PACK,
     "corpus_chunk": ORACLE_CORPUS_CHUNK,
     "corpus_mix": _oracle_corpus_mix(),
+    "corpus_mix_temperature": ORACLE_CORPUS_MIX_TEMPERATURE,
     "corpus_interleave": ORACLE_CORPUS_INTERLEAVE,
     "corpus_token_budget": ORACLE_CORPUS_TOKEN_BUDGET,
     "corpus_dedup_report": _oracle_dedup_report(),

@@ -391,14 +391,29 @@ def main() -> int:
         "# PLANS — physical-plan audit of the headline queries",
         "",
         f"Generated by `tools/dump_plans.py` at `{sf_dir}`. Each plan is",
-        "`queryExecution.executedPlan` (AQE initial plan; runtime may",
-        "further coalesce partitions / convert joins from stats).",
+        "`queryExecution.executedPlan` read AFTER executing the query",
+        "(noop sink), so AdaptiveSparkPlan sections print",
+        "`isFinalPlan=true` — AQE's runtime broadcast conversions and",
+        "partition coalescing are IN the dump, not speculative",
+        "(VERDICT r12 #4; the pre-r13 dump showed initial plans).",
+        "One cosmetic exception: a scalar SUBQUERY's nested",
+        "AdaptiveSparkPlan prints the flag captured at plan time",
+        "(Spark renders subqueries from the planned snapshot), so",
+        "`ql_sql_q11`'s inner subquery line still reads false even",
+        "though the enclosing plan executed to completion.",
         "",
     ]
     for key, why in HEADLINERS.items():
         # PLAN_QUERIES: cached keys expose their underlying plan, not
         # the checkpoint scan the cached entry point returns.
         df = registry.PLAN_QUERIES[key](spark, sf_dir)
+        # Execute FIRST, and through the Dataset's OWN QueryExecution:
+        # a write sink wraps the logical plan in a NEW execution, so
+        # its AdaptiveSparkPlan finalizes while the one we dump stays
+        # initial (the r13 noop-sink attempt reproduced exactly the
+        # isFinalPlan=false dumps this tool exists to fix). collect()
+        # drives the same instance; results are sf0.01-sized.
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         out += [f"## `{key}`", "", why, "", "```", plan.rstrip(), "```", ""]
     with open("PLANS.md", "w") as f:
