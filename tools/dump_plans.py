@@ -392,7 +392,8 @@ def main() -> int:
         "",
         f"Generated by `tools/dump_plans.py` at `{sf_dir}`. Each plan is",
         "`queryExecution.executedPlan` read AFTER executing the query",
-        "(noop sink), so AdaptiveSparkPlan sections print",
+        "(collect through the same QueryExecution), so",
+        "AdaptiveSparkPlan sections print",
         "`isFinalPlan=true` — AQE's runtime broadcast conversions and",
         "partition coalescing are IN the dump, not speculative",
         "(VERDICT r12 #4; the pre-r13 dump showed initial plans).",
