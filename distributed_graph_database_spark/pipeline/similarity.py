@@ -608,6 +608,79 @@ GROUP BY e.label
 """
 
 
+SWEEP_THRESHOLDS = [0.4, 0.5, 0.6, 0.7, 0.8, 0.9]  # sim_dedup_sweep
+
+
+def sim_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup YIELD CURVE vs cosine threshold → (threshold, n_pairs,
+    n_dropped): for each candidate threshold, how many verified
+    near-dup pairs survive and how many documents the keep-lowest-id
+    rule would drop (distinct higher vec_id across surviving pairs) —
+    the sweep a curation team runs BEFORE committing to a semantic
+    dedup threshold, as a hash-checked deliverable rather than a
+    notebook one-off (the sibling of sim_recall_curve's
+    quality-vs-nprobe sweep, on the dedup side).
+
+    100 TB shape: zero additional corpus work — the sweep reads the
+    session-shared dedup_embed pair table (an ingest-time artifact;
+    pairs ≪ corpus by construction). The threshold fan-out is a
+    MAP-SIDE array HOF (filter the 6-element literal by cosine ≥ t,
+    explode) — no join ever touches the pair table, so there is no
+    non-equi BroadcastNestedLoopJoin to blow up when pairs are
+    billions of rows; per-threshold aggregation is one
+    map-side-combined groupBy on a ≤6-key domain. The only join is
+    6-row × ≤6-row (the literal domain LEFT-joins the aggregate so
+    thresholds with no surviving pairs still report (0, 0) — the
+    curve's domain is fixed by SWEEP_THRESHOLDS, not by the data)."""
+    return _sweep_from_pairs(spark, dedup_embed(spark, sf_dir))
+
+
+def _sim_dedup_sweep_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached plan twin (registry.PLAN_QUERIES): the sweep over the
+    live pair plan instead of the session-shared checkpoint."""
+    return _sweep_from_pairs(spark, _dedup_embed(spark, sf_dir))
+
+
+def _sweep_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    th_arr = F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+    agg = (
+        pairs.select(
+            "vec_b",
+            F.explode(
+                F.filter(th_arr, lambda t: F.col("cosine") >= t)
+            ).alias("threshold"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("vec_b").alias("n_dropped"),
+        )
+    )
+    th = spark.createDataFrame(
+        [(float(t),) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    return th.join(F.broadcast(agg), "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+        F.coalesce("n_dropped", F.lit(0).cast("bigint")).alias("n_dropped"),
+    )
+
+
+# The sweep oracle reuses the declared pair oracle verbatim as a CTE
+# (the corpus_semdedup composition pattern), so the two keys can never
+# disagree about what a "pair" is; thresholds compare against the same
+# 6dp-rounded cosine column the pair table exports.
+ORACLE_SIM_DEDUP_SWEEP = f"""
+WITH pairs AS ({ORACLE_DEDUP_EMBED}),
+th AS (SELECT UNNEST(CAST({SWEEP_THRESHOLDS} AS DOUBLE[])) AS threshold)
+SELECT th.threshold,
+       CAST(COUNT(p.vec_a) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT p.vec_b) AS BIGINT) AS n_dropped
+FROM th LEFT JOIN pairs p ON p.cosine >= th.threshold
+GROUP BY th.threshold
+"""
+
+
 # sim_topk_ivf is deterministic algebra end-to-end (pinned centroid
 # set, row_number tiebreaks on cell_id/vec_id) — so unlike hash-LSH it
 # has an EXACT oracle: DuckDB replays the same coarse quantization,
@@ -1481,6 +1554,142 @@ SELECT m.cell_id,
 FROM means m JOIN old o ON m.cell_id = o.cell_id AND m.dim = o.dim
 GROUP BY m.cell_id
 """
+
+
+KMEANS_TRAIN_ITERS = 4  # ml_kmeans_train: unrolled Lloyd rounds
+
+
+def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lloyd TRAINING LOOP (KMEANS_TRAIN_ITERS rounds,
+    k = KMEANS_K) over the embedding corpus from the pinned
+    deterministic init → (iteration, cell_id, n_assigned, shift): the
+    per-round convergence trace a k-means run actually monitors
+    (cluster sizes + centroid movement), with ml_kmeans_step as the
+    single-round kernel it composes. Empty clusters keep their old
+    centroid (the standard Lloyd convention), expressed as a
+    per-dimension LEFT join + coalesce so the rule is identical on
+    both engines.
+
+    Distributed shape at 100 TB: each round is the step kernel's two
+    stages — broadcast-k-centroid assignment inside one corpus scan,
+    then a map-side-combined (cell, dim) mean over 64·N rows; the
+    round state that persists between iterations is the k×64 centroid
+    table (localCheckpoint per round cuts the unrolled lineage, the
+    graph-loop discipline of graph_pagerank/graph_hits). Nothing
+    corpus-sized crosses rounds and nothing is collected — the loop
+    is driver-ORCHESTRATED, executor-computed.
+
+    Cross-engine exactness: assignment replays the deterministic
+    quantizer each round; iterated centroids carry full doubles whose
+    summation-order jitter (~1e-13 relative) only matters if two
+    centroids tie within it on a later round's cosine — far below any
+    observed margin (same exposure ml_gmm_step's softmax already
+    carries), and the reported shift is rounded to 6dp."""
+    emb = _embeddings(spark, sf_dir)
+    cells = _cells(spark, sf_dir, KMEANS_K)
+    out = None
+    for it in range(1, KMEANS_TRAIN_ITERS + 1):
+        assigned = _assign(emb, cells, "v", "cells", 1).select(
+            "vec_id", "v", F.explode("cells").alias("cell_id")
+        )
+        by_dim = assigned.select(
+            "cell_id", F.posexplode("v").alias("dim", "val")
+        ).groupBy("cell_id", "dim").agg(
+            F.avg("val").alias("mean_val"), F.count(F.lit(1)).alias("n")
+        )
+        old = cells.select("cell_id", F.posexplode("cv").alias("dim", "old_val"))
+        upd = old.join(by_dim, ["cell_id", "dim"], "left").select(
+            "cell_id",
+            "dim",
+            F.coalesce("mean_val", F.col("old_val")).alias("new_val"),
+            "old_val",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+        rep = upd.groupBy("cell_id").agg(
+            F.max("n").alias("n_assigned"),
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("new_val") - F.col("old_val"), 2))), 6
+            ).alias("shift"),
+        ).select(
+            F.lit(it).alias("iteration"), "cell_id", "n_assigned", "shift"
+        )
+        out = rep if out is None else out.unionByName(rep)
+        # next round's centroid table: k×64 rows back into array form
+        cells = (
+            upd.groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "new_val"))
+                ).alias("s")
+            )
+            .select(
+                "cell_id",
+                F.transform("s", lambda x: x["new_val"]).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+def _oracle_kmeans_train() -> str:
+    """Unrolled-CTE DuckDB twin of ml_kmeans_train: cells_0 is the
+    pinned init, each round r adds assigned_r / means_r / upd_r /
+    rep_r / cells_r, and the result is the UNION ALL of the round
+    reports — the same per-round trace, same empty-cluster coalesce."""
+    parts = [f"""
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cells_0 AS (
+  SELECT vec_id AS cell_id, cv FROM (
+    SELECT vec_id, v AS cv FROM e
+    ORDER BY vec_id LIMIT {KMEANS_K} OFFSET {N_QUERIES})
+)"""]
+    for r in range(1, KMEANS_TRAIN_ITERS + 1):
+        parts.append(f"""
+assigned_{r} AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT e.vec_id, e.v, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell_id) AS rn
+    FROM e CROSS JOIN cells_{r - 1} c) WHERE rn <= 1
+),
+means_{r} AS (
+  SELECT cell_id, dim, AVG(val) AS mean_val, COUNT(*) AS n
+  FROM (SELECT cell_id, UNNEST(range(LEN(v))) AS dim, UNNEST(v) AS val
+        FROM assigned_{r})
+  GROUP BY cell_id, dim
+),
+upd_{r} AS (
+  SELECT o.cell_id, o.dim,
+         COALESCE(m.mean_val, o.old_val) AS new_val,
+         o.old_val,
+         CAST(COALESCE(m.n, 0) AS BIGINT) AS n
+  FROM (SELECT cell_id, UNNEST(range(LEN(cv))) AS dim,
+               UNNEST(cv) AS old_val FROM cells_{r - 1}) o
+  LEFT JOIN means_{r} m ON m.cell_id = o.cell_id AND m.dim = o.dim
+),
+rep_{r} AS (
+  SELECT {r} AS iteration, cell_id,
+         MAX(n) AS n_assigned,
+         ROUND(SQRT(SUM(POW(new_val - old_val, 2))), 6) AS shift
+  FROM upd_{r} GROUP BY cell_id
+),
+cells_{r} AS (
+  SELECT cell_id, list(new_val ORDER BY dim) AS cv
+  FROM upd_{r} GROUP BY cell_id
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM rep_{r}" for r in range(1, KMEANS_TRAIN_ITERS + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
+ORACLE_ML_KMEANS_TRAIN = _oracle_kmeans_train()
 
 
 GMM_K = 3  # mixture components of the demonstrated EM step
@@ -3375,7 +3584,9 @@ QUERIES = {
     "dedup_embed": dedup_embed,
     "dedup_embed_tree": dedup_embed_tree,
     "corpus_semdedup": corpus_semdedup,
+    "sim_dedup_sweep": sim_dedup_sweep,
     "ml_kmeans_step": ml_kmeans_step,
+    "ml_kmeans_train": ml_kmeans_train,
     "ml_gmm_step": ml_gmm_step,
     "ml_logreg_step": ml_logreg_step,
     "ml_linreg_fit": ml_linreg_fit,
@@ -3411,7 +3622,9 @@ ORACLE_SQL = {
     "dedup_embed": ORACLE_DEDUP_EMBED,
     "dedup_embed_tree": ORACLE_DEDUP_EMBED_TREE,
     "corpus_semdedup": ORACLE_CORPUS_SEMDEDUP,
+    "sim_dedup_sweep": ORACLE_SIM_DEDUP_SWEEP,
     "ml_kmeans_step": ORACLE_ML_KMEANS_STEP,
+    "ml_kmeans_train": ORACLE_ML_KMEANS_TRAIN,
     "ml_gmm_step": ORACLE_ML_GMM_STEP,
     "ml_logreg_step": ORACLE_ML_LOGREG_STEP,
     "ml_linreg_fit": ORACLE_ML_LINREG_FIT,
