@@ -162,13 +162,28 @@ def _near_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared (doc_id, h) exploded-shingle substrate for the near-dup
     family — built once per (session, sf_dir); the LSH pair pipeline,
     the exact truth leg, and the audit verify all read the same
-    checkpoint (at 100 TB: one materialized ingest table)."""
+    checkpoint (at 100 TB: one materialized ingest table).
+
+    The source scan is spread to cluster parallelism first (r13; the
+    r12 `_spread_scan` finding applied to the DOCUMENT side): the
+    generated single-file sf1/sf10 layouts plan the documents scan as
+    1–3 parquet row-group splits, and since the checkpointed substrate
+    inherits the builder's partitioning, every downstream shingle
+    self-join and verify aggregate would serialize on those few tasks
+    (observed: the sf1 truth build 18+ min deep on 3 of 32 cores). At
+    100 TB the scan arrives in thousands of splits and the spread is
+    a no-op."""
+    from .similarity import _spread_scan
+
     return shared(
         spark,
         sf_dir,
         "near_shingles",
         lambda: _exploded_shingles(
-            table(spark, sf_dir, "documents").select("doc_id", "text")
+            _spread_scan(
+                spark,
+                table(spark, sf_dir, "documents").select("doc_id", "text"),
+            )
         ),
     )
 
@@ -485,8 +500,18 @@ def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAP·|shingles| pairs — the uncapped Σ df² blows up on corpus-scale
     stop-shingle buckets. Testdata dfs are far below the cap, so the
     uncapped DuckDB oracle matches exactly."""
+    from .similarity import _spread_scan
+
+    # Spread the under-split single-file scan before the explode so
+    # the checkpointed shingle table (and the Σ|bucket|² pair join it
+    # feeds) runs at cluster parallelism — see _near_shingles (r13).
     ex = _capped_shingles(
-        table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        _spread_scan(
+            spark,
+            table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text"
+            ),
+        )
     ).localCheckpoint(eager=True)
 
     # Intersection sizes via explode + equi-join on the shingle hash:
