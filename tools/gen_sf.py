@@ -97,12 +97,32 @@ def _replica(
             c, (F.col(c) + F.lit(i * strides[DOMAIN_OF[c]])).cast(orig_type)
         )
     if tbl == "documents" and i > 0:
+        # Decorrelate replica SHINGLES, not just exact hashes (r13 fix;
+        # the old trailing " rI" suffix made replicas exact-distinct but
+        # left them NEAR-dups of each other — every word-k-gram shared —
+        # so shingle dfs scaled ×k and the near-dup truth/pair joins
+        # scaled ×k², the exact pathological collapse this docstring
+        # promises to avoid; observed as an unrunnable sf10 truth
+        # build). Tagging EVERY token keeps each replica internally
+        # identical in structure (within-replica near-dup families are
+        # preserved exactly — both members get the same substitution)
+        # while making cross-replica Jaccard ≈ 0, i.e. near-dup family
+        # SIZE stays constant under scale-up, which is how a real k×
+        # corpus behaves. Token/sentence/line counts per doc are
+        # unchanged; the word domain grows ×k (the faithful-growth
+        # model for a genuinely larger corpus). n_chars is recomputed
+        # (source invariant: n_chars == LENGTH(text), asserted on the
+        # driver testdata).
         sfx = f" r{i}"
         n_chars_type = dict(df.dtypes)["n_chars"]
-        r = r.withColumn("text", F.concat(F.col("text"), F.lit(sfx)))
         r = r.withColumn(
-            "n_chars", (F.col("n_chars") + F.lit(len(sfx))).cast(n_chars_type)
+            "text",
+            F.concat(
+                F.regexp_replace(F.col("text"), r"(\S+)", f"$1r{i}"),
+                F.lit(sfx),
+            ),
         )
+        r = r.withColumn("n_chars", F.length("text").cast(n_chars_type))
     if tbl == "embeddings" and i > 0:
         # nudge component 0 by i/1000 — deterministic, tiny, distinct
         elem = dict(df.dtypes)["embedding"]  # e.g. array<float>
