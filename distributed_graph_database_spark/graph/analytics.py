@@ -2377,6 +2377,137 @@ def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minimum_spanning_forest(spark, _trade_edges(spark, sf_dir))
 
 
+SCC_TOP_OUT = 3            # directed edges kept per source nation
+SCC_CLOSURE_DOUBLINGS = 5  # 2^5 = 32 ≥ any path length on ≤ 25 nations
+
+
+def _scc_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED trade digraph: customer-nation → supplier-nation
+    money flow, thinned to each nation's SCC_TOP_OUT largest outbound
+    partners (w DESC, dst tiebreak) — the top-partners thinning that
+    makes condensation structure non-trivial (the full digraph is
+    near-complete) and is scale-invariant: uniform volume growth
+    leaves the per-source ranking unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("cents").alias("w_cents"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("w_cents"), "dst")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SCC_TOP_OUT)
+        .select("src", "dst")
+    )
+
+
+_SCC_EDGES_SQL = f"""
+SELECT src, dst FROM (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY w_cents DESC, dst) AS rn
+  FROM (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+           CAST(s.s_nationkey AS BIGINT) AS dst,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS w_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY c.c_nationkey, s.s_nationkey)
+) WHERE rn <= {SCC_TOP_OUT}
+"""
+
+
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed trade digraph →
+    (vid, scc_id, scc_size): which nations form mutually-reachable
+    trade blocs under top-SCC_TOP_OUT money flow — the directed
+    sibling of graph_components (the reference stores undirected
+    graphs only; SCC is the canonical operator a graph engine adds
+    when edges gain direction). scc_id is the component's smallest
+    member (the min-label convention graph_components uses).
+
+    Contract-then-iterate at 100 TB: the fact-scale work is exactly
+    one lineitem⋈orders shuffle producing the ≤ n² nation-pair
+    aggregate (the _trade_edges shape, map-side combined); everything
+    after runs on the ≤ n·SCC_TOP_OUT-edge contracted digraph. The
+    closure uses SCC_CLOSURE_DOUBLINGS path-doubling rounds (reach ←
+    reach ∪ reach∘reach, identity seeded) — data-INDEPENDENT depth
+    covering any path on ≤ 2^rounds vertices, each round a self-join
+    + distinct on a ≤ n²-row table with per-round localCheckpoint
+    (the graph-loop lineage discipline). Mutual reachability is one
+    self-join; everything is integer ⇒ exact oracle (recursive-CTE
+    closure — a different algorithm, so parity checks SCC semantics,
+    the _ORACLE_GRAPH_MST pattern). A billion-vertex SCC run swaps
+    the contracted substrate for the edge table itself and bounds
+    doubling rounds at log₂(diameter) — same loop, same per-round
+    shape."""
+    edges = _scc_directed_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    reach = (
+        nodes.select(F.col("v").alias("a"), F.col("v").alias("b"))
+        .unionByName(edges.select(F.col("src").alias("a"), F.col("dst").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SCC_CLOSURE_DOUBLINGS):
+        hop = (
+            reach.alias("l")
+            .join(reach.alias("r"), F.col("l.b") == F.col("r.a"))
+            .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+        )
+        reach = reach.unionByName(hop).distinct().localCheckpoint(eager=True)
+    fwd = reach
+    bwd = reach.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mutual = fwd.intersect(bwd)
+    comp = mutual.groupBy("a").agg(F.min("b").alias("scc_id"))
+    sizes = comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return (
+        comp.join(F.broadcast(sizes), "scc_id")
+        .select(F.col("a").alias("vid"), "scc_id", "scc_size")
+    )
+
+
+_ORACLE_GRAPH_SCC = f"""
+WITH RECURSIVE e AS MATERIALIZED ({_SCC_EDGES_SQL}),
+nodes AS (SELECT DISTINCT src AS v FROM e
+          UNION SELECT DISTINCT dst AS v FROM e),
+walk(a, b) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT w.a, e.dst FROM walk w JOIN e ON e.src = w.b
+),
+mutual AS (
+  SELECT f.a, f.b FROM walk f JOIN walk r ON r.a = f.b AND r.b = f.a
+),
+comp AS (SELECT a, MIN(b) AS scc_id FROM mutual GROUP BY a),
+sizes AS (SELECT scc_id, COUNT(*) AS scc_size FROM comp GROUP BY scc_id)
+SELECT c.a AS vid, c.scc_id, s.scc_size
+FROM comp c JOIN sizes s USING (scc_id)
+"""
+
+
 QUERIES = {
     "graph_copurchase": graph_copurchase,
     "graph_triangles": graph_triangles,
@@ -2398,6 +2529,7 @@ QUERIES = {
     "graph_mst": graph_mst,
     "graph_walks": graph_walks,
     "graph_ktruss": graph_ktruss,
+    "graph_scc": graph_scc,
 }
 
 ORACLE_SQL = {
@@ -2421,6 +2553,7 @@ ORACLE_SQL = {
     "graph_mst": _ORACLE_GRAPH_MST,
     "graph_walks": _oracle_walks(),
     "graph_ktruss": _oracle_ktruss(),
+    "graph_scc": _ORACLE_GRAPH_SCC,
 }
 
 

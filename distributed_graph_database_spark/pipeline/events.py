@@ -1289,6 +1289,68 @@ GROUP BY 1, 2
 """
 
 
+RATE_WINDOW_SEC = 86_400  # sliding rate-limit lookback (1 day)
+RATE_LIMIT_MAX = 5        # events allowed per user per window
+
+
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate limiting per user → (user_id, n_events,
+    n_throttled, peak_rate): for every event, the count of that
+    user's events in the trailing RATE_WINDOW_SEC (inclusive); an
+    event is throttled when its window count exceeds RATE_LIMIT_MAX —
+    the API-quota / abuse-control primitive every event platform
+    runs, reported as the per-user enforcement summary.
+
+    Exactness: the window count is a RANGE frame over exact integer
+    MICROSECONDS (unix_micros / epoch_us — identical bigints on both
+    engines; equal-timestamp peers enter the frame together under
+    RANGE semantics in both), so every output is an exact integer.
+
+    Scale shape: ONE shuffle on user_id, then a per-user time-ordered
+    scan with O(1) frame state — the count frame is maintained
+    incrementally by both engines, never re-scanned per row. user_id
+    is high-cardinality and unskewed at 100 TB (AQE skew-split
+    handles hot users); the per-user groupBy rides the same
+    partitioning, so the summary adds no second shuffle. The
+    streaming enforcement twin of this shape is stream_user_totals's
+    keyed-state pattern; this is the batch audit."""
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-RATE_WINDOW_SEC * 1_000_000, 0)
+    )
+    per_event = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("in_window"),
+    )
+    return per_event.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("in_window") > RATE_LIMIT_MAX).cast("bigint")
+        ).alias("n_throttled"),
+        F.max("in_window").alias("peak_rate"),
+    )
+
+
+ORACLE_EVENTS_RATE_LIMIT = f"""
+WITH per_event AS (
+  SELECT user_id,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN {RATE_WINDOW_SEC * 1_000_000} PRECEDING
+                     AND CURRENT ROW) AS in_window
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN in_window > {RATE_LIMIT_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_throttled,
+       MAX(in_window) AS peak_rate
+FROM per_event GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_hopping": events_hopping,
@@ -1309,6 +1371,7 @@ QUERIES = {
     "events_count_min": events_count_min,
     "events_top_change": events_top_change,
     "events_windowed_quantiles": events_windowed_quantiles,
+    "events_rate_limit": events_rate_limit,
 }
 
 ORACLE_SQL = {
@@ -1331,4 +1394,5 @@ ORACLE_SQL = {
     "events_count_min": ORACLE_EVENTS_COUNT_MIN,
     "events_top_change": ORACLE_EVENTS_TOP_CHANGE,
     "events_windowed_quantiles": ORACLE_EVENTS_WINDOWED_QUANTILES,
+    "events_rate_limit": ORACLE_EVENTS_RATE_LIMIT,
 }

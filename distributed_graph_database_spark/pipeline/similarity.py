@@ -3566,6 +3566,108 @@ FROM pred p JOIN e ON e.vec_id = p.src_id
 """
 
 
+def ml_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette of the KMEANS_K pinned clustering →
+    (cell_id, n_vecs, mean_sil, min_sil): the cluster-quality report
+    every k-means consumer reads next to ml_kmeans_train's
+    convergence trace. Per vector, a = cosine distance to its own
+    (nearest) centroid, b = distance to the best OTHER centroid,
+    s = (b−a)/max(a,b) — the centroid-based (simplified) silhouette
+    [Rousseeuw 1987's medoid form with the cluster mean substituted],
+    aggregated per cluster as the mean and worst case.
+
+    Zero-shuffle scoring: the k-centroid table collapses to ONE
+    broadcast row of (cell_id, cv) structs, each vector scores all k
+    inside a single projection (array_sort on (−sim, cell_id) structs
+    picks own + runner-up without a window), so the corpus is touched
+    by one scan and the only shuffle is the k-row-output groupBy on
+    the assigned cell — map-side combined. The same shape at 100 TB
+    is the IVF assignment scan (sim_topk_ivf), with the tree quantizer
+    (_assign_2level) the escalation once k outgrows a broadcast.
+
+    Exactness: sims are bit-identical across engines (same fold order
+    — the engine-wide _dot/list_dot_product contract); argmax and
+    runner-up use the (sim DESC, cell_id) tie-break; s is a ratio of
+    bit-identical doubles; min_sil is an exact min and mean_sil is
+    6dp-rounded (the engine-wide summation-jitter discipline)."""
+    emb = _embeddings(spark, sf_dir)
+    cells = _cells(spark, sf_dir, KMEANS_K)
+    packed = cells.agg(
+        F.collect_list(F.struct("cell_id", "cv")).alias("cs")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            F.array_sort(
+                F.transform(
+                    "cs",
+                    lambda c: F.struct(
+                        (
+                            -_dot(F.col("v"), c["cv"])
+                            / (_norm(F.col("v")) * _norm(c["cv"]))
+                        ).alias("msim"),
+                        c["cell_id"].alias("cell_id"),
+                    ),
+                )
+            ).alias("ranked"),
+        )
+        .select(
+            "vec_id",
+            F.element_at("ranked", 1)["cell_id"].alias("cell_id"),
+            (-F.element_at("ranked", 1)["msim"]).alias("a_sim"),
+            (-F.element_at("ranked", 2)["msim"]).alias("b_sim"),
+        )
+        .select(
+            "cell_id",
+            (
+                (F.col("a_sim") - F.col("b_sim"))
+                / F.greatest(1 - F.col("a_sim"), 1 - F.col("b_sim"))
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("s"), 6).alias("mean_sil"),
+        F.round(F.min("s"), 6).alias("min_sil"),
+    )
+
+
+ORACLE_ML_SILHOUETTE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cells AS (
+  SELECT vec_id AS cell_id, v AS cv FROM e
+  ORDER BY vec_id LIMIT {KMEANS_K} OFFSET {N_QUERIES}
+),
+sims AS (
+  SELECT e.vec_id, c.cell_id,
+         list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(c.cv, c.cv))) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.v, c.cv)
+                                       / (sqrt(list_dot_product(e.v, e.v))
+                                          * sqrt(list_dot_product(c.cv, c.cv)))
+                                     DESC, c.cell_id) AS rn
+  FROM e CROSS JOIN cells c
+),
+pick AS (
+  SELECT a.vec_id, a.cell_id, a.sim AS a_sim, b.sim AS b_sim
+  FROM sims a JOIN sims b ON a.vec_id = b.vec_id AND b.rn = 2
+  WHERE a.rn = 1
+)
+SELECT cell_id,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG((a_sim - b_sim) / GREATEST(1 - a_sim, 1 - b_sim)), 6)
+         AS mean_sil,
+       ROUND(MIN((a_sim - b_sim) / GREATEST(1 - a_sim, 1 - b_sim)), 6)
+         AS min_sil
+FROM pick GROUP BY cell_id
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
     "sim_topk_ivf": sim_topk_ivf,
@@ -3600,6 +3702,7 @@ QUERIES = {
     "ml_tree_split": ml_tree_split,
     "ml_auc": ml_auc,
     "ml_calibration": ml_calibration,
+    "ml_silhouette": ml_silhouette,
 }
 
 # Every key exact-oracled: IVF blocking is deterministic algebra,
@@ -3640,4 +3743,5 @@ ORACLE_SQL = {
     "ml_calibration": ORACLE_ML_CALIBRATION.format(
         ml_score_sql=ORACLE_ML_SCORE
     ),
+    "ml_silhouette": ORACLE_ML_SILHOUETTE,
 }

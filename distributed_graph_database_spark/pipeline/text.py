@@ -1892,6 +1892,228 @@ FROM aug
 """
 
 
+# text_search: the query front door of an inverted index. Terms are a
+# pinned constant (a user query); K and the term set are part of the
+# declared semantics so the oracle can replay them.
+SEARCH_TERMS = ("spark", "vector", "window")
+SEARCH_TOP_K = 20
+
+
+def text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus: rank documents by summed
+    tf·idf of the pinned SEARCH_TERMS → (rank, doc_id, n_terms,
+    tf_total, score) for the SEARCH_TOP_K best documents — the
+    retrieval front door (RAG / corpus triage) next to sim_topk's
+    dense sibling.
+
+    Inverted-index shape at 100 TB: the token explode is filtered to
+    the query terms BEFORE any shuffle (predicate on the generator
+    output — the scan emits ~|terms|·selectivity rows, not the token
+    stream), per-(doc, term) tf is one map-side-combined groupBy, and
+    the |terms|-row df/idf table joins back broadcast. Nothing
+    corpus-sized is sorted: the final rank is a top-K over the scored
+    HIT set (docs containing ≥1 query term). A real deployment would
+    serve this from a materialized postings table (store_* family);
+    this key is the query-time plan over raw text.
+
+    Cross-engine exactness: tf/df/N are exact integers; per-doc score
+    sums ≤|SEARCH_TERMS| ln-terms then rounds to 6dp (the
+    text_tfidf_top discipline), and ranking orders by the ROUNDED
+    score with a doc_id tie-break, so ulp jitter in ln cannot flip
+    ranks."""
+    terms = list(SEARCH_TERMS)
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("tf_total"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_corpus") / F.col("df"))), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SEARCH_TOP_K)
+        .select("rank", "doc_id", "n_terms", "tf_total", "score")
+    )
+
+
+def _oracle_text_search() -> str:
+    in_list = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         COUNT(*) AS n_terms,
+         CAST(SUM(tf.tf) AS BIGINT) AS tf_total,
+         ROUND(SUM(tf.tf * LN(CAST(n.n_corpus AS DOUBLE) / df.df)), 6)
+           AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT * FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+         doc_id, n_terms, tf_total, score
+  FROM scored
+) WHERE rank <= {SEARCH_TOP_K}
+"""
+
+
+# text_novelty: k-token shingle width. Deliberately distinct from
+# CONTAM_SHINGLE_K (contamination flags verbatim eval overlap; novelty
+# measures fresh-content rate, where a shorter gram is the standard
+# sensitivity choice).
+NOVELTY_SHINGLE_K = 3
+
+
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty of the incoming DELTA vs the released BASE
+    → (source, n_docs, n_shingles, n_novel, novelty_pct): the fraction
+    of a new shard's distinct NOVELTY_SHINGLE_K-gram shingles never
+    seen in the released corpus — the freshness/memorization dial a
+    pretraining ingest watches next to dedup_incremental's drop
+    report (same md5 release split: buckets < INCR_BASE_PCT are the
+    base, the dedup.py:679 convention, so 'released' means the same
+    docs in both keys).
+
+    Scale shape: both sides contract to md5 shingle HASHES before
+    meeting; the base side is DISTINCT'd (bounded by the shingle-hash
+    domain, not by corpus size) and the delta side — 10% of ingest —
+    left-anti joins it on the hash, a co-partitioned hash join with
+    map-side-combined distinct counts per source. No raw text and no
+    doc×doc pairs cross the shuffle. All outputs are exact integers;
+    the pct is one integer division in double (bit-identical across
+    engines)."""
+    from .clean import _md5_u32
+    from .dedup import INCR_BASE_PCT
+
+    k = NOVELTY_SHINGLE_K
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            (_md5_u32() % 100 < INCR_BASE_PCT).alias("is_base"),
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sh = toks.select(
+        "doc_id",
+        "source",
+        "is_base",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at("toks", i + j) for j in range(k)]
+                        )
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("sh"),
+    )
+    base_sh = sh.filter("is_base").select("sh").distinct()
+    delta = sh.filter(~F.col("is_base"))
+    novel = delta.join(base_sh, "sh", "left_anti").select(
+        "source", F.col("sh").alias("novel_sh")
+    )
+    per_src = delta.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("sh").alias("n_shingles"),
+    )
+    per_src_novel = novel.groupBy("source").agg(
+        F.countDistinct("novel_sh").alias("n_novel")
+    )
+    return (
+        per_src.join(per_src_novel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)) * 100.0 / F.col("n_shingles"), 6
+            ).alias("novelty_pct"),
+        )
+    )
+
+
+def _oracle_text_novelty() -> str:
+    from .dedup import INCR_BASE_PCT
+
+    k = NOVELTY_SHINGLE_K
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < {INCR_BASE_PCT} AS is_base,
+         regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source, is_base,
+         UNNEST(CASE WHEN LEN(t) >= {k}
+                THEN list_transform(range(1, LEN(t) - {k - 2}),
+                     i -> md5({gram}))
+                ELSE [] END) AS sh
+  FROM toks
+),
+base_sh AS (SELECT DISTINCT sh FROM sh WHERE is_base),
+delta AS (SELECT * FROM sh WHERE NOT is_base),
+novel AS (
+  SELECT d.source, d.sh FROM delta d
+  WHERE NOT EXISTS (SELECT 1 FROM base_sh b WHERE b.sh = d.sh)
+),
+per_src AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(DISTINCT sh) AS n_shingles
+  FROM delta GROUP BY source
+),
+per_src_novel AS (
+  SELECT source, COUNT(DISTINCT sh) AS n_novel FROM novel GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_shingles,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       ROUND(COALESCE(n.n_novel, 0) * 100.0 / p.n_shingles, 6)
+         AS novelty_pct
+FROM per_src p LEFT JOIN per_src_novel n USING (source)
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -1915,6 +2137,8 @@ QUERIES = {
     "text_hashing_vectorizer": text_hashing_vectorizer,
     "text_line_dedup": text_line_dedup,
     "text_pii_scrub": text_pii_scrub,
+    "text_search": text_search,
+    "text_novelty": text_novelty,
 }
 
 ORACLE_SQL = {
@@ -1942,4 +2166,6 @@ ORACLE_SQL = {
     "text_hashing_vectorizer": ORACLE_TEXT_HASHING_VECTORIZER,
     "text_line_dedup": ORACLE_TEXT_LINE_DEDUP,
     "text_pii_scrub": ORACLE_TEXT_PII_SCRUB,
+    "text_search": _oracle_text_search(),
+    "text_novelty": _oracle_text_novelty(),
 }
