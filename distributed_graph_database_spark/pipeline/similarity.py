@@ -3668,8 +3668,173 @@ FROM pick GROUP BY cell_id
 """
 
 
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k → (query_id, neighbor_id, rank,
+    dot): the UNNORMALIZED retrieval scoring (recommender / learned-
+    retrieval models score by raw dot, where vector norm carries
+    popularity/confidence — a different ranking than sim_topk's
+    cosine whenever norms vary). Same pinned query set, same
+    broadcast-queries × one-corpus-scan shape as sim_topk; ranking
+    orders by the raw dot with a vec_id tie-break (64-term double
+    dots agree across engines to ~1e-14, far below ranking gaps —
+    the sim_topk discipline).
+
+    100 TB: the corpus scan dominates and parallelizes per-partition;
+    the per-query top-k is a TOP_K-bounded window on a broadcast-
+    joined stream — no corpus-sized sort (AQE splits the window by
+    query_id, a N_QUERIES-key domain, each partial top-k map-side).
+    The MIPS-to-cosine reduction (augment dims so IVF routing works
+    on inner product) is the documented escalation path; at this d
+    the flat scan IS the baseline the IVF keys compare against."""
+    emb = _embeddings(spark, sf_dir)
+    q = _raw_queries(spark, sf_dir)
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("dot", 6).alias("dot"),
+        )
+    )
+
+
+ORACLE_SIM_MIPS_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e ORDER BY vec_id LIMIT {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v) AS dot
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id) AS rank,
+         dot
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, ROUND(dot, 6) AS dot
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+DBSCAN_MINPTS = 2  # core point: ≥ this many ε-neighbors (besides itself)
+
+
+def ml_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN point classification over the ε-neighbor graph →
+    (label, n_core, n_border, n_noise): ε-neighbors are the session-
+    shared dedup_embed pairs (cosine ≥ EMBED_COSINE_T among the
+    deterministic quantizer's blocked candidates — the documented
+    blocked-DBSCAN approximation, exact within the candidate graph);
+    a vector is CORE with ≥ DBSCAN_MINPTS neighbors, BORDER when
+    non-core but adjacent to a core, NOISE otherwise. The density
+    triage every embedding-curation pass runs before clustering
+    (which dense regions are semantic-dup blobs vs isolated tails).
+
+    100 TB shape: zero additional corpus work — degree is ONE
+    map-side-combined groupBy on the (pairs ≪ corpus) edge list, the
+    core-adjacency check a co-partitioned self-join on the same key,
+    and the label rollup one corpus scan joining two vid-keyed tables
+    ≪ corpus. Composes the shared pair artifact exactly like
+    corpus_semdedup/sim_dedup_sweep — one pair build serves four
+    declared keys per session."""
+    return _dbscan_from_pairs(spark, sf_dir, dedup_embed(spark, sf_dir))
+
+
+def _ml_dbscan_core_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached plan twin (registry.PLAN_QUERIES): classification over
+    the live pair plan."""
+    return _dbscan_from_pairs(spark, sf_dir, _dedup_embed(spark, sf_dir))
+
+
+def _dbscan_from_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    sym = pairs.select(
+        F.col("vec_a").alias("vid"), F.col("vec_b").alias("nbr")
+    ).unionAll(
+        pairs.select(F.col("vec_b").alias("vid"), F.col("vec_a").alias("nbr"))
+    )
+    deg = sym.groupBy("vid").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.filter(F.col("deg") >= DBSCAN_MINPTS).select("vid")
+    near_core = (
+        sym.join(core.withColumnRenamed("vid", "nbr"), "nbr")
+        .select("vid")
+        .distinct()
+        .withColumn("has_core_nbr", F.lit(True))
+    )
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cls = (
+        lab.join(deg, lab.vec_id == deg.vid, "left")
+        .drop("vid")
+        .join(near_core, lab.vec_id == near_core.vid, "left")
+        .drop("vid")
+        .withColumn("is_core", F.coalesce("deg", F.lit(0)) >= DBSCAN_MINPTS)
+        .withColumn(
+            "is_border",
+            ~F.col("is_core") & F.coalesce("has_core_nbr", F.lit(False)),
+        )
+    )
+    return cls.groupBy("label").agg(
+        F.sum(F.col("is_core").cast("int")).cast("bigint").alias("n_core"),
+        F.sum(F.col("is_border").cast("int")).cast("bigint").alias("n_border"),
+        F.sum((~F.col("is_core") & ~F.col("is_border")).cast("int"))
+        .cast("bigint")
+        .alias("n_noise"),
+    )
+
+
+# Composes the declared pair oracle verbatim (the corpus_semdedup
+# pattern) so "ε-neighbor" can never drift between the keys.
+ORACLE_ML_DBSCAN_CORE = f"""
+WITH pairs AS ({ORACLE_DEDUP_EMBED}),
+sym AS (
+  SELECT vec_a AS vid, vec_b AS nbr FROM pairs
+  UNION ALL
+  SELECT vec_b AS vid, vec_a AS nbr FROM pairs
+),
+deg AS (SELECT vid, COUNT(*) AS deg FROM sym GROUP BY vid),
+core AS (SELECT vid FROM deg WHERE deg >= {DBSCAN_MINPTS}),
+near_core AS (
+  SELECT DISTINCT s.vid FROM sym s JOIN core c ON s.nbr = c.vid
+),
+cls AS (
+  SELECT e.label,
+         COALESCE(d.deg, 0) >= {DBSCAN_MINPTS} AS is_core,
+         (COALESCE(d.deg, 0) < {DBSCAN_MINPTS})
+           AND nc.vid IS NOT NULL AS is_border
+  FROM embeddings e
+  LEFT JOIN deg d ON d.vid = e.vec_id
+  LEFT JOIN near_core nc ON nc.vid = e.vec_id
+)
+SELECT label,
+       CAST(SUM(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+       CAST(SUM(CASE WHEN is_border THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_border,
+       CAST(SUM(CASE WHEN is_core OR is_border THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_noise
+FROM cls GROUP BY label
+"""
+
+
 QUERIES = {
     "sim_topk": sim_topk,
+    "sim_mips_topk": sim_mips_topk,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_ivf_recall": sim_ivf_recall,
     "sim_range_search": sim_range_search,
@@ -3703,12 +3868,14 @@ QUERIES = {
     "ml_auc": ml_auc,
     "ml_calibration": ml_calibration,
     "ml_silhouette": ml_silhouette,
+    "ml_dbscan_core": ml_dbscan_core,
 }
 
 # Every key exact-oracled: IVF blocking is deterministic algebra,
 # so both the approximate results AND their measured recall hash-match.
 ORACLE_SQL = {
     "sim_topk": ORACLE_SIM_TOPK,
+    "sim_mips_topk": ORACLE_SIM_MIPS_TOPK,
     "sim_topk_ivf": ORACLE_SIM_TOPK_IVF,
     "sim_ivf_recall": ORACLE_SIM_IVF_RECALL,
     "sim_range_search": ORACLE_SIM_RANGE_SEARCH,
@@ -3744,4 +3911,5 @@ ORACLE_SQL = {
         ml_score_sql=ORACLE_ML_SCORE
     ),
     "ml_silhouette": ORACLE_ML_SILHOUETTE,
+    "ml_dbscan_core": ORACLE_ML_DBSCAN_CORE,
 }

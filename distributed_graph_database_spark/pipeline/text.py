@@ -2114,6 +2114,190 @@ FROM per_src p LEFT JOIN per_src_novel n USING (source)
 """
 
 
+# text_boilerplate: a line (LINE_W-token block, the text_line_dedup
+# granularity) is boilerplate WITHIN a source when at least
+# BOILER_MIN_DOCS distinct documents of that source contain it — the
+# header/footer/nav-chrome removal step every web-corpus pipeline
+# runs before dedup. An ABSOLUTE support threshold, not a percentage:
+# on this corpus per-source line support tops out at ~5-16% of docs
+# (measured sf0.001-0.1), so any meaningful percent cut is either
+# empty or flips between scale factors, while "shared by ≥k docs"
+# is the scale-stable form (and the one repeated-chrome actually
+# satisfies — chrome recurs per page, independent of corpus size).
+BOILER_MIN_DOCS = 2
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate report → (doc_id, source, n_lines,
+    n_boiler, n_kept): distinct LINE_W-token line hashes per doc,
+    flagged boilerplate when ≥ BOILER_MIN_DOCS distinct documents of
+    the doc's source contain the line.
+
+    Scale shape: one corpus scan explodes per-doc DISTINCT line
+    hashes (array_distinct runs inside codegen before the shuffle);
+    ONE groupBy on (source, h) counts supporting docs with map-side
+    combine; the per-source doc totals are a |sources|-row broadcast;
+    the flag rejoins on the same (source, h) key so the exchange is
+    reused — nothing corpus² anywhere, and the 100 TB cost is two
+    co-partitioned passes over the line table. No reference analog
+    (its only strings are file names); this is the pipeline-brief
+    cleaning surface between text_line_dedup (global exact lines)
+    and text_novelty (delta-vs-base shingles)."""
+    w = LINE_W
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    n_blocks = F.floor((F.size("toks") + (w - 1)) / w).cast("int")
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_blocks),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", (i - 1) * w + 1, w))
+                    ),
+                )
+            )
+        ).alias("h"),
+    ).localCheckpoint(eager=False)  # consumed by the groupBy AND the rejoin
+    support = (
+        lines.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("n_docs_with"))
+        .withColumn(
+            "is_boiler", F.col("n_docs_with") >= F.lit(BOILER_MIN_DOCS)
+        )
+        .select("source", "h", "is_boiler")
+    )
+    return (
+        lines.join(support, ["source", "h"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("is_boiler").cast("int")).cast("bigint").alias("n_boiler"),
+            F.sum((~F.col("is_boiler")).cast("int")).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+ORACLE_TEXT_BOILERPLATE = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents
+),
+lines AS (
+  SELECT DISTINCT doc_id, source,
+         md5(list_aggregate(toks[(i-1)*{LINE_W}+1 : i*{LINE_W}],
+                            'string_agg', ' ')) AS h
+  FROM t, UNNEST(range(1, ((LEN(toks) + {LINE_W - 1}) // {LINE_W}) + 1)) AS u(i)
+),
+support AS (
+  SELECT l.source, l.h,
+         COUNT(*) >= {BOILER_MIN_DOCS} AS is_boiler
+  FROM lines l
+  GROUP BY l.source, l.h
+)
+SELECT l.doc_id, l.source,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN s.is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN s.is_boiler THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_kept
+FROM lines l JOIN support s USING (source, h)
+GROUP BY l.doc_id, l.source
+"""
+
+
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content-overlap matrix between sources → (src_a,
+    src_b, n_shared): for every unordered source pair, the number of
+    distinct LINE_W-token line hashes occurring in BOTH — the triage
+    matrix that decides which source pairs are worth a full cross-
+    source dedup pass (whole-doc md5 finds zero cross-source dups in
+    this corpus; line granularity exposes the real overlap).
+
+    Scale shape: distinct (h, source) contraction first (bounded by
+    |line-hash space| × |sources|), then ONE groupBy on h collects
+    the ≤|sources| source set per hash, pairs are generated inside
+    codegen (nested transform over the sorted source array — at most
+    C(|sources|,2) per hash, |sources| is tens not millions), and the
+    final groupBy runs on the pair key. No self-join of the corpus,
+    no pair ever materialized per-document. At 100 TB the only big
+    exchange is the distinct — map-side combined on (h, source)."""
+    w = LINE_W
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+    )
+    n_blocks = F.floor((F.size("toks") + (w - 1)) / w).cast("int")
+    hs = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_blocks),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", (i - 1) * w + 1, w))
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    srcs = hs.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    # guard: F.sequence(1, 0) runs DESCENDING in Spark, so a 1-source
+    # hash must short-circuit to an empty pair array, not a sequence
+    pairs = srcs.select(
+        F.explode(
+            F.when(
+                F.size("ss") >= 2,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ss") - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.size("ss")),
+                            lambda j: F.struct(
+                                F.element_at("ss", i).alias("src_a"),
+                                F.element_at("ss", j).alias("src_b"),
+                            ),
+                        ),
+                    )
+                ),
+            ).otherwise(
+                F.expr("array()").cast(
+                    "array<struct<src_a:string,src_b:string>>"
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+ORACLE_TEXT_SOURCE_OVERLAP = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(LOWER(TRIM(text)), '\s+') AS toks
+  FROM documents
+),
+hs AS (
+  SELECT DISTINCT source,
+         md5(list_aggregate(toks[(i-1)*{LINE_W}+1 : i*{LINE_W}],
+                            'string_agg', ' ')) AS h
+  FROM t, UNNEST(range(1, ((LEN(toks) + {LINE_W - 1}) // {LINE_W}) + 1)) AS u(i)
+)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_length_quantiles": text_length_quantiles,
@@ -2139,6 +2323,8 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_search": text_search,
     "text_novelty": text_novelty,
+    "text_boilerplate": text_boilerplate,
+    "text_source_overlap": text_source_overlap,
 }
 
 ORACLE_SQL = {
@@ -2168,4 +2354,6 @@ ORACLE_SQL = {
     "text_pii_scrub": ORACLE_TEXT_PII_SCRUB,
     "text_search": _oracle_text_search(),
     "text_novelty": _oracle_text_novelty(),
+    "text_boilerplate": ORACLE_TEXT_BOILERPLATE,
+    "text_source_overlap": ORACLE_TEXT_SOURCE_OVERLAP,
 }

@@ -319,6 +319,7 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "dedup_embed_tree": pl_sim._dedup_embed_tree,
     "corpus_semdedup": pl_sim._corpus_semdedup_plan,
     "sim_dedup_sweep": pl_sim._sim_dedup_sweep_plan,
+    "ml_dbscan_core": pl_sim._ml_dbscan_core_plan,
     "sim_topk": pl_sim._sim_topk,
     "sim_topk_ivf": pl_sim._sim_topk_ivf,
     "sim_pq_topk": pl_sim._sim_pq_topk,
