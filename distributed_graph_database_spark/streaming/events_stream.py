@@ -988,6 +988,128 @@ def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def scrub_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """STATELESS streaming transform: the PII/telemetry scrubber
+    (events_scrub's regexp projection) applied to the live stream —
+    the shape a redaction gate actually deploys as (scrub BEFORE the
+    data ever lands anywhere durable, not as a batch pass after).
+    No watermark, no state store: append mode emits each masked row
+    as it arrives, so at 100 TB/day the cost is exactly the codegen'd
+    narrow map, streamed."""
+    ev = _events_stream(spark, src_dir)
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_masked"),
+        F.size(
+            F.regexp_extract_all(F.col("props"), F.lit("[0-9]+"), 0)
+        ).alias("n_masked"),
+    )
+
+
+def stream_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the stateless scrub path under the
+    driver's hash check — readStream → regexp projection → append
+    drain. A full availableNow drain masks every row exactly once, so
+    the twin shares ORACLE_EVENTS_SCRUB verbatim with the batch key:
+    one redaction definition, two execution modes (the
+    events_scrub/text_pii_scrub family's streaming face)."""
+    src = _events_src_dir(spark, sf_dir)
+    name = f"stream_scrub_{next(_STREAM_SEQ)}"
+    return run_available_now(scrub_stream(spark, src), name, mode="append")
+
+
+def transitions_stream(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: per-user
+    consecutive event-type transition counting, state = the user's
+    LAST (ts, event_id, event_type) so a pair spanning two
+    micro-batches is still counted exactly once. Each batch sorts its
+    Arrow chunk by (ts, event_id) — the batch twin's lag ordering —
+    prepends the carried state row, emits per-(prev, next) partial
+    counts, and stores the new last row.
+
+    This is the sequence-model shape built-in streaming aggs can't
+    express (lag/window functions don't exist on streams): arbitrary
+    per-key state + arbitrary per-batch logic, Arrow-batched. State is
+    3 scalars per user, hash-partitioned; eviction would use event-
+    time timeout in a production stream (NoTimeout here — the drain
+    is finite)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "ts", "event_id", "event_type")
+
+    def update(key, pdfs, state: GroupState):
+        prev_ts, prev_id, prev_type = (
+            state.get if state.exists else (None, None, None)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        types = list(pdf["event_type"])
+        prevs = ([prev_type] if prev_type is not None else []) + types[:-1]
+        nexts = types if prev_type is not None else types[1:]
+        last = pdf.iloc[-1]
+        state.update(
+            (int(last["ts"].value), int(last["event_id"]), str(last["event_type"]))
+        )
+        if not nexts:
+            return
+        counts = pd.DataFrame({"prev_type": prevs, "event_type": nexts})
+        out = (
+            counts.groupby(["prev_type", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        yield out
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="prev_type string, event_type string, n bigint",
+        stateStructType="last_ts bigint, last_id bigint, last_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED streaming key: the per-user transition matrix
+    (events_transitions' twin) with the sequential lag carried by
+    custom state instead of a batch window. Post-drain, the per-user
+    per-batch partial counts sum into the global (prev, next) matrix
+    and the row-normalized probability is computed exactly as the
+    batch key does — so the twin shares ORACLE_EVENTS_TRANSITIONS
+    verbatim: one Markov definition, two execution modes."""
+    from ..pipeline.events import ORACLE_EVENTS_TRANSITIONS  # noqa: F401
+
+    src = _events_src_dir(spark, sf_dir)
+    name = f"stream_transitions_{next(_STREAM_SEQ)}"
+    res = run_available_now(
+        transitions_stream(spark, src), name, mode="update"
+    )
+    from pyspark.sql import Window
+
+    pairs = res.groupBy("prev_type", "event_type").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_late_data": stream_late_data,
@@ -1001,6 +1123,8 @@ QUERIES = {
     "stream_enrich": stream_enrich,
     "stream_interval_join": stream_interval_join,
     "stream_count_min": stream_count_min,
+    "stream_scrub": stream_scrub,
+    "stream_transitions": stream_transitions,
 }
 
 ORACLE_SQL = {
@@ -1022,6 +1146,11 @@ ORACLE_SQL = {
     # streaming increments == batch contraction (CMS additivity) under
     # a full drain — one oracle for both execution modes
     "stream_count_min": None,
+    # stateless map fully drained == the batch projection — one oracle
+    "stream_scrub": None,
+    # per-user state-carried lag fully drained == the batch window —
+    # one oracle for both execution modes
+    "stream_transitions": None,
 }
 
 
@@ -1042,6 +1171,14 @@ ORACLE_SQL["stream_cdc_apply"] = _ORACLE_CDC
 from ..pipeline.events import ORACLE_EVENTS_COUNT_MIN as _ORACLE_CMS
 
 ORACLE_SQL["stream_count_min"] = _ORACLE_CMS
+
+from ..pipeline.events import (
+    ORACLE_EVENTS_SCRUB as _ORACLE_SCRUB,
+    ORACLE_EVENTS_TRANSITIONS as _ORACLE_TRANSITIONS,
+)
+
+ORACLE_SQL["stream_scrub"] = _ORACLE_SCRUB
+ORACLE_SQL["stream_transitions"] = _ORACLE_TRANSITIONS
 
 STREAM_STATE_PARTITIONS = "4"
 
