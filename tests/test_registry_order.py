@@ -25,7 +25,7 @@ FAMILY_PATTERNS = {
     "similarity": r"^(sim_|ml_|dedup_embed)",
     "events": r"^events_",
     "multimodal": r"^mm_",
-    "graph-analytics": r"^graph_(copurchase|triangles|pagerank|ppr|hits|betweenness|closeness|sssp|kcore|jaccard|assortativity|communities|modularity|clustering_coef|link_predict|mst|walks|ktruss)",
+    "graph-analytics": r"^graph_(copurchase|triangles|pagerank|ppr|hits|betweenness|closeness|sssp|kcore|jaccard|assortativity|communities|modularity|clustering_coef|link_predict|mst|walks|ktruss|scc)",
     "streaming": r"^stream_",
 }
 
