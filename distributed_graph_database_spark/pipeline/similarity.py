@@ -1598,13 +1598,23 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("val").alias("mean_val"), F.count(F.lit(1)).alias("n")
         )
         old = cells.select("cell_id", F.posexplode("cv").alias("dim", "old_val"))
+        # Checkpoint the k×64-row per-dimension UPDATE table, not the
+        # k-row centroid table (r13 optimization): both the round
+        # report and the next round's centroids derive from `upd`, so
+        # checkpointing here makes each round's corpus work (assign +
+        # per-dim means) run exactly ONCE — the old shape checkpointed
+        # `cells`, which left `rep` un-checkpointed and the final
+        # union re-ran every round's assignment a second time at
+        # materialization (guide §1.2 "don't compute things you throw
+        # away": measured 9.5 s → 5.0 s steady-state at sf0.1, same
+        # rows/hash).
         upd = old.join(by_dim, ["cell_id", "dim"], "left").select(
             "cell_id",
             "dim",
             F.coalesce("mean_val", F.col("old_val")).alias("new_val"),
             "old_val",
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
-        )
+        ).localCheckpoint(eager=True)
         rep = upd.groupBy("cell_id").agg(
             F.max("n").alias("n_assigned"),
             F.round(
@@ -1615,6 +1625,8 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rep if out is None else out.unionByName(rep)
         # next round's centroid table: k×64 rows back into array form
+        # (derived lazily from the checkpointed `upd` — one tiny
+        # groupBy per consumer, lineage stays one checkpoint deep)
         cells = (
             upd.groupBy("cell_id")
             .agg(
@@ -1626,7 +1638,6 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cell_id",
                 F.transform("s", lambda x: x["new_val"]).alias("cv"),
             )
-            .localCheckpoint(eager=True)
         )
     return out
 

@@ -315,6 +315,7 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     **QUERIES,
     "dedup_near": pl_dedup._dedup_near_audit,
     "dedup_ngram": pl_dedup._dedup_ngram,
+    "dedup_incremental": pl_dedup._dedup_incremental_delta,
     "dedup_embed": pl_sim._dedup_embed,
     "dedup_embed_tree": pl_sim._dedup_embed_tree,
     "corpus_semdedup": pl_sim._corpus_semdedup_plan,

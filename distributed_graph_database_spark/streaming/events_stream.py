@@ -19,6 +19,7 @@ from __future__ import annotations
 import itertools
 import os
 import shutil
+from collections import Counter
 from ..session import staging_root
 from contextlib import contextmanager
 
@@ -369,7 +370,12 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _events_src_dir(spark, sf_dir)
     name = f"stream_user_totals_{next(_STREAM_SEQ)}"
-    res = run_available_now(user_totals_stream(spark, src), name, mode="update")
+    res = run_available_now(
+        user_totals_stream(spark, src),
+        name,
+        mode="update",
+        state_partitions=PYTHON_STATE_PARTITIONS,
+    )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         res.withColumn("rn", F.row_number().over(w))
@@ -1044,33 +1050,43 @@ def transitions_stream(
     ).select("user_id", "ts", "event_id", "event_type")
 
     def update(key, pdfs, state: GroupState):
+        # Per-group bodies are called ~once per user per batch, so the
+        # constant factor here multiplies by |users|: plain-Python
+        # tuple sort + Counter beats pandas concat/sort_values/groupby
+        # by ~10× at the ~100-row group sizes this stream carries
+        # (guide §4.2 — heavy lifting vectorizes, but sub-ms groups
+        # are pure overhead in pandas). Semantics identical: same
+        # (ts, event_id) order, same carried last row, same partial
+        # counts (r13 optimization; stream_transitions 4.0 → 1.9 s
+        # steady-state at sf0.1, same rows/hash).
         prev_ts, prev_id, prev_type = (
             state.get if state.exists else (None, None, None)
         )
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if not chunks:
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            if len(pdf):
+                rows.extend(
+                    zip(
+                        pdf["ts"].astype("int64"),
+                        pdf["event_id"],
+                        pdf["event_type"],
+                    )
+                )
+        if not rows:
             return
-        pdf = (
-            pd.concat(chunks)
-            .sort_values(["ts", "event_id"])
-            .reset_index(drop=True)
-        )
-        types = list(pdf["event_type"])
+        rows.sort()
+        types = [r[2] for r in rows]
         prevs = ([prev_type] if prev_type is not None else []) + types[:-1]
         nexts = types if prev_type is not None else types[1:]
-        last = pdf.iloc[-1]
-        state.update(
-            (int(last["ts"].value), int(last["event_id"]), str(last["event_type"]))
-        )
+        last = rows[-1]
+        state.update((int(last[0]), int(last[1]), str(last[2])))
         if not nexts:
             return
-        counts = pd.DataFrame({"prev_type": prevs, "event_type": nexts})
-        out = (
-            counts.groupby(["prev_type", "event_type"], as_index=False)
-            .size()
-            .rename(columns={"size": "n"})
+        counts = Counter(zip(prevs, nexts))
+        yield pd.DataFrame(
+            [(p, n, c) for (p, n), c in counts.items()],
+            columns=["prev_type", "event_type", "n"],
         )
-        yield out
 
     return ev.groupBy("user_id").applyInPandasWithState(
         update,
@@ -1094,7 +1110,10 @@ def stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_src_dir(spark, sf_dir)
     name = f"stream_transitions_{next(_STREAM_SEQ)}"
     res = run_available_now(
-        transitions_stream(spark, src), name, mode="update"
+        transitions_stream(spark, src),
+        name,
+        mode="update",
+        state_partitions=PYTHON_STATE_PARTITIONS,
     )
     from pyspark.sql import Window
 
@@ -1182,29 +1201,44 @@ ORACLE_SQL["stream_transitions"] = _ORACLE_TRANSITIONS
 
 STREAM_STATE_PARTITIONS = "4"
 
+# The applyInPandasWithState drain runs its per-group bodies in
+# PYTHON workers, one task per state partition — unlike the JVM agg
+# drains (whose cost is store setup/commit machinery, minimized at 4
+# partitions, the r7 measurement), its wall-clock is Python-worker
+# parallelism-bound, so it gets a wider state layout (r13 measured
+# A/B at sf0.1: 4→16 partitions = 3.0→2.4 s, identical rows — state
+# partitioning never changes answers, only parallelism; same
+# deployment-knob discipline as STREAM_STATE_PARTITIONS itself).
+PYTHON_STATE_PARTITIONS = "16"
+
 
 @contextmanager
-def _state_partitions(spark: SparkSession):
+def _state_partitions(spark: SparkSession, n: str = STREAM_STATE_PARTITIONS):
     """Set the drain's state-store partition count at query start and
     restore the session value afterwards — the ONE place the invariant
     lives (both drains and any future streaming entry point use it)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", STREAM_STATE_PARTITIONS)
+    spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def run_available_now(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+def run_available_now(
+    df: DataFrame,
+    name: str,
+    mode: str = "complete",
+    state_partitions: str = STREAM_STATE_PARTITIONS,
+) -> DataFrame:
     """Drain the stream with trigger=availableNow into a memory sink
     and return the materialized result table (complete mode for agg
     twins: every window's final row; update mode for the arbitrary-
     state operator, which emits per-key rows itself). The drain runs
-    at STREAM_STATE_PARTITIONS state partitions (set at query start,
+    at `state_partitions` state partitions (set at query start,
     which is when Spark fixes state partitioning; restored after)."""
     spark = df.sparkSession
-    with _state_partitions(spark):
+    with _state_partitions(spark, state_partitions):
         q = (
             df.writeStream.format("memory")
             .queryName(name)

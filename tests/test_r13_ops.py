@@ -113,6 +113,25 @@ def test_dedup_incremental_composes_to_full_corpus_greedy(spark, sf_smoke):
     assert base_survivors | inc_kept == full_survivors
 
 
+def test_dedup_incremental_truth_derivation_equals_delta_generator(
+    spark, sf_oracle
+):
+    """r13 optimization guard: the declared key (verified pairs derived
+    by pair-set algebra over the session-shared corpus-wide truth
+    table) returns exactly the delta-sized generator's report — the
+    two forms implement one greedy rule, so every (source, counts) row
+    must match."""
+    got = {
+        r.source: (r.n_delta, r.n_dup_base, r.n_dup_delta, r.n_kept)
+        for r in dedup.dedup_incremental(spark, sf_oracle).collect()
+    }
+    want = {
+        r.source: (r.n_delta, r.n_dup_base, r.n_dup_delta, r.n_kept)
+        for r in dedup._dedup_incremental_delta(spark, sf_oracle).collect()
+    }
+    assert got == want
+
+
 def test_corpus_mix_temperature_monotone_and_exact(spark, sf_oracle):
     """Monotonicity-in-alpha law (VERDICT r12 #7): with ONE shared
     draw, keep sets nest as alpha decreases, so per-language n_kept is
