@@ -69,6 +69,80 @@ def warm_up(spark) -> None:
             lambda acc, v: acc + v,
         ).alias("d")
     ).write.mode("overwrite").format("noop").save()
+    # Python-worker pool + Arrow batch machinery (r13): the first
+    # mapInPandas job in a session pays worker launch + Arrow codepath
+    # init (~3 s measured), which used to land on whichever multimodal
+    # key the LRU rotation ordered first — first-use cost, not query
+    # cost, so it belongs here with the JIT warm-up.
+    def _identity_batches(it):
+        yield from it
+
+    spark.range(1_000).mapInPandas(_identity_batches, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    # Structured-streaming engine (r13): the first availableNow drain
+    # pays stream-execution + state-store-provider + memory-sink init
+    # (~4 s measured) — same first-use rule. Synthetic source, tiny
+    # stateful agg at the engine's drain partition count.
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as _td:
+        spark.range(100).withColumn("k", F.pmod("id", F.lit(5))).write.mode(
+            "overwrite"
+        ).parquet(f"{_td}/src")
+        _prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            _q = (
+                spark.readStream.schema("id long, k long")
+                .parquet(f"{_td}/src")
+                .groupBy("k")
+                .count()
+                .writeStream.format("memory")
+                .queryName("bench_warmup_stream")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _q.awaitTermination()
+            # The applyInPandasWithState runner (arbitrary-state
+            # protocol: Arrow batches + state server round-trips) has
+            # its own JVM/Python first-use init on top of the agg
+            # drain's — measured ~5-8 s landing on whichever of the
+            # two Python-state keys the rotation ordered first.
+            import pandas as _pd
+            from pyspark.sql.streaming.state import (
+                GroupState,
+                GroupStateTimeout,
+            )
+
+            def _warm_update(key, pdfs, state: GroupState):
+                n = state.get[0] if state.exists else 0
+                for pdf in pdfs:
+                    n += len(pdf)
+                state.update((n,))
+                yield _pd.DataFrame({"k": [key[0]], "n": [n]})
+
+            _q2 = (
+                spark.readStream.schema("id long, k long")
+                .parquet(f"{_td}/src")
+                .groupBy("k")
+                .applyInPandasWithState(
+                    _warm_update,
+                    outputStructType="k long, n long",
+                    stateStructType="n long",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+                .writeStream.format("memory")
+                .queryName("bench_warmup_state_stream")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _q2.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", _prev)
 
 
 def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
