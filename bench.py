@@ -225,6 +225,11 @@ def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
         # shared artifact as the primary): ~0 s, kept for bench-JSON
         # continuity.
         ("sim_knn_tree_result", lambda: pl_sim.sim_knn_graph_tree(spark, sf_dir)),
+        # The exact CAP×corpus ground-truth top-k (r13): consumed by
+        # sim_knn_recall, its sim_knn_tree_recall twin, AND
+        # ml_knn_classify's neighbor vote — the recall monitor's
+        # ingest-time truth table, built once per (session, sf).
+        ("knn_exact_topk", lambda: pl_sim._knn_exact_topk(spark, sf_dir)),
         ("pq_corpus_encode", lambda: pl_sim._pq_codes_long(spark, sf_dir)),
         # The ADC/top-k result both PQ keys consume: without this line
         # item, whichever of sim_pq_topk/sim_pq_recall the LRU rotation

@@ -2295,22 +2295,42 @@ def minimum_spanning_forest(spark: SparkSession, edges: DataFrame) -> DataFrame:
     component edge — ONE groupBy-min of a struct, no global sort, no
     sequential union-find (Kruskal's bottleneck) — then components
     merge by relabeling through the existing large-star/small-star
-    connected-components kernel over the accumulated forest. The
-    component count at least halves per round ⇒ O(log V) rounds, each
-    a bounded number of shuffles over data proportional to the
-    surviving cross-edges; the per-round state checkpoint is the
-    CHOSEN edge set (one eager job serving its three consumers — the
-    graph_hits r10 granularity lesson; measured 3.6→3.0 s at sf0.1),
-    with the forest accumulating as a flat union of those
-    checkpoints. This is the textbook
+    connected-components kernel over the MERGE GRAPH on component ids
+    (this round's chosen edges as (comp, other-comp) pairs), NOT the
+    whole accumulated forest (r13; previously each round re-ran CC
+    from scratch over every edge chosen so far). Labels are provably
+    identical round by round: comp ids are the min vertex of their
+    component (induction from comp₀ = identity), so min-label CC over
+    the comp-id merge graph yields min(comp ids merged) = min vertex
+    of the merged component — exactly what forest-CC returned — while
+    the CC kernel's input shrinks from O(V) accumulated edges to
+    ≤ #components rows that HALVE per round, and its star iteration
+    depth tracks the merge chains of one round, not the forest's
+    accumulated diameter. The component count at least halves per
+    round ⇒ O(log V) rounds; the per-round state checkpoint is the
+    per-component choice table (one eager job serving the probe, the
+    forest accumulation, the merge graph, and the relabel); the new
+    comp labels are re-checkpointed per round so the e⋈comp join
+    never drags a cross-round lineage chain. This is the textbook
     MST-at-scale algorithm (Borůvka is the parallel one; Kruskal's
     sorted sequential scan and Prim's single frontier don't
     distribute).
 
     The struct min makes the per-component argmin deterministic
-    (strict total order ⇒ unique forest ⇒ hash-exact oracle), and the
-    driver-side loop probe is a limit(1) existence check, not a
-    collect of data rows."""
+    (strict total order ⇒ unique forest ⇒ hash-exact oracle — the
+    trailing other-comp field never arbitrates: (negw, a, b) already
+    identifies the edge uniquely within a component's candidates),
+    and the driver-side loop probe is ONE distinct-count per round
+    (serving both the emptiness check and the component counter),
+    never a collect of data rows. The
+    single-component early exit is result-identical by construction:
+    one component ⇒ no cross-component edge ⇒ the next round's chosen
+    set is empty ⇒ the loop would break without touching the forest —
+    the exit just skips that full-edge-set no-op join. Within-round
+    duplicate choices (both endpoints of an edge picking it) are
+    deduplicated ONCE at the end instead of per round (cross-round
+    duplicates stay impossible: a chosen edge's endpoints share a
+    component forever after)."""
     e = edges.select(
         "a", "b", "w_cents", (-F.col("w_cents")).alias("negw")
     ).localCheckpoint(eager=True)
@@ -2320,6 +2340,13 @@ def minimum_spanning_forest(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Driver-side component COUNTER (r13): every deduped chosen edge
+    # merges exactly two components (the chosen set on the component
+    # graph is acyclic under the strict (negw, a, b) total order — the
+    # classic Borůvka argument: a chosen cycle would need structs to
+    # strictly decrease all the way around), so n_comps is exact
+    # arithmetic, not a per-round distinct-count job over comp.
+    n_comps = verts.count()
     comp = verts.select("v", F.col("v").alias("comp"))
     forest: DataFrame | None = None
     for _ in range(40):  # ≥ log2(any realistic vertex count)
@@ -2328,42 +2355,64 @@ def minimum_spanning_forest(spark: SparkSession, edges: DataFrame) -> DataFrame:
             .join(comp.select(F.col("v").alias("b"), F.col("comp").alias("cb")), "b")
             .filter(F.col("ca") != F.col("cb"))
         )
-        cand = j.select(F.col("ca").alias("c"), "negw", "a", "b").union(
-            j.select(F.col("cb").alias("c"), "negw", "a", "b")
+        cand = j.select(
+            F.col("ca").alias("c"), "negw", "a", "b", F.col("cb").alias("oc")
+        ).union(
+            j.select(
+                F.col("cb").alias("c"), "negw", "a", "b", F.col("ca").alias("oc")
+            )
         )
-        # One eager checkpoint per round serves chosen's THREE
-        # consumers (empty probe, forest accumulation, merge graph) —
-        # the graph_hits r10 checkpoint-granularity lesson. Cross-
-        # round duplicates are impossible (a chosen edge merges its
-        # endpoints' components, so it can never be a cross-component
-        # candidate again), so the forest accumulates as a plain
-        # union of per-round checkpoints: flat lineage, no re-distinct
-        # and no re-checkpoint of the growing forest.
-        chosen = (
+        per_c = (
             cand.groupBy("c")
-            .agg(F.min(F.struct("negw", "a", "b")).alias("m"))
+            .agg(F.min(F.struct("negw", "a", "b", "oc")).alias("m"))
             .select(
+                "c",
                 F.col("m.negw").alias("negw"),
                 F.col("m.a").alias("a"),
                 F.col("m.b").alias("b"),
+                F.col("m.oc").alias("oc"),
             )
-            .distinct()
             .localCheckpoint(eager=True)
         )
-        if chosen.limit(1).count() == 0:
+        # One count action per round serves BOTH loop probes: 0 new
+        # edges ⇒ done, and n_comps arithmetic ⇒ single component ⇒
+        # the next round's full-edge-set join is a guaranteed no-op.
+        n_new = per_c.select("negw", "a", "b").distinct().count()
+        if n_new == 0:
             break
+        chosen = per_c.select("negw", "a", "b")
         forest = chosen if forest is None else forest.union(chosen)
-        sym = forest.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        sym = sym.union(
-            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        n_comps -= n_new
+        if n_comps <= 1:
+            break
+        # Merge graph on comp ids: every merging component appears as
+        # src via its own choice row, so the CC kernel's vertex set
+        # (built from src) covers all participants. stars_per_check=2
+        # here ONLY: the r11 A/B that pinned 1 ran corpus-scale edge
+        # sets where the extra star pair doubles real shuffle volume;
+        # the merge graph is ≤ #components rows, the convergence
+        # checkpoint+fingerprint ACTIONS dominate, and halving them
+        # measured 3.5 → 2.5 s on graph_mst at sf0.1 (results
+        # identical for any value — kernel property test).
+        labels = traversal.connected_components(
+            spark,
+            per_c.select(F.col("c").alias("src"), F.col("oc").alias("dst")),
+            stars_per_check=2,
         )
-        labels = traversal.connected_components(spark, sym)
-        comp = verts.join(
-            labels.withColumnRenamed("vid", "v"), "v", "left"
-        ).select("v", F.coalesce("comp", F.col("v")).alias("comp"))
+        comp = (
+            comp.join(
+                labels.select(
+                    F.col("vid").alias("comp"), F.col("comp").alias("nc")
+                ),
+                "comp",
+                "left",
+            )
+            .select("v", F.coalesce("nc", F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
     if forest is None:
         return e.select("a", "b", "w_cents").limit(0)
-    return forest.select("a", "b", (-F.col("negw")).alias("w_cents"))
+    return forest.distinct().select("a", "b", (-F.col("negw")).alias("w_cents"))
 
 
 def graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -327,6 +327,9 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "sim_pq_code": lambda spark, sf: pl_sim._pq_codes_impl(spark, sf),
     "sim_knn_graph": pl_sim._sim_knn_graph,
     "sim_knn_graph_tree": pl_sim._sim_knn_graph_tree,
+    "sim_knn_recall": pl_sim._sim_knn_recall_plan,
+    "sim_knn_tree_recall": pl_sim._sim_knn_recall_plan,
+    "ml_knn_classify": pl_sim._ml_knn_classify_plan,
     "text_collocations": pl_text._text_collocations,
     "ml_centroid_classify": pl_sim._ml_centroid_classify,
     "graph_copurchase": g_analytics._copurchase_impl,
