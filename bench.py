@@ -254,6 +254,12 @@ def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
         # the merge table, encode the final word dict) — paid once
         # here so neither key's timing depends on rotation order.
         ("bpe_merge_loop", lambda: pl_text._bpe_loop(spark, sf_dir)),
+        # Per-doc quality flag frames corpus_dedup_report composes as
+        # funnel stages 3/4 next to each flag's own declared key (r13,
+        # the lpa_communities owner/composite rule).
+        ("text_repetition_flags", lambda: pl_text.text_repetition(spark, sf_dir)),
+        ("text_contamination_flags",
+         lambda: pl_text.text_contamination(spark, sf_dir)),
         ("colloc_unigram_counts", lambda: _shared(
             spark, sf_dir, "colloc_unigrams",
             lambda: pl_text._colloc_unigrams(spark, sf_dir))),
@@ -261,6 +267,10 @@ def run_setup(spark, sf_dir: str, only: set | None = None) -> dict[str, float]:
         # consume (r11 sharing, the dedup_ngram owner/composite rule).
         ("lpa_communities", lambda: g_an.graph_communities(spark, sf_dir)),
         ("ml_confusion_matrix", lambda: pl_sim.ml_centroid_classify(spark, sf_dir)),
+        # The per-score group contraction ml_auc AND ml_calibration
+        # read (r13, the lpa_communities owner/composite rule): each
+        # used to lazily re-run the ml_score corpus scan.
+        ("score_groups", lambda: pl_sim._score_groups(spark, sf_dir)),
         # The ANALYZE-style exact profile both stats keys read (one
         # Expand scan per session — at 100 TB a catalog entry written
         # at ingest; VERDICT r8 item 2).

@@ -2038,9 +2038,14 @@ def graph_ktruss(
             )
         )
         supp = pairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("support"))
+        # The survivor checkpoint KEEPS the support column (r13):
+        # returning the lazy `supp.filter(...)` re-ran the final
+        # round's whole triangle enumeration + groupBy a second time
+        # at materialization; the checkpoint already holds exactly
+        # those rows. The extra column rides the next round's
+        # orientation joins untouched.
         e = (
             supp.filter(F.col("support") >= TRUSS_K - 2)
-            .select("p1", "p2")
             .localCheckpoint(eager=True)
         )
         n = e.count()
@@ -2051,7 +2056,7 @@ def graph_ktruss(
         raise RuntimeError(
             f"k-truss did not converge within {max_rounds} rounds"
         )
-    return supp.filter(F.col("support") >= TRUSS_K - 2)
+    return e.select("p1", "p2", "support")
 
 
 def _oracle_ktruss() -> str:

@@ -530,7 +530,22 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc hit count is one map-side-combined groupBy on doc_id. The
     token array is materialized (lazy checkpoint) before the HOF pairs
     shingles — `element_at` re-evaluates its argument per element
-    (the dedup-shingle lesson, see text_ngrams_top)."""
+    (the dedup-shingle lesson, see text_ngrams_top).
+
+    Session-shared since r13 (the lpa_communities owner/composite
+    rule): corpus_dedup_report consumes this audit as funnel stage 4,
+    so the shingle scan + broadcast join materialize once per
+    (session, sf) as the `text_contamination_flags` bench setup line
+    item instead of once per consumer."""
+    return shared(
+        spark,
+        sf_dir,
+        "text_contamination",
+        lambda: _text_contamination(spark, sf_dir),
+    )
+
+
+def _text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = CONTAM_SHINGLE_K
     toks = (
         table(spark, sf_dir, "documents")
@@ -1169,7 +1184,22 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated, so the bigram leg only counts distincts. No
     windows, no driver work; the token array is materialized once
     (lazy checkpoint) before the bigram HOF pairs it — `element_at`
-    re-evaluates its argument per element (the dedup-shingle lesson)."""
+    re-evaluates its argument per element (the dedup-shingle lesson).
+
+    Session-shared since r13 (the lpa_communities owner/composite
+    rule): corpus_dedup_report consumes this per-doc flag frame as
+    funnel stage 3, so the two token/bigram corpus passes materialize
+    once per (session, sf) as the `text_repetition_flags` bench setup
+    line item instead of once per consumer."""
+    return shared(
+        spark,
+        sf_dir,
+        "text_repetition",
+        lambda: _text_repetition(spark, sf_dir),
+    )
+
+
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"))

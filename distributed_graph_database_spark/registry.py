@@ -331,7 +331,11 @@ PLAN_QUERIES: dict[str, QueryFn] = {
     "sim_knn_tree_recall": pl_sim._sim_knn_recall_plan,
     "ml_knn_classify": pl_sim._ml_knn_classify_plan,
     "text_collocations": pl_text._text_collocations,
+    "text_repetition": pl_text._text_repetition,
+    "text_contamination": pl_text._text_contamination,
     "ml_centroid_classify": pl_sim._ml_centroid_classify,
+    "ml_auc": pl_sim._ml_auc_plan,
+    "ml_calibration": pl_sim._ml_calibration_plan,
     "graph_copurchase": g_analytics._copurchase_impl,
     "graph_triangles": g_analytics._triangles_plan,
     "graph_jaccard": g_analytics._jaccard_plan,
