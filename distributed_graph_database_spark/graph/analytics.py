@@ -408,18 +408,18 @@ def _ppr_sparse(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     contrib) ∪ (1-d)·seed-indicator; densified once at the end."""
     sym = _sym_edges(spark, sf_dir)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = sym.join(deg, "src").localCheckpoint(eager=True)
+    ew = sym.join(deg, "src").localCheckpoint(eager=False)
     seeds = (
         deg.select("src").orderBy("src").limit(k).select(F.col("src").alias("s"))
     )
     verts = (
         deg.select(F.col("src").alias("v"))
         .crossJoin(F.broadcast(seeds))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     state = seeds.select(
         "s", F.col("s").alias("v"), F.lit(1.0).alias("r")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # derived from the CHECKPOINTED state, not the raw seeds subplan:
     # restart is unioned into every round, so deriving it from seeds
     # would embed the degree-groupBy + sort-limit subtree PR_ROUNDS
@@ -544,6 +544,16 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", (F.lit(1.0) / F.col("n")).alias("h")
     )
     auth = None
+    # No per-half-step densify join (r14, guide §2.4): on the
+    # SYMMETRIZED edge table every vertex appears as both src and dst,
+    # and the propagating vector always covers all of `verts` (round 0
+    # by construction, later rounds inductively by this same
+    # argument), so the raw sums already carry one row per vertex —
+    # the old verts LEFT-join + coalesce(0.0) was an identity densify
+    # (its coalesce could never fire) costing one join per half-step,
+    # 8 per key. Removing it changes no row: same vertex set, same
+    # sums, same normalization. The final-output join of hub×auth
+    # remains the only join outside the propagation itself.
     for _ in range(HITS_ROUNDS):
         a_raw = (
             sym.join(hub, sym.src == hub.v)
@@ -552,11 +562,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         a_tot = a_raw.agg(F.sum("a_raw").alias("t"))
         auth = (
-            verts.join(a_raw, F.col("v") == F.col("dst"), "left")
-            .crossJoin(F.broadcast(a_tot))
+            a_raw.crossJoin(F.broadcast(a_tot))
             .select(
-                "v",
-                (F.coalesce("a_raw", F.lit(0.0)) / F.col("t")).alias("a"),
+                F.col("dst").alias("v"),
+                (F.col("a_raw") / F.col("t")).alias("a"),
             )
             .localCheckpoint(eager=True)
         )
@@ -567,11 +576,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         h_tot = h_raw.agg(F.sum("h_raw").alias("t"))
         hub = (
-            verts.join(h_raw, F.col("v") == F.col("src"), "left")
-            .crossJoin(F.broadcast(h_tot))
+            h_raw.crossJoin(F.broadcast(h_tot))
             .select(
-                "v",
-                (F.coalesce("h_raw", F.lit(0.0)) / F.col("t")).alias("h"),
+                F.col("src").alias("v"),
+                (F.col("h_raw") / F.col("t")).alias("h"),
             )
             .localCheckpoint(eager=True)
         )

@@ -203,6 +203,13 @@ def _verified_pairs(cand: DataFrame, ex: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return _jaccard_tail(inter, ex, NEAR_JACCARD_T)
+
+
+def _jaccard_tail(inter: DataFrame, ex: DataFrame, t: float) -> DataFrame:
+    """(doc_a, doc_b, n_inter) → (doc_a, doc_b, jaccard ≥ t) with
+    |∪| = |a|+|b|−|∩| from the UNCAPPED shingle-set sizes — the shared
+    tail of every exact-verify shape."""
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
@@ -217,7 +224,7 @@ def _verified_pairs(cand: DataFrame, ex: DataFrame) -> DataFrame:
                 / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= NEAR_JACCARD_T)
+        .filter(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
@@ -296,16 +303,62 @@ def _near_truth(
     )
     capped = ex.join(F.broadcast(hot), "h", "left_anti")
     a, b = capped.alias("a"), capped.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.h") == F.col("b.h"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # Single-pass verify (r14, guide §1.2/§2.4): the candidate
+    # self-join emits exactly one row per NON-HOT co-occurring shingle
+    # of each pair, so counting those rows directly IS the df-capped
+    # intersection size — the dedup_ngram shape. The old form threw
+    # that information away (distinct to a pair set) and re-derived
+    # |∩| by routing every candidate pair through the full shingle
+    # table twice: one extra pair-set shuffle plus a join that
+    # re-exploded |pairs|·n̄sh rows. Exactness is restored by two
+    # correction legs, both empty/tiny on testdata and bounded at
+    # scale:
+    #   (1) hot-shingle co-occurrences (the capped join cannot see
+    #       them) are counted by the OLD candidate-restricted route,
+    #       but over the hot rows only — |hot rows| ≪ |ex| and the
+    #       probe is restricted to already-found pairs, so the leg
+    #       never reintroduces Σ df²;
+    #   (2) extra_cand pairs absent from the capped join (possible
+    #       only when ALL their shared shingles are hot) enter with a
+    #       zero base count.
+    # n_inter = n_capped + n_hot partitions the true intersection
+    # exactly (every shared shingle is hot xor non-hot), so the pair
+    # universe and every Jaccard are unchanged.
+    base = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_capped"))
     )
     if extra_cand is not None:
-        cand = cand.unionByName(extra_cand.select("doc_a", "doc_b"))
-    return _verified_pairs(cand.distinct(), ex)
+        extra_only = (
+            extra_cand.select("doc_a", "doc_b")
+            .distinct()
+            .join(base, ["doc_a", "doc_b"], "left_anti")
+            .withColumn("n_capped", F.lit(0).cast("bigint"))
+        )
+        base = base.unionByName(extra_only)
+    exh = ex.join(F.broadcast(hot), "h", "semi")
+    ha = exh.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = exh.select(F.col("doc_id").alias("doc_b"), "h")
+    hotc = (
+        base.select("doc_a", "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    inter = base.join(hotc, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_capped") + F.coalesce("n_hot", F.lit(0))).alias("n_inter"),
+    )
+    return _jaccard_tail(inter, ex, NEAR_JACCARD_T)
 
 
 def _near_truth_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,18 +787,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
         )
         .join(
+            # Delta-only broadcast (r14, ADVICE r13): the b side keeps
+            # only delta rows, so broadcasting the pre-filtered id set
+            # ships |delta| ids instead of a corpus-sized flag
+            # projection — the inner join IS the ¬b_base filter.
             F.broadcast(
-                flags.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("is_base").alias("b_base"),
+                flags.filter(~F.col("is_base")).select(
+                    F.col("doc_id").alias("doc_b")
                 )
             ),
             "doc_b",
         )
-        .filter(
-            (~F.col("b_base"))
-            & (F.col("a_base") | (F.col("doc_a") < F.col("doc_b")))
-        )
+        .filter(F.col("a_base") | (F.col("doc_a") < F.col("doc_b")))
     )
     st = ver.groupBy("doc_b").agg(
         F.max(F.col("a_base").cast("int")).alias("any_base")

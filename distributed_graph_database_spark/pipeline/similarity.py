@@ -227,10 +227,59 @@ def _assign(
     cell ids (n=1 → corpus partitioning, n=NPROBE → query probes).
     With `unit=True` both sides are already L2-normalized and the
     score is a plain dot (one HOF eval per pair instead of three)."""
+    key = df.columns[0]
+    if n == 1:
+        # Argmax fast path (r14, guide §2.4 remove shuffles outright):
+        # nearest-1 assignment needs no rank window and no join-back —
+        # collect the (tiny, broadcast-bounded) centroid table into ONE
+        # sorted array row, crossJoin it, and fold an argmax over it
+        # per input row. The window path shuffled N·cells narrow rows
+        # into a sort + row_number and then hash-joined the picked
+        # cells back onto the corpus — two exchanges per assignment
+        # that this path removes entirely; the dot products computed
+        # per (row, cell) are the identical _dot expressions. Tie-break
+        # identical by construction: the array is sorted by cell_id
+        # ascending and the fold keeps the incumbent on sim equality,
+        # so the lowest cell_id among sim-maxima wins — exactly
+        # row_number over (sim DESC, cell_id ASC). Centroid norms ride
+        # the collected structs so each is computed once, as _unit
+        # does for the corpus side.
+        carr = cells.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "cell_id",
+                        "cv",
+                        (
+                            F.lit(1.0) if unit else _norm("cv")
+                        ).alias("cvn"),
+                    )
+                )
+            ).alias("_ca")
+        )
+        vn = F.lit(1.0) if unit else _norm(vec_col)
+        withv = df.crossJoin(F.broadcast(carr)).withColumn("_vn", vn)
+
+        def _step(acc, c):
+            s = _dot(F.col(vec_col), c["cv"])
+            if not unit:
+                s = s / (F.col("_vn") * c["cvn"])
+            return F.when(
+                s > acc["s"], F.struct(s.alias("s"), c["cell_id"].alias("c"))
+            ).otherwise(acc)
+
+        best = F.aggregate(
+            F.col("_ca"),
+            F.struct(
+                F.lit(float("-inf")).alias("s"),
+                F.lit(None).cast("bigint").alias("c"),
+            ),
+            _step,
+        )
+        return withv.withColumn(out, F.array(best["c"])).drop("_ca", "_vn")
     sim = _dot(F.col(vec_col), F.col("cv"))
     if not unit:
         sim = sim / (_norm(vec_col) * _norm("cv"))
-    key = df.columns[0]
     # NARROW the rank window (r12, the sf10 ingest-probe fix): the
     # crossJoin must see the vector to score it, but only
     # (key, cell_id, sim) enters the exchange + sort feeding
@@ -1533,11 +1582,7 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign(emb, cells, "v", "cells", 1).select(
         "vec_id", "v", F.explode("cells").alias("cell_id")
     )
-    by_dim = assigned.select(
-        "cell_id", F.posexplode("v").alias("dim", "val")
-    ).groupBy("cell_id", "dim").agg(
-        F.avg("val").alias("mean_val"), F.count(F.lit(1)).alias("n")
-    )
+    by_dim = _kmeans_by_dim(assigned)
     old = cells.select(
         "cell_id", F.posexplode("cv").alias("dim", "old_val")
     )
@@ -1592,6 +1637,23 @@ GROUP BY m.cell_id
 """
 
 
+def _kmeans_by_dim(assigned: DataFrame) -> DataFrame:
+    """(cell_id, dim, mean_val, n) per-dimension means of the assigned
+    vectors — the posexplode-then-agg shape. An r14 A/B tried the
+    guide-§2.3 alternative (one groupBy(cell_id) carrying EMBED_DIM
+    column sums, exploded after the aggregate): it LOST — kmeans_step
+    1.0 → 1.9 s, train ~5 → 10 s steady — because at this key's scale
+    the 64-wide aggregate's per-call planning/codegen cost exceeds the
+    64·N-row reduction it saves; the (cell, dim) hash agg is map-side
+    combined to k·64 partials either way. Kept as the measured
+    optimum."""
+    return assigned.select(
+        "cell_id", F.posexplode("v").alias("dim", "val")
+    ).groupBy("cell_id", "dim").agg(
+        F.avg("val").alias("mean_val"), F.count(F.lit(1)).alias("n")
+    )
+
+
 KMEANS_TRAIN_ITERS = 4  # ml_kmeans_train: unrolled Lloyd rounds
 
 
@@ -1628,11 +1690,7 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = _assign(emb, cells, "v", "cells", 1).select(
             "vec_id", "v", F.explode("cells").alias("cell_id")
         )
-        by_dim = assigned.select(
-            "cell_id", F.posexplode("v").alias("dim", "val")
-        ).groupBy("cell_id", "dim").agg(
-            F.avg("val").alias("mean_val"), F.count(F.lit(1)).alias("n")
-        )
+        by_dim = _kmeans_by_dim(assigned)
         old = cells.select("cell_id", F.posexplode("cv").alias("dim", "old_val"))
         # Checkpoint the k×64-row per-dimension UPDATE table, not the
         # k-row centroid table (r13 optimization): both the round
@@ -1650,7 +1708,7 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("mean_val", F.col("old_val")).alias("new_val"),
             "old_val",
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         rep = upd.groupBy("cell_id").agg(
             F.max("n").alias("n_assigned"),
             F.round(
