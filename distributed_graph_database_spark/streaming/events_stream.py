@@ -35,6 +35,8 @@ from ..pipeline.events import (
 
 WATERMARK = "2 hours"
 
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
 
 def _events_stream(
     spark: SparkSession,
@@ -54,7 +56,17 @@ def _events_stream(
     unset — their exact-oracle contract is the one-file/one-batch
     drain (see _events_src_dir)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(src_dir).schema
+    # Schema cache (r14): every declared stream key builds its reader
+    # over the same staged directory, and the static schema-discovery
+    # read costs ~0.1 s of driver listing + footer parse per call —
+    # pure first-use metadata, cached per (session, dir) like the
+    # staging itself. (The staged dir is written once per session and
+    # never mutated, so the cached schema cannot go stale.)
+    skey = (spark.sparkContext.applicationId, src_dir)
+    schema = _SCHEMA_CACHE.get(skey)
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+        _SCHEMA_CACHE[skey] = schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -650,7 +662,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_src_dir(spark, sf_dir)
     name = f"stream_interval_join_{next(_STREAM_SEQ)}"
     res = run_available_now(
-        interval_join_stream(spark, src), name, mode="append"
+        # Project to the two columns the rollup reads BEFORE the sink
+        # (r14, guide §2.3 project-before-the-exchange applied to the
+        # drain): the join's 6-column match rows otherwise ship ids
+        # and both timestamps into the memory sink only to be dropped
+        # by the aggregate below. Match SET is unchanged — the
+        # projection is after the join condition.
+        interval_join_stream(spark, src).select("c_ts", "c_user"),
+        name,
+        mode="append",
     )
     return res.groupBy(
         F.date_trunc("hour", F.col("c_ts")).cast("string").alias("hour")
@@ -1212,13 +1232,32 @@ STREAM_STATE_PARTITIONS = "4"
 PYTHON_STATE_PARTITIONS = "16"
 
 
+def _state_partition_count(spark: SparkSession, measured: str) -> str:
+    """Resolve a drain's state-store partition count (r14, VERDICT r13
+    what's-wrong #5): the measured local optimum above is a HARNESS
+    constant, so cap it at the session's actual parallelism (a 4-core
+    driver run gets 4, not 16 one-wave-plus-overhead partitions) and
+    let deployments override it outright via env — the
+    SPARK_GRAFT_SHUFFLE_PARTITIONS discipline applied to streaming
+    state. State partitioning never changes answers, only layout."""
+    env = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env:
+        return env
+    return str(
+        min(int(measured), max(1, spark.sparkContext.defaultParallelism))
+    )
+
+
 @contextmanager
-def _state_partitions(spark: SparkSession, n: str = STREAM_STATE_PARTITIONS):
+def _state_partitions(spark: SparkSession, n: str | None = None):
     """Set the drain's state-store partition count at query start and
     restore the session value afterwards — the ONE place the invariant
     lives (both drains and any future streaming entry point use it)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _state_partition_count(spark, n or STREAM_STATE_PARTITIONS),
+    )
     try:
         yield
     finally:
